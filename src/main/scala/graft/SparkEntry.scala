@@ -1,13 +1,44 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.analytics.{Relational, Sessions}
+import graft.dq.DataQuality
+import graft.io.Ingest
+import graft.llm.{Dedup, Similarity, TextOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every declared query is registered by the module that implements it and
+  * aggregated here; `oracleSql` carries the DuckDB-equivalent ANSI SQL the
+  * driver hash-compares against at sf0.01. Column names and row order are
+  * pinned identically on both sides (SURVEY.md §7.4 determinism rules).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.pricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++
+      Sessions.queries ++
+      DataQuality.queries ++
+      Ingest.queries ++
+      TextOps.queries ++
+      Dedup.queries ++
+      Similarity.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++
+      Sessions.oracles ++
+      DataQuality.oracles ++
+      Ingest.oracles ++
+      TextOps.oracles ++
+      Dedup.oracles ++
+      Similarity.oracles
 }

@@ -1,0 +1,399 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.util.Det
+
+/** Relational core: the query family SURVEY.md §2.3–§2.4 derives from the
+  * reference's (absent) session-analysis Spark job plus the TPC-H-ish fixture
+  * star schema. Everything here is pure DataFrame API — Catalyst supplies
+  * pushdown, pruning, join selection and whole-stage codegen (SURVEY.md §4.2).
+  *
+  * Scale notes (100 TB design point):
+  *  - `nation`/`region`/`part`-sized dims are explicitly `broadcast()`; the
+  *    orders⋈customer join is a shuffle join on the natural key and benefits
+  *    from AQE skew handling (on by default).
+  *  - Every query ends in a canonical ORDER BY on a unique key so the driver's
+  *    hash compare is order-stable; the sort happens after aggregation, i.e.
+  *    over the (small) result, not the input.
+  */
+object Relational {
+
+  /** q1_agg — TPC-H Q1-style pricing summary over lineitem.
+    * Ref: the volume-aggregation family implied by
+    * /root/reference README session analysis (SURVEY.md §2.3).
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter(to_date($"l_shipdate") <= lit("1998-09-02").cast("date"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"), // integral-valued doubles: exact in any order
+        Det.decSum($"l_extendedprice").as("sum_base_price"),
+        Det.revenueSum($"l_extendedprice", $"l_discount").as("sum_disc_price"),
+        Det.decAvg($"l_extendedprice").as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | sum(l_quantity) AS sum_qty,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+      | count(*) AS count_order
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q_filter_project — predicate + projection; both push into the parquet scan. */
+  def filterProject(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .filter($"o_orderstatus" === "O" && $"o_totalprice" > 150000.0)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")
+      .orderBy($"o_orderkey")
+  }
+
+  val filterProjectSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      |FROM orders
+      |WHERE o_orderstatus = 'O' AND o_totalprice > 150000.0
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q_join_inner — orders⋈customer⋈nation, revenue per nation.
+    * nation is broadcast; orders⋈customer is the scale-out shuffle join.
+    */
+  def joinInner(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_orders"), Det.decSum($"o_totalprice").as("total_revenue"))
+      .orderBy($"n_name")
+  }
+
+  val joinInnerSql: String =
+    """SELECT n_name, count(*) AS n_orders,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** q_join_left — customer LEFT JOIN orders; customers with zero orders kept. */
+  def joinLeft(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("n_orders"),
+        Det.decSum($"o_totalprice").as("total_spent"))
+      .orderBy($"c_custkey")
+  }
+
+  val joinLeftSql: String =
+    """SELECT c_custkey, count(o_orderkey) AS n_orders,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+      |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      |GROUP BY c_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q_join_semi — customers having ≥1 order, counted per market segment. */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val joinSemiSql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** q_join_anti — customers with no orders, counted per market segment. */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val joinAntiSql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** q_agg_group — revenue per (nation, segment): multi-key hash aggregate. */
+  def aggGroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy($"n_name", $"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        Det.decSum($"o_totalprice").as("total_revenue"),
+        Det.decAvg($"o_totalprice").as("avg_revenue"))
+      .orderBy($"n_name", $"c_mktsegment")
+  }
+
+  val aggGroupSql: String =
+    """SELECT n_name, c_mktsegment, count(*) AS n_orders,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(o_totalprice) AS avg_revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name, c_mktsegment
+      |ORDER BY n_name, c_mktsegment""".stripMargin
+
+  /** q_agg_distinct — per event type: distinct users + exact value sum. */
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_users"),
+        count(lit(1)).as("n_events"),
+        Det.decSum($"value").as("total_value"))
+      .orderBy($"event_type")
+  }
+
+  val aggDistinctSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+      | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** q_topk — top 10 parts by exact revenue (Spark plans TakeOrderedAndProject). */
+  def topK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy($"p_partkey", $"p_name")
+      .agg(Det.revenueSum($"l_extendedprice", $"l_discount").as("revenue"))
+      .orderBy($"revenue".desc, $"p_partkey".asc)
+      .limit(10)
+  }
+
+  val topKSql: String =
+    """SELECT p_partkey, p_name,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_partkey, p_name
+      |ORDER BY revenue DESC, p_partkey
+      |LIMIT 10""".stripMargin
+
+  /** q_window_rank — top-3 orders per market segment via row_number. */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .select($"c_mktsegment", $"o_orderkey", $"o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .orderBy($"c_mktsegment", $"rn")
+  }
+
+  val windowRankSql: String =
+    """SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+      | SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |  CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+      | FROM orders JOIN customer ON o_custkey = c_custkey) t
+      |WHERE rn <= 3
+      |ORDER BY c_mktsegment, rn""".stripMargin
+
+  /** q_union — nation keys present among customers or suppliers (set union). */
+  def unionKeys(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir).select($"c_nationkey".as("nationkey"))
+    val s = Tables.supplier(spark, dir).select($"s_nationkey".as("nationkey"))
+    c.union(s).distinct().orderBy($"nationkey")
+  }
+
+  val unionKeysSql: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |UNION
+      |SELECT s_nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+
+  /** q_except — customer nation keys with no supplier presence. */
+  def exceptKeys(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir).select($"c_nationkey".as("nationkey"))
+    val s = Tables.supplier(spark, dir).select($"s_nationkey".as("nationkey"))
+    c.except(s).orderBy($"nationkey")
+  }
+
+  val exceptKeysSql: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |EXCEPT
+      |SELECT s_nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+
+  /** q_intersect — nation keys having both customers and suppliers. */
+  def intersectKeys(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir).select($"c_nationkey".as("nationkey"))
+    val s = Tables.supplier(spark, dir).select($"s_nationkey".as("nationkey"))
+    c.intersect(s).orderBy($"nationkey")
+  }
+
+  val intersectKeysSql: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT
+      |SELECT s_nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+
+  /** q_scalar_fns — string/date/JSON scalar functions over events.
+    * `props` is a JSON object string; exercises get_json_object (ref: the
+    * JSON payload parsing path, SURVEY.md §2.2 scalar-fn row).
+    */
+  def scalarFns(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(
+        $"event_id",
+        upper($"event_type").as("etype_upper"),
+        concat(lit("u"), $"user_id".cast("string")).as("user_tag"),
+        date_format($"ts", "yyyy-MM-dd").as("day_str"),
+        year($"ts").cast("long").as("y"),
+        month($"ts").cast("long").as("m"),
+        dayofmonth($"ts").cast("long").as("d"),
+        hour($"ts").cast("long").as("h"),
+        get_json_object($"props", "$.k").cast("long").as("k"),
+        length($"props").cast("long").as("props_len"),
+        substring($"event_type", 1, 2).as("etype_pre"))
+      .orderBy($"event_id")
+  }
+
+  val scalarFnsSql: String =
+    """SELECT event_id,
+      | upper(event_type) AS etype_upper,
+      | 'u' || CAST(user_id AS VARCHAR) AS user_tag,
+      | strftime(ts, '%Y-%m-%d') AS day_str,
+      | CAST(year(ts) AS BIGINT) AS y,
+      | CAST(month(ts) AS BIGINT) AS m,
+      | CAST(day(ts) AS BIGINT) AS d,
+      | CAST(hour(ts) AS BIGINT) AS h,
+      | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      | CAST(length(props) AS BIGINT) AS props_len,
+      | substring(event_type, 1, 2) AS etype_pre
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** q_rollup_daily — orders per day (the `{{ ds }}` partition rollup analogue,
+    * ref /root/reference/configs/sources/marketing_api_campaigns.yaml:25).
+    */
+  def rollupDaily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(count(lit(1)).as("n_orders"), Det.decSum($"o_totalprice").as("daily_revenue"))
+      .orderBy($"day")
+  }
+
+  val rollupDailySql: String =
+    """SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS daily_revenue
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin
+
+  /** q_rollup_ym — ROLLUP(year, month): grouping-sets path, NULLS FIRST pinned. */
+  def rollupYearMonth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select(year($"o_orderdate").cast("long").as("y"),
+        month($"o_orderdate").cast("long").as("m"),
+        $"o_totalprice")
+      .rollup($"y", $"m")
+      .agg(count(lit(1)).as("n_orders"), Det.decSum($"o_totalprice").as("revenue"))
+      .orderBy($"y".asc_nulls_first, $"m".asc_nulls_first)
+  }
+
+  val rollupYearMonthSql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS y, CAST(month(o_orderdate) AS BIGINT) AS m,
+      | count(*) AS n_orders,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY ROLLUP (1, 2)
+      |ORDER BY y NULLS FIRST, m NULLS FIRST""".stripMargin
+
+  /** q_limit_order — deterministic head-n in key order: the batch analogue of
+    * the reference's first-n CSV replay (kafka_stream.pyc @ 72-73).
+    */
+  def limitOrder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir).orderBy($"event_id").limit(100)
+  }
+
+  val limitOrderSql: String =
+    "SELECT * FROM events ORDER BY event_id LIMIT 100"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (pricingSummary _),
+    "q_filter_project" -> (filterProject _),
+    "q_join_inner" -> (joinInner _),
+    "q_join_left" -> (joinLeft _),
+    "q_join_semi" -> (joinSemi _),
+    "q_join_anti" -> (joinAnti _),
+    "q_agg_group" -> (aggGroup _),
+    "q_agg_distinct" -> (aggDistinct _),
+    "q_topk" -> (topK _),
+    "q_window_rank" -> (windowRank _),
+    "q_union" -> (unionKeys _),
+    "q_except" -> (exceptKeys _),
+    "q_intersect" -> (intersectKeys _),
+    "q_scalar_fns" -> (scalarFns _),
+    "q_rollup_daily" -> (rollupDaily _),
+    "q_rollup_ym" -> (rollupYearMonth _),
+    "q_limit_order" -> (limitOrder _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> pricingSummarySql,
+    "q_filter_project" -> filterProjectSql,
+    "q_join_inner" -> joinInnerSql,
+    "q_join_left" -> joinLeftSql,
+    "q_join_semi" -> joinSemiSql,
+    "q_join_anti" -> joinAntiSql,
+    "q_agg_group" -> aggGroupSql,
+    "q_agg_distinct" -> aggDistinctSql,
+    "q_topk" -> topKSql,
+    "q_window_rank" -> windowRankSql,
+    "q_union" -> unionKeysSql,
+    "q_except" -> exceptKeysSql,
+    "q_intersect" -> intersectKeysSql,
+    "q_scalar_fns" -> scalarFnsSql,
+    "q_rollup_daily" -> rollupDailySql,
+    "q_rollup_ym" -> rollupYearMonthSql,
+    "q_limit_order" -> limitOrderSql)
+}

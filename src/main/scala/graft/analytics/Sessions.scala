@@ -1,0 +1,148 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.util.Det
+
+/** Clickstream session analytics — the reconstructed contract of the
+  * reference's absent Spark job (SURVEY.md §2.3): gap-based sessionization,
+  * per-session stats, funnel conversion.
+  *
+  * Scale notes: sessionization partitions by user_id — the canonical skew
+  * hazard (bot/power users). The window shuffle is one exchange on user_id;
+  * AQE skew handling applies. All gap math is integer microseconds
+  * (`unix_micros`) — exact, engine-independent, no float drift. Ties on `ts`
+  * are broken by `event_id` so session assignment is fully deterministic.
+  */
+object Sessions {
+
+  val GapMicros: Long = 30L * 60 * 1000000 // 30-minute session gap
+
+  /** Events with a per-user gap-based `session_id` column attached. */
+  def sessionized(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros($"ts".cast("timestamp")))
+      .withColumn("prev_us", lag($"ts_us", 1).over(byUser))
+      .withColumn("new_sess",
+        when($"prev_us".isNull || ($"ts_us" - $"prev_us") > GapMicros, 1L).otherwise(0L))
+      .withColumn("session_id", sum($"new_sess").over(running))
+  }
+
+  /** q_sessionize — (event → session id) assignment, the lag+running-sum form. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sessionized(spark, dir)
+      .select($"event_id", $"user_id", $"session_id")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val sessionizeSql: String =
+    """SELECT event_id, user_id,
+      | CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |FROM (
+      | SELECT event_id, user_id, ts,
+      |  CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |       THEN 1 ELSE 0 END AS new_sess
+      | FROM events) t
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** q_session_stats — per (user, session): size, span, value, distinct types. */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sessionized(spark, dir)
+      .groupBy($"user_id", $"session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max($"ts_us") - min($"ts_us")).as("span_us"),
+        Det.decSum($"value").as("session_value"),
+        countDistinct($"event_type").as("n_event_types"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  val sessionStatsSql: String =
+    """WITH s AS (
+      | SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      | FROM (
+      |  SELECT *,
+      |   CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |        THEN 1 ELSE 0 END AS new_sess
+      |  FROM events) t)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      | max(epoch_us(ts)) - min(epoch_us(ts)) AS span_us,
+      | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value,
+      | count(DISTINCT event_type) AS n_event_types
+      |FROM s
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** q_funnel — global event-type counts plus per-user conversion funnel
+    * (signup → view → click → purchase), folded to one row.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(
+        max(when($"event_type" === "signup", 1L).otherwise(0L)).as("has_signup"),
+        max(when($"event_type" === "view", 1L).otherwise(0L)).as("has_view"),
+        max(when($"event_type" === "click", 1L).otherwise(0L)).as("has_click"),
+        max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("has_purchase"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum($"has_signup").as("n_signup"),
+        sum($"has_view").as("n_view"),
+        sum($"has_click").as("n_click"),
+        sum($"has_purchase").as("n_purchase"),
+        sum($"has_view" * $"has_purchase").as("n_view_and_purchase"))
+  }
+
+  val funnelSql: String =
+    """SELECT count(*) AS n_users,
+      | CAST(sum(has_signup) AS BIGINT) AS n_signup,
+      | CAST(sum(has_view) AS BIGINT) AS n_view,
+      | CAST(sum(has_click) AS BIGINT) AS n_click,
+      | CAST(sum(has_purchase) AS BIGINT) AS n_purchase,
+      | CAST(sum(has_view * has_purchase) AS BIGINT) AS n_view_and_purchase
+      |FROM (
+      | SELECT user_id,
+      |  max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS has_signup,
+      |  max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+      |  max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+      |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+      | FROM events GROUP BY user_id) u""".stripMargin
+
+  /** q_event_counts — plain per-type counts (the funnel's first view). */
+  def eventCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy($"event_type")
+  }
+
+  val eventCountsSql: String =
+    """SELECT event_type, count(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessionize" -> (sessionize _),
+    "q_session_stats" -> (sessionStats _),
+    "q_funnel" -> (funnel _),
+    "q_event_counts" -> (eventCounts _))
+
+  val oracles: Map[String, String] = Map(
+    "q_sessionize" -> sessionizeSql,
+    "q_session_stats" -> sessionStatsSql,
+    "q_funnel" -> funnelSql,
+    "q_event_counts" -> eventCountsSql)
+}

@@ -1,0 +1,169 @@
+package graft.dq
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Declarative data-quality checks — the reference's check language
+  * (ref /root/reference/operators/data_quality_operator.py:77-129) re-expressed
+  * as a sealed ADT compiled to DataFrame aggregates.
+  *
+  * Semantics preserved from the reference:
+  *  - run ALL checks (no short-circuit), failures accumulate in spec order
+  *    (data_quality_operator.py:75-122);
+  *  - unknown check types warn-and-skip, never fail (:116-117);
+  *  - `unique_column` fails when the column is absent (:104-105).
+  * Deliberately NOT preserved (SURVEY.md §7.4): the verdict is a value, not an
+  * exception, and NULLs violate uniqueness iff a NULL group has count > 1
+  * (GROUP BY keeps one NULL group — pinned, documented, oracle-matched).
+  *
+  * Scale notes: `required_columns` is pure schema metadata (zero scan);
+  * `min_row_count` and `unique_column` each compile to one aggregate over a
+  * pruned scan — on 100 TB these are a count-star (metadata-assisted for
+  * parquet) and one shuffle on the checked column.
+  */
+sealed trait Check
+final case class MinRowCount(threshold: Long) extends Check
+final case class RequiredColumns(columns: Seq[String]) extends Check
+final case class UniqueColumn(column: String) extends Check
+/** Unrecognized check_type — retained so the skip semantics are explicit. */
+final case class UnknownCheck(checkType: String) extends Check
+
+final case class CheckResult(checkName: String, passed: Boolean, detail: String)
+
+object DataQuality {
+
+  /** Compile one check against a DataFrame into a (passed, detail) pair.
+    * Aggregations execute distributed; only the scalar verdict is collected.
+    */
+  def evaluate(df: DataFrame, check: Check): Option[CheckResult] = check match {
+    case MinRowCount(threshold) =>
+      val n = df.count()
+      Some(CheckResult("min_row_count", n >= threshold,
+        s"observed=$n threshold=$threshold"))
+    case RequiredColumns(columns) =>
+      val missing = columns.filterNot(df.columns.toSet)
+      Some(CheckResult("required_columns", missing.isEmpty,
+        if (missing.isEmpty) "all present" else s"missing=${missing.mkString(",")}"))
+    case UniqueColumn(column) =>
+      if (!df.columns.contains(column))
+        Some(CheckResult("unique_column", passed = false, s"column $column absent"))
+      else {
+        val dups = df.groupBy(col(column)).count()
+          .filter(col("count") > 1).count()
+        Some(CheckResult("unique_column", dups == 0, s"dup_keys=$dups"))
+      }
+    case UnknownCheck(t) =>
+      // Reference behavior: warn + skip, never fail (data_quality_operator.py:116-117).
+      System.err.println(s"[dq] unknown check type '$t' — skipped")
+      None
+  }
+
+  /** Run all checks; failures accumulate in spec order, nothing short-circuits. */
+  def runAll(df: DataFrame, checks: Seq[Check]): Seq[CheckResult] =
+    checks.flatMap(evaluate(df, _))
+
+  /** Overall verdict — a value, not an exception (SURVEY.md §7.4 decision 6). */
+  def verdict(results: Seq[CheckResult]): Boolean = results.forall(_.passed)
+
+  // ---- Declared oracle-checkable queries ---------------------------------
+  // Each compiles the check AS a DataFrame (fully distributed, single-row or
+  // small result) so the driver's DuckDB hash-compare can gate it.
+
+  /** dq_min_row_count — COUNT(*) >= 10 over events. */
+  def minRowCountQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .agg(count(lit(1)).as("observed"))
+      .select(lit("min_row_count").as("check_name"),
+        ($"observed" >= 10L).as("passed"), $"observed")
+  }
+
+  val minRowCountSql: String =
+    "SELECT 'min_row_count' AS check_name, count(*) >= 10 AS passed, count(*) AS observed FROM events"
+
+  /** Required-column set used by the declared queries (one name deliberately
+    * absent, mirroring the 11-column spec of
+    * /root/reference/configs/sources/marketing_api_campaigns.yaml:32).
+    */
+  val RequiredEventColumns: Seq[String] =
+    Seq("event_id", "event_type", "missing_col", "props", "ts", "user_id", "value")
+
+  /** dq_required_columns — missing column names (schema metadata, zero scan). */
+  def requiredColumnsQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val present = Tables.events(spark, dir).columns.toSet
+    val missing = RequiredEventColumns.filterNot(present).sorted
+    spark.createDataset(missing).toDF("missing_column").orderBy($"missing_column")
+  }
+
+  val requiredColumnsSql: String =
+    """SELECT column_name AS missing_column
+      |FROM (VALUES ('event_id'),('event_type'),('missing_col'),('props'),('ts'),('user_id'),('value')) req(column_name)
+      |EXCEPT
+      |SELECT column_name FROM (DESCRIBE SELECT * FROM events)
+      |ORDER BY missing_column""".stripMargin
+
+  /** dq_unique_column — duplicate-key groups on orders.o_orderkey. */
+  def uniqueColumnQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderkey").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" > 1)
+      .agg(count(lit(1)).as("dup_keys"))
+      .select(lit("unique_column").as("check_name"),
+        ($"dup_keys" === 0L).as("passed"), $"dup_keys")
+  }
+
+  val uniqueColumnSql: String =
+    """SELECT 'unique_column' AS check_name, count(*) = 0 AS passed, count(*) AS dup_keys
+      |FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1) d""".stripMargin
+
+  /** dq_verdict — all three checks folded to per-check rows + overall verdict,
+    * the `Dataset[CheckResult] → Verdict` shape (reference O8, made a value).
+    */
+  def verdictQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val presentOk = Seq("event_id", "event_type", "props", "ts", "user_id", "value")
+      .forall(Tables.events(spark, dir).columns.toSet)
+    val p1 = Tables.events(spark, dir)
+      .agg((count(lit(1)) >= 10L).as("p1"))
+    val p3 = Tables.orders(spark, dir)
+      .groupBy($"o_orderkey").agg(count(lit(1)).as("cnt")).filter($"cnt" > 1)
+      .agg((count(lit(1)) === 0L).as("p3"))
+    p1.crossJoin(p3)
+      .withColumn("p2", lit(presentOk))
+      .select(explode(array(
+        struct(lit("min_row_count").as("check_name"), $"p1".as("passed")),
+        struct(lit("required_columns").as("check_name"), $"p2".as("passed")),
+        struct(lit("unique_column").as("check_name"), $"p3".as("passed")),
+        struct(lit("verdict").as("check_name"), ($"p1" && $"p2" && $"p3").as("passed"))
+      )).as("r"))
+      .select($"r.check_name".as("check_name"), $"r.passed".as("passed"))
+      .orderBy($"check_name")
+  }
+
+  val verdictSql: String =
+    """WITH p AS (
+      | SELECT (SELECT count(*) >= 10 FROM events) AS p1,
+      |        TRUE AS p2,
+      |        (SELECT count(*) = 0 FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1) d) AS p3)
+      |SELECT 'min_row_count' AS check_name, p1 AS passed FROM p
+      |UNION ALL SELECT 'required_columns', p2 FROM p
+      |UNION ALL SELECT 'unique_column', p3 FROM p
+      |UNION ALL SELECT 'verdict', p1 AND p2 AND p3 FROM p
+      |ORDER BY check_name""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_min_row_count" -> (minRowCountQuery _),
+    "dq_required_columns" -> (requiredColumnsQuery _),
+    "dq_unique_column" -> (uniqueColumnQuery _),
+    "dq_verdict" -> (verdictQuery _))
+
+  val oracles: Map[String, String] = Map(
+    "dq_min_row_count" -> minRowCountSql,
+    "dq_required_columns" -> requiredColumnsSql,
+    "dq_unique_column" -> uniqueColumnSql,
+    "dq_verdict" -> verdictSql)
+}

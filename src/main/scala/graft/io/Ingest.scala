@@ -1,0 +1,73 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ingestion operators — the engine-side analogues of the reference's
+  * HTTP→S3 raw-zone path (ref /root/reference/operators/api_to_s3.py:50-77)
+  * and JSON payload parsing (ref /root/reference/operators/data_quality_operator.py:69).
+  *
+  * The impure HTTP fetch stays out of declared queries (SURVEY.md §7.4-7);
+  * `fromJsonPayload` is the seam: any payload string (fetched, fixture, or
+  * Kafka value) becomes a DataFrame through the same inferred-schema contract
+  * the reference relies on.
+  */
+object Ingest {
+
+  /** Parse a raw JSON payload (array-of-records or NDJSON) into a DataFrame,
+    * schema inferred — the reference's `pd.read_json` contract.
+    */
+  def fromJsonPayload(spark: SparkSession, payload: String): DataFrame = {
+    import spark.implicits._
+    spark.read.json(spark.createDataset(Seq(payload)))
+  }
+
+  /** Write a raw-zone date partition, overwrite-on-conflict — the reference's
+    * `load_string(replace=True)` + keyed-path semantics (api_to_s3.py:68-73),
+    * expressed as a partitioned parquet overwrite so partition pruning works
+    * downstream.
+    */
+  def writeRawZone(df: DataFrame, root: String, ds: String): Unit =
+    df.withColumn("ds", lit(ds))
+      .write.mode("overwrite")
+      .partitionBy("ds")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(root)
+
+  /** ingest_json_raw — JSON scalar extraction from the events `props` payload:
+    * the declared, oracle-checkable face of the JSON parse path.
+    */
+  def ingestJsonRaw(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_id",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .orderBy($"event_id")
+  }
+
+  val ingestJsonRawSql: String =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** csv_replay_limit — to_json envelope over the first n rows in key order:
+    * the deterministic batch analogue of the reference's CSV→Kafka replay
+    * (kafka_stream.pyc @ 68-74: first n rows, JSON-serialized).
+    * No oracle (JSON serialization formats differ across engines); the
+    * row-count gate plus the ScalaTest golden cover it.
+    */
+  def csvReplayLimit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .orderBy($"event_id")
+      .limit(100)
+      .select($"event_id", to_json(struct(col("*"))).as("value"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ingest_json_raw" -> (ingestJsonRaw _),
+    "csv_replay_limit" -> (csvReplayLimit _))
+
+  val oracles: Map[String, String] = Map(
+    "ingest_json_raw" -> ingestJsonRawSql)
+}

@@ -1,0 +1,131 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Similarity search over the `embeddings` table (embedding: array<float>,
+  * dim 64). Brute-force cosine top-k as the exact baseline, and an
+  * LSH-bucketed (random-hyperplane signbit) variant as the scale path.
+  *
+  * All vector math uses higher-order functions (`zip_with` + `aggregate`) over
+  * double-cast elements — codegen-friendly, no UDF, deterministic left-to-right
+  * fold. Cosine values are rounded to 6 decimals before ranking so the oracle's
+  * (possibly differently-ordered) float fold agrees bit-for-bit; ties break on
+  * neighbor id.
+  *
+  * Scale notes: brute-force is O(Q·N) — fine when Q is small (the declared
+  * query uses 5 probe vectors) because the N-side streams through a map-only
+  * plan with the Q-side broadcast. For large Q·N, `bucketedTopK` blocks by
+  * hyperplane-sign buckets so candidate generation is an equi-join on the
+  * bucket key, the standard LSH argument (same shape as Dedup's band join).
+  */
+object Similarity {
+
+  /** Sum of element products of two double arrays (deterministic fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column =
+    aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(norm2(a) * norm2(b))
+
+  private def asDouble(emb: Column): Column = transform(emb, x => x.cast("double"))
+
+  /** x_sim_topk — exact brute-force cosine top-10 for probe vectors vec_id<5. */
+  def simTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+    val probes = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val sims = broadcast(probes).crossJoin(
+        e.select($"vec_id".as("neighbor_id"), $"v".as("nv")))
+      .filter($"query_id" =!= $"neighbor_id")
+      // + 0.0 canonicalizes -0.0 so both engines hash identically
+      .withColumn("sim", round(cosine($"qv", $"nv"), 6) + lit(0.0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id".asc)
+    sims.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 10)
+      .select($"query_id", $"neighbor_id", $"rnk", $"sim")
+      .orderBy($"query_id", $"rnk")
+  }
+
+  val simTopKSql: String =
+    """WITH e AS (
+      | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      | FROM embeddings),
+      |pairs AS (
+      | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  round(
+      |   list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2])) /
+      |   sqrt(list_sum(list_transform(q.v, x -> x * x)) * list_sum(list_transform(c.v, x -> x * x))),
+      |   6) + 0.0 AS sim
+      | FROM e q, e c
+      | WHERE q.vec_id < 5 AND q.vec_id != c.vec_id),
+      |ranked AS (
+      | SELECT query_id, neighbor_id, sim,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rnk
+      | FROM pairs)
+      |SELECT query_id, neighbor_id, rnk, sim
+      |FROM ranked WHERE rnk <= 10
+      |ORDER BY query_id, rnk""".stripMargin
+
+  /** Random-hyperplane signbit bucket key: first `bits` dims' sign pattern.
+    * (With driver-fixed "hyperplanes" = coordinate axes, which is deterministic
+    * and oracle-expressible; a production deployment would use seeded Gaussian
+    * hyperplanes via the same expression shape.)
+    */
+  def signBucket(v: Column, bits: Int): Column =
+    concat((0 until bits).map(i =>
+      when(element_at(v, i + 1) >= 0.0, lit("1")).otherwise(lit("0"))): _*)
+
+  /** x_sim_bucketed — LSH-bucketed approximate neighbor candidates: pairs in
+    * the same signbit bucket with cosine ≥ 0.2. Equi-join on the bucket key.
+    */
+  def simBucketed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .withColumn("bucket", signBucket($"v", 8))
+    val l = e.select($"bucket", $"vec_id".as("vec_a"), $"v".as("va"))
+    val r = e.select($"bucket", $"vec_id".as("vec_b"), $"v".as("vb"))
+    l.join(r, Seq("bucket"))
+      .filter($"vec_a" < $"vec_b")
+      .withColumn("sim", round(cosine($"va", $"vb"), 6) + lit(0.0))
+      .filter($"sim" >= 0.2)
+      .select($"vec_a", $"vec_b", $"sim")
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  val simBucketedSql: String =
+    """WITH e AS (
+      | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      | FROM embeddings),
+      |b AS (
+      | SELECT vec_id, v,
+      |  list_aggregate(list_transform(v[1:8], x -> CASE WHEN x >= 0.0 THEN '1' ELSE '0' END), 'string_agg', '') AS bucket
+      | FROM e),
+      |pairs AS (
+      | SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+      |  round(
+      |   list_sum(list_transform(list_zip(l.v, r.v), p -> p[1] * p[2])) /
+      |   sqrt(list_sum(list_transform(l.v, x -> x * x)) * list_sum(list_transform(r.v, x -> x * x))),
+      |   6) + 0.0 AS sim
+      | FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+      |SELECT vec_a, vec_b, sim
+      |FROM pairs WHERE sim >= 0.2
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_sim_topk" -> (simTopK _),
+    "x_sim_bucketed" -> (simBucketed _))
+
+  val oracles: Map[String, String] = Map(
+    "x_sim_topk" -> simTopKSql,
+    "x_sim_bucketed" -> simBucketedSql)
+}

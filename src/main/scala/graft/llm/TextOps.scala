@@ -1,0 +1,121 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Text-analysis operators for training-data pipelines over `documents`:
+  * token counting, per-doc stats, per-language rollups, quality scoring,
+  * document fingerprinting. All built-ins / higher-order functions —
+  * everything stays inside whole-stage codegen; no UDFs.
+  *
+  * Scale notes: per-doc queries are embarrassingly parallel map-only plans
+  * (no shuffle); the per-lang rollup is one partial+final hash aggregate on a
+  * 5-value key. At 100 TB the scan is the cost; the parquet reader prunes to
+  * (doc_id, text, lang) only.
+  */
+object TextOps {
+
+  private def tokens(c: Column): Column = split(c, " ")
+
+  /** x_text_stats — per-doc token/char counts. */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(
+        $"doc_id", $"lang",
+        size(tokens($"text")).cast("long").as("n_tokens"),
+        length($"text").cast("long").as("n_chars_obs"),
+        size(array_distinct(tokens($"text"))).cast("long").as("n_distinct_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  val textStatsSql: String =
+    """SELECT doc_id, lang,
+      | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      | CAST(length(text) AS BIGINT) AS n_chars_obs,
+      | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** x_lang_stats — per-language rollup (doc counts, token totals, avg chars). */
+  def langStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"lang", $"n_chars", size(tokens($"text")).cast("long").as("n_tokens"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("total_tokens"),
+        sum($"n_chars").as("total_chars"),
+        (sum($"n_chars").cast("double") / count(lit(1))).as("avg_chars"))
+      .orderBy($"lang")
+  }
+
+  val langStatsSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      | CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  /** Fixed stopword list for quality scoring (deterministic, engine-neutral). */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in")
+
+  /** x_quality_score — length + stopword-ratio quality signals per doc. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks, t => t.isin(Stopwords: _*))).cast("long")
+    Tables.documents(spark, dir)
+      .select(
+        $"doc_id",
+        nTok.as("n_tokens"),
+        nStop.as("n_stopwords"),
+        (nStop.cast("double") / nTok).as("stopword_ratio"),
+        (length($"text").cast("double") / nTok).as("avg_token_len"))
+      .orderBy($"doc_id")
+  }
+
+  val qualityScoreSql: String =
+    """SELECT doc_id,
+      | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      | CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','in'))) AS BIGINT) AS n_stopwords,
+      | CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','in'))) AS DOUBLE)
+      |   / len(string_split(text, ' ')) AS stopword_ratio,
+      | CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** x_fingerprint — md5 fingerprint of whitespace-normalized lowercase text
+    * (exact-dedup key; identical byte-for-byte in any engine).
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        md5(regexp_replace(lower($"text"), "\\s+", " ")).as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  val fingerprintSql: String =
+    """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_text_stats" -> (textStats _),
+    "x_lang_stats" -> (langStats _),
+    "x_quality_score" -> (qualityScore _),
+    "x_fingerprint" -> (fingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "x_text_stats" -> textStatsSql,
+    "x_lang_stats" -> langStatsSql,
+    "x_quality_score" -> qualityScoreSql,
+    "x_fingerprint" -> fingerprintSql)
+}
