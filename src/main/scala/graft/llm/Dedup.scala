@@ -39,36 +39,59 @@ object Dedup {
   val NumHashes = 8   // minhash signature length
   val NumBands = 4    // LSH bands (2 signatures per band)
 
-  /** Word 3-gram shingles of a space-tokenized text column. */
-  def shingles(text: Column): Column = {
-    val toks = split(text, " ")
+  /** Word 3-gram shingles over an ALREADY-MATERIALIZED token-array column.
+    *
+    * The lambda must reference a bound column, not an inline `split(...)`:
+    * an inline split would be re-evaluated by every `element_at` call
+    * (3 regex splits per shingle — measured 5s of 5.5s of the sf0.1 pipeline
+    * before the fix). Callers `.withColumn("toks", split(text, " "))` first;
+    * Catalyst keeps the projection un-collapsed because the non-cheap split
+    * is referenced more than once.
+    */
+  def shinglesFromToks(toks: Column): Column =
     transform(sequence(lit(0), size(toks) - 3),
       i => concat_ws(" ",
         element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))
-  }
 
-  /** One minhash component: min over shingles of md5("<h>:" + shingle).
-    * Lexicographic min over fixed-width hex == numeric min of the hash.
+  // Hash design: two md5s per shingle concatenated (64 hex chars), sliced into
+  // eight 8-hex (32-bit) components — two digests buy eight independent
+  // hashes, and lexicographic min over fixed-width hex == numeric min.
+  // (At 100 TB you would swap md5 for xxhash64; md5 is kept because the
+  // DuckDB oracle computes byte-identical digests.)
+
+  /** Per-doc minhash signatures (docs with ≥3 tokens; all fixture docs are).
+    *
+    * Shape: explode shingles → codegen'd md5 pair per shingle → hash
+    * aggregate of 8 per-slice `min`s on doc_id. Higher-order-function folds
+    * are interpreted per element; this explode+groupBy stays fully inside
+    * whole-stage codegen with map-side partial mins, and is exactly the
+    * distributed shape that scales (shuffle carries 8×8-char mins per doc,
+    * not the shingle set).
     */
-  def minhash(sh: Column, h: Int): Column =
-    array_min(transform(sh, s => md5(concat(lit(s"$h:"), s))))
-
-  /** Per-doc minhash signatures (docs with ≥3 tokens; all fixture docs are). */
   def signatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sigCols = (0 until NumHashes).map(h => minhash($"sh", h).as(s"sig$h"))
+    // Numeric (long) slices, not hex strings: min(long) hash-aggregates with
+    // a primitive Tungsten buffer (min(string) would fall back to
+    // SortAggregate — observed via .explain and fixed).
+    val sigAggs = (0 until NumHashes)
+      .map(j => min(conv(substring($"h", 1 + 8 * j, 8), 16, 10).cast("long")).as(s"sig$j"))
     Tables.documents(spark, dir)
-      .select($"doc_id", shingles($"text").as("sh"), split($"text", " ").as("toks"))
+      .withColumn("toks", split($"text", " "))
       .filter(size($"toks") >= 3)
-      .select(($"doc_id" +: sigCols): _*)
+      .select($"doc_id", explode(shinglesFromToks($"toks")).as("s"))
+      .select($"doc_id",
+        concat(md5(concat(lit("a:"), $"s")), md5(concat(lit("b:"), $"s"))).as("h"))
+      .groupBy($"doc_id")
+      .agg(sigAggs.head, sigAggs.tail: _*)
   }
 
-  /** LSH band rows: (doc_id, band, band_hash), band_hash = md5(sig_{2b}||sig_{2b+1}). */
+  /** LSH band rows: (doc_id, band, band_hash), band_hash = md5(sig_{2b}_sig_{2b+1}). */
   def bands(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bandStructs = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
-        md5(concat(col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))).as("bh"))
+        md5(concat(col(s"sig${2 * b}").cast("string"), lit("_"),
+          col(s"sig${2 * b + 1}").cast("string"))).as("bh"))
     }
     signatures(spark, dir)
       .select($"doc_id", explode(array(bandStructs: _*)).as("x"))
@@ -76,33 +99,50 @@ object Dedup {
   }
 
   /** x_dedup_minhash — candidate near-duplicate pairs: docs sharing any LSH
-    * band bucket. Equi-join on (band, band_hash); never quadratic.
+    * band bucket.
+    *
+    * Pairs are generated bucket-locally (groupBy band key → sorted doc list →
+    * in-bucket combinations) rather than via a bands⋈bands self-join: the
+    * self-join would evaluate the whole signature pipeline twice (broadcast
+    * kills exchange reuse — observed via .explain), while this shape computes
+    * signatures once and its cost is bounded by bucket sizes, the standard
+    * LSH scale-out argument.
     */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val b = bands(spark, dir)
-    b.as("l").join(b.as("r"), Seq("band", "bh"))
-      .filter(col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+    val buckets = bands(spark, dir)
+      .groupBy($"band", $"bh")
+      .agg(sort_array(collect_list($"doc_id")).as("ids"))
+      .filter(size($"ids") >= 2)
+    val pairStructs = flatten(transform($"ids", (a, i) =>
+      transform(slice($"ids", i + 2, size($"ids") - (i + 1)),
+        b => struct(a.as("doc_a"), b.as("doc_b")))))
+    buckets.select(explode(pairStructs).as("p"))
+      .select($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"))
       .distinct()
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Oracle-side mirror of `signatures`: slice the same 64-hex digest pair,
+    * parsed to BIGINT exactly like Spark's conv(hex,16,10).
+    */
+  private def sigDefsSql: String = (0 until NumHashes)
+    .map(j => s"list_min(list_transform(h, x -> CAST('0x' || substr(x, ${1 + 8 * j}, 8) AS BIGINT))) AS sig$j")
+    .mkString(",\n  ")
+
   val dedupMinhashSql: String = {
-    val sigDefs = (0 until NumHashes)
-      .map(h => s"list_min(list_transform(s, x -> md5('$h:' || x))) AS sig$h")
-      .mkString(",\n  ")
     val bandRows = (0 until NumBands).map { b =>
       val u = if (b == 0) "" else "UNION ALL "
-      s"${u}SELECT doc_id, $b AS band, md5(sig${2 * b} || sig${2 * b + 1}) AS bh FROM sigs"
+      s"${u}SELECT doc_id, $b AS band, md5(CAST(sig${2 * b} AS VARCHAR) || '_' || CAST(sig${2 * b + 1} AS VARCHAR)) AS bh FROM sigs"
     }.mkString("\n ")
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |sh AS (SELECT doc_id,
        |  list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS s
        |  FROM toks WHERE len(t) >= 3),
+       |hm AS (SELECT doc_id, list_transform(s, x -> md5('a:' || x) || md5('b:' || x)) AS h FROM sh),
        |sigs AS (SELECT doc_id,
-       |  $sigDefs
-       |  FROM sh),
+       |  $sigDefsSql
+       |  FROM hm),
        |bands AS (
        | $bandRows)
        |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
@@ -116,9 +156,16 @@ object Dedup {
     */
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-      .select($"doc_id", array_distinct(shingles($"text")).as("sh"))
     val pairs = dedupMinhash(spark, dir)
+    // Shingle sets are only materialized for candidate docs (semi-join
+    // first): at scale the candidate set is orders of magnitude smaller
+    // than the corpus.
+    val candidates = pairs
+      .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
+    val docs = Tables.documents(spark, dir)
+      .join(candidates, "doc_id", "left_semi")
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id", array_distinct(shinglesFromToks($"toks")).as("sh"))
     pairs
       .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
       .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
@@ -137,13 +184,14 @@ object Dedup {
        |shfull AS (SELECT doc_id,
        |  list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS s
        |  FROM toks WHERE len(t) >= 3),
+       |hm AS (SELECT doc_id, list_transform(s, x -> md5('a:' || x) || md5('b:' || x)) AS h FROM shfull),
        |sigs AS (SELECT doc_id,
-       |  ${(0 until NumHashes).map(h => s"list_min(list_transform(s, x -> md5('$h:' || x))) AS sig$h").mkString(",\n  ")}
-       |  FROM shfull),
+       |  $sigDefsSql
+       |  FROM hm),
        |bands AS (
        | ${(0 until NumBands).map { b =>
             val u = if (b == 0) "" else "UNION ALL "
-            s"${u}SELECT doc_id, $b AS band, md5(sig${2 * b} || sig${2 * b + 1}) AS bh FROM sigs"
+            s"${u}SELECT doc_id, $b AS band, md5(CAST(sig${2 * b} AS VARCHAR) || '_' || CAST(sig${2 * b + 1} AS VARCHAR)) AS bh FROM sigs"
           }.mkString("\n ")}),
        |pairs AS (
        | SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
