@@ -1,0 +1,77 @@
+package graft.analytics
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SessionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  /** user 1: events at 0,10,20 min (one session), then 60,65 (second session);
+    * user 2: single event.
+    */
+  private def events: DataFrame = Seq(
+    (1L, 1L, ts(0), "view", 1.0),
+    (2L, 1L, ts(10), "click", 2.0),
+    (3L, 1L, ts(20), "purchase", 3.0),
+    (4L, 1L, ts(60), "view", 4.0),
+    (5L, 1L, ts(65), "view", 5.0),
+    (6L, 2L, ts(5), "signup", 6.0)
+  ).toDF("event_id", "user_id", "ts", "event_type", "value")
+
+  private def sessionizeLocal(df: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("ts_us", unix_micros($"ts".cast("timestamp")))
+      .withColumn("prev_us", lag($"ts_us", 1).over(byUser))
+      .withColumn("new_sess",
+        when($"prev_us".isNull || ($"ts_us" - $"prev_us") > Sessions.GapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum($"new_sess").over(running))
+  }
+
+  test("gap > 30 min starts a new session; gaps <= 30 min do not") {
+    val got = sessionizeLocal(events)
+      .select($"event_id", $"session_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L, 6L -> 1L))
+  }
+
+  test("sessions partition each user's events; ids are 1..n per user") {
+    val sess = sessionizeLocal(events)
+    assert(sess.count() == events.count()) // no events lost or duplicated
+    val ids = sess.select($"user_id", $"session_id").distinct()
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq)
+    assert(ids(1L) == Seq(1L, 2L))
+    assert(ids(2L) == Seq(1L))
+  }
+
+  test("boundary: exactly 30-minute gap stays in the same session") {
+    val df = Seq(
+      (1L, 1L, ts(0), "view", 0.0),
+      (2L, 1L, ts(30), "view", 0.0),   // exactly the gap -> same session
+      (3L, 1L, ts(61), "view", 0.0)    // 31 min -> new session
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = sessionizeLocal(df)
+      .select($"event_id", $"session_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("funnel counts users, not events, per stage") {
+    val f = events.groupBy($"user_id")
+      .agg(
+        max(when($"event_type" === "view", 1L).otherwise(0L)).as("has_view"),
+        max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("has_purchase"))
+      .agg(count(lit(1)).as("n_users"),
+        sum($"has_view").as("n_view"),
+        sum($"has_view" * $"has_purchase").as("n_view_and_purchase"))
+      .as[(Long, Long, Long)].head()
+    assert(f == ((2L, 1L, 1L))) // 2 users; only user 1 viewed; user 1 converted
+  }
+}

@@ -1,0 +1,62 @@
+package graft.dq
+
+import graft.SparkSpec
+
+class DataQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def users = Seq(
+    (1L, "ada", "a@x.com"),
+    (2L, "bob", "b@x.com"),
+    (3L, "eve", "e@x.com")
+  ).toDF("id", "name", "email")
+
+  test("min_row_count passes at and above threshold, fails below") {
+    assert(DataQuality.evaluate(users, MinRowCount(3)).get.passed)
+    assert(!DataQuality.evaluate(users, MinRowCount(4)).get.passed)
+    assert(DataQuality.evaluate(users.limit(0), MinRowCount(0)).get.passed)
+  }
+
+  test("required_columns: set difference of expected vs present") {
+    assert(DataQuality.evaluate(users, RequiredColumns(Seq("id", "name"))).get.passed)
+    val r = DataQuality.evaluate(users, RequiredColumns(Seq("id", "phone", "zip"))).get
+    assert(!r.passed)
+    assert(r.detail == "missing=phone,zip")
+  }
+
+  test("unique_column passes on distinct, fails on duplicates") {
+    assert(DataQuality.evaluate(users, UniqueColumn("id")).get.passed)
+    val dup = users.union(users.limit(1))
+    assert(!DataQuality.evaluate(dup, UniqueColumn("id")).get.passed)
+  }
+
+  test("unique_column fails when the column is absent (reference :104-105)") {
+    val r = DataQuality.evaluate(users, UniqueColumn("nope")).get
+    assert(!r.passed)
+    assert(r.detail.contains("absent"))
+  }
+
+  test("unique_column NULL semantics: repeated NULLs violate uniqueness (SURVEY §7.4)") {
+    val withNulls = Seq(Some(1L), None, None).toDF("id")
+    assert(!DataQuality.evaluate(withNulls, UniqueColumn("id")).get.passed)
+    val oneNull = Seq(Some(1L), None).toDF("id")
+    assert(DataQuality.evaluate(oneNull, UniqueColumn("id")).get.passed)
+  }
+
+  test("unknown check type warns and skips, never fails (reference :116-117)") {
+    assert(DataQuality.evaluate(users, UnknownCheck("volume_anomaly")).isEmpty)
+    val results = DataQuality.runAll(users,
+      Seq(MinRowCount(1), UnknownCheck("x"), UniqueColumn("id")))
+    assert(results.map(_.checkName) == Seq("min_row_count", "unique_column"))
+    assert(DataQuality.verdict(results))
+  }
+
+  test("failures accumulate in spec order; verdict is a value, not a throw") {
+    val results = DataQuality.runAll(users,
+      Seq(MinRowCount(99), RequiredColumns(Seq("zip")), UniqueColumn("id")))
+    assert(results.count(!_.passed) == 2)
+    assert(results.map(_.checkName) ==
+      Seq("min_row_count", "required_columns", "unique_column"))
+    assert(!DataQuality.verdict(results))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shinglesFromToks builds word 3-grams in order") {
+    val got = Seq("a b c d e").toDF("text")
+      .withColumn("toks", split($"text", " "))
+      .select(Dedup.shinglesFromToks($"toks").as("sh"))
+      .as[Seq[String]].head()
+    assert(got == Seq("a b c", "b c d", "c d e"))
+  }
+
+  test("shinglesFromToks on exactly 3 tokens yields one shingle") {
+    val got = Seq("a b c").toDF("text")
+      .withColumn("toks", split($"text", " "))
+      .select(Dedup.shinglesFromToks($"toks").as("sh"))
+      .as[Seq[String]].head()
+    assert(got == Seq("a b c"))
+  }
+
+  private def docsDF(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  private def writeDocs(rows: (Long, String)*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("dedup").toString
+    docsDF(rows: _*).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("identical docs always collide in every band; disjoint docs in none") {
+    val dir = writeDocs(
+      1L -> "spark shuffles data across the cluster during wide operations",
+      2L -> "spark shuffles data across the cluster during wide operations",
+      3L -> "completely different words having nothing in common whatsoever here")
+    val pairs = Dedup.dedupMinhash(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("near-duplicates (one word changed) share at least one band") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok37", "changed")
+    val dir = writeDocs(1L -> base, 2L -> nearDup)
+    val pairs = Dedup.dedupMinhash(spark, dir).as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("jaccard is 1.0 for identical docs and in (0,1) for near-dups") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok37", "changed")
+    val dir = writeDocs(1L -> base, 2L -> nearDup, 3L -> base)
+    val j = Dedup.dedupJaccard(spark, dir)
+      .select($"doc_a", $"doc_b", $"jaccard").as[(Long, Long, Double)]
+      .collect().map { case (a, b, v) => (a, b) -> v }.toMap
+    assert(j((1L, 3L)) == 1.0)
+    j.get((1L, 2L)).foreach { v => assert(v > 0.8 && v < 1.0) }
+  }
+
+  test("dedupExact keeps the min doc_id per identical text") {
+    val dir = writeDocs(5L -> "same text here", 2L -> "same text here", 9L -> "other text entirely")
+    val kept = Dedup.dedupExact(spark, dir)
+      .select($"doc_id", $"n_copies").as[(Long, Long)].collect().toSet
+    assert(kept == Set((2L, 2L), (9L, 1L)))
+  }
+
+  test("signatures are deterministic across runs") {
+    val dir = writeDocs(1L -> "alpha beta gamma delta epsilon zeta")
+    val s1 = Dedup.signatures(spark, dir).collect().toSeq
+    val s2 = Dedup.signatures(spark, dir).collect().toSeq
+    assert(s1 == s2)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Double])*) = rows.toDF("vec_id", "v")
+
+  test("cosine: orthogonal = 0, identical = 1, opposite = -1") {
+    val df = vecs(
+      1L -> Seq(1.0, 0.0),
+      2L -> Seq(0.0, 1.0),
+      3L -> Seq(1.0, 0.0),
+      4L -> Seq(-2.0, 0.0))
+    val c = df.as("a").crossJoin(df.as("b"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        Similarity.cosine(col("a.v"), col("b.v")).as("cos"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, v) => (a, b) -> v }.toMap
+    assert(math.abs(c((1L, 2L))) < 1e-12)
+    assert(math.abs(c((1L, 3L)) - 1.0) < 1e-12)
+    assert(math.abs(c((1L, 4L)) + 1.0) < 1e-12)
+  }
+
+  test("dot and norm2 fold exactly") {
+    val df = vecs(1L -> Seq(1.0, 2.0, 3.0))
+    val (d, n) = df.select(
+      Similarity.dot($"v", $"v").as("d"),
+      Similarity.norm2($"v").as("n")).as[(Double, Double)].head()
+    assert(d == 14.0 && n == 14.0)
+  }
+
+  test("signBucket maps sign pattern of leading dims") {
+    val df = vecs(1L -> Seq(1.0, -1.0, 0.0, 2.0))
+    val b = df.select(Similarity.signBucket($"v", 4).as("b")).as[String].head()
+    assert(b == "1011") // 0.0 counts as non-negative
+  }
+
+  test("simTopK on a real fixture dir ranks self-similar vectors first") {
+    val dir = java.nio.file.Files.createTempDirectory("sim").toString
+    // 3 probe-eligible vectors + clones: nearest neighbor of 0 must be 10 (its clone)
+    Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(0.0f, 1.0f, 0.0f), 0),
+      (2L, Seq(0.7f, 0.7f, 0.0f), 0),
+      (10L, Seq(2.0f, 0.0f, 0.0f), 0),
+      (11L, Seq(0.0f, 3.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val top = Similarity.simTopK(spark, dir)
+      .filter($"query_id" === 0L && $"rnk" === 1)
+      .select($"neighbor_id").as[Long].head()
+    assert(top == 10L)
+  }
+}
