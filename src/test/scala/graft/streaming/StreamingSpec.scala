@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.types.StructType
+
+import graft.SparkSpec
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType.fromDDL(
+    "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+
+  private def ev(id: Long, t: String, user: Long, etype: String, v: Double): String =
+    s"""{"event_id":$id,"ts":"$t","user_id":$user,"event_type":"$etype","value":$v}"""
+
+  test("session_window groups events within gap; watermark finalizes sessions") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[String]
+    val stats = Streaming.sessionStats(
+      Streaming.parseJson(input.toDF(), schema), gap = "30 minutes", watermark = "10 minutes")
+    val q = stats.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // one session for user 1 (10:00, 10:10), one event user 2
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+        ev(2, "2024-01-01 10:10:00", 1, "click", 2.0),
+        ev(3, "2024-01-01 10:05:00", 2, "view", 5.0))
+      q.processAllAvailable()
+      // advance the watermark far past both sessions' close
+      input.addData(ev(9, "2024-01-01 13:00:00", 9, "view", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("sess")
+        .select($"user_id", $"n_events", $"session_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(out.contains((1L, 2L, 3.0))) // merged session, exact decimal sum
+      assert(out.contains((2L, 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("late event beyond the watermark is dropped from session state") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[String]
+    val stats = Streaming.sessionStats(
+      Streaming.parseJson(input.toDF(), schema), gap = "30 minutes", watermark = "10 minutes")
+    val q = stats.writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:00", 1, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(ev(2, "2024-01-01 13:00:00", 2, "view", 1.0)) // watermark -> 12:50
+      q.processAllAvailable()
+      input.addData(ev(3, "2024-01-01 10:05:00", 1, "click", 2.0)) // too late
+      q.processAllAvailable()
+      input.addData(ev(4, "2024-01-01 16:00:00", 3, "view", 1.0)) // close user 2's session
+      q.processAllAvailable()
+      val user1 = spark.table("sess_late").filter($"user_id" === 1L)
+        .select($"n_events").as[Long].collect().toSeq
+      assert(user1 == Seq(1L)) // the late click never joined the session
+    } finally q.stop()
+  }
+
+  test("tumbling window counts per event type") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[String]
+    val counts = Streaming.tumblingCounts(
+      Streaming.parseJson(input.toDF(), schema), window_ = "1 hour", watermark = "5 minutes")
+    val q = counts.writeStream.format("memory").queryName("tumble")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:05:00", 1, "view", 0.0),
+        ev(2, "2024-01-01 10:55:00", 2, "view", 0.0),
+        ev(3, "2024-01-01 10:30:00", 3, "click", 0.0))
+      q.processAllAvailable()
+      input.addData(ev(9, "2024-01-01 12:00:00", 9, "view", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("tumble")
+        .filter($"window_start" === "2024-01-01 10:00:00")
+        .select($"event_type", $"n_events").as[(String, Long)].collect().toSet
+      assert(out == Set(("view", 2L), ("click", 1L)))
+    } finally q.stop()
+  }
+}
