@@ -2,10 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Relational, Sessions}
+import graft.analytics.{AsOf, Relational, Sessions}
 import graft.dq.DataQuality
 import graft.io.Ingest
-import graft.llm.{Dedup, Similarity, TextOps}
+import graft.llm.{Dedup, LangId, SimHash, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,10 +24,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++
       Sessions.queries ++
+      AsOf.queries ++
       DataQuality.queries ++
       Ingest.queries ++
       TextOps.queries ++
       Dedup.queries ++
+      SimHash.queries ++
+      LangId.queries ++
       Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -36,9 +39,12 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++
       Sessions.oracles ++
+      AsOf.oracles ++
       DataQuality.oracles ++
       Ingest.oracles ++
       TextOps.oracles ++
       Dedup.oracles ++
+      SimHash.oracles ++
+      LangId.oracles ++
       Similarity.oracles
 }

@@ -1,0 +1,86 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.io.Tables
+
+/** As-of join — an operator Spark lacks natively (SURVEY.md §2.2 joins row:
+  * "range/as-of joins expressible as non-equi conditions (watch performance)").
+  *
+  * A naive non-equi range join explodes to O(|L|·|R|) per key before picking
+  * the max; this implementation is the scalable union+window form:
+  * tag both sides, union, ONE shuffle on the key, sort by (ts, tag), and a
+  * running `last(payload, ignoreNulls)` carries the most recent right row
+  * forward to each left row. Cost: one exchange + per-partition sort —
+  * exactly the shape that survives 100 TB (no join amplification, AQE skew
+  * handling applies to the single key shuffle).
+  */
+object AsOf {
+
+  /** For each left row, attach the most recent right payload with
+    * `right.tsCol <= left.tsCol` on the same key (<= semantics: a right row
+    * at the exact left timestamp matches). Result: all left columns plus
+    * right payload columns renamed `asof_<name>` (null when no match).
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsCol: String,
+      payload: Seq[String]): DataFrame = {
+    val payloadStruct: StructType = right.select(payload.map(col): _*).schema
+    val leftStruct: StructType = StructType(left.schema.fields)
+
+    val taggedRight = right.select(
+      col(key).as("__k"), col(tsCol).as("__ts"), lit(0).as("__tag"),
+      lit(null).cast(leftStruct).as("__l"),
+      struct(payload.map(col): _*).as("__r"))
+    val taggedLeft = left.select(
+      col(key).as("__k"), col(tsCol).as("__ts"), lit(1).as("__tag"),
+      struct(left.columns.map(col): _*).as("__l"),
+      lit(null).cast(payloadStruct).as("__r"))
+
+    // right(tag 0) sorts before left(tag 1) at equal ts => <= match semantics
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = taggedRight.union(taggedLeft)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+
+    val leftCols = left.columns.map(c => col(s"__l.$c").as(c))
+    val asofCols = payload.map(c => col(s"__asof.$c").as(s"asof_$c"))
+    matched.select(leftCols ++ asofCols: _*)
+  }
+
+  /** q_asof_join — for every purchase event, the user's most recent view at
+    * or before the purchase time (the canonical attribution query).
+    */
+  def viewBeforePurchase(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+    val views = e.filter($"event_type" === "view").select($"user_id", $"ts")
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    asofJoin(purchases, views, key = "user_id", tsCol = "ts", payload = Seq("ts"))
+      .select($"event_id".as("purchase_id"), $"user_id", $"asof_ts".as("last_view_ts"))
+      .orderBy($"purchase_id")
+  }
+
+  val viewBeforePurchaseSql: String =
+    """WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+      |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id AS purchase_id, p.user_id, v.ts AS last_view_ts
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+      |ORDER BY purchase_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> (viewBeforePurchase _))
+
+  val oracles: Map[String, String] = Map(
+    "q_asof_join" -> viewBeforePurchaseSql)
+}

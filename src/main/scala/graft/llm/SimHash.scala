@@ -1,0 +1,121 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** SimHash near-duplicate detection over `documents` — the bit-vote companion
+  * to MinHash (Charikar's similarity-preserving fingerprint): each token
+  * hashes to 60 bits; per document, bit j of the fingerprint is 1 iff more
+  * than half the tokens have bit j set. Near-duplicate candidates are pairs
+  * within a small Hamming distance, blocked by exact-match on 15-bit bands
+  * (hamming ≤ 3 ⟹ at least one of the 4 bands is identical).
+  *
+  * All arithmetic is integer (shift/and/popcount over a 60-bit value parsed
+  * from md5 hex) so the DuckDB oracle reproduces fingerprints bit-for-bit.
+  * Shape: explode tokens → one groupBy(doc) with 60 small int sums — a
+  * single shuffle carrying 60 ints per doc; pairs come from bucket-local
+  * combination like Dedup.dedupMinhash.
+  */
+object SimHash {
+
+  val Bits = 60          // 15 hex chars: always positive in a signed 64-bit long
+  val BandBits = 15
+  val NumBands: Int = Bits / BandBits
+
+  /** vote_j > 0  ⟺  2 * sum(bit_j) > token_count — so one count + 60 sums. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bitSums = (0 until Bits).map(j =>
+      sum(shiftright($"h", j).bitwiseAND(1)).as(s"b$j"))
+    val hash: Column = (0 until Bits).map(j =>
+      when(lit(2) * col(s"b$j") > col("n_toks"), lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("t"))
+      .select($"doc_id", conv(substring(md5($"t"), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_toks"), bitSums: _*)
+      .select($"doc_id", hash.as("simhash"))
+  }
+
+  private def fingerprintsSqlCore: String = {
+    val bitSums = (0 until Bits)
+      .map(j => s"sum((h >> $j) & 1) AS b$j").mkString(",\n  ")
+    val hash = (0 until Bits)
+      .map(j => s"CASE WHEN 2 * b$j > n_toks THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""th AS (
+       | SELECT doc_id, CAST('0x' || substr(md5(t.tok), 1, 15) AS BIGINT) AS h
+       | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t),
+       |votes AS (
+       | SELECT doc_id, count(*) AS n_toks,
+       |  $bitSums
+       | FROM th GROUP BY doc_id),
+       |fp AS (SELECT doc_id, CAST($hash AS BIGINT) AS simhash FROM votes)""".stripMargin
+  }
+
+  /** x_simhash — the per-doc 60-bit fingerprint (strong oracle check). */
+  def simhashQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    fingerprints(spark, dir).orderBy($"doc_id")
+  }
+
+  val simhashSql: String =
+    s"""WITH ${fingerprintsSqlCore}
+       |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin
+
+  val MaxHamming = 3
+
+  /** x_dedup_simhash — candidate pairs within Hamming ≤ 3 via 4×15-bit band
+    * blocking (pigeonhole: ≤3 flipped bits cannot touch all 4 bands), exact
+    * distance via bit_count(xor). Deterministically empty when the corpus has
+    * no near-dups — the unit test pins the behavior on crafted ones.
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fp = fingerprints(spark, dir)
+    val bandStructs = (0 until NumBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright($"simhash", b * BandBits).bitwiseAND((1L << BandBits) - 1).as("bh"))
+    }
+    val bands = fp.select($"doc_id", $"simhash", explode(array(bandStructs: _*)).as("x"))
+      .select($"doc_id", $"simhash", $"x.band".as("band"), $"x.bh".as("bh"))
+    val buckets = bands.groupBy($"band", $"bh")
+      .agg(sort_array(collect_list(struct($"doc_id", $"simhash"))).as("ds"))
+      .filter(size($"ds") >= 2)
+    val pairStructs = flatten(transform($"ds", (a, i) =>
+      transform(slice($"ds", i + 2, size($"ds") - (i + 1)),
+        b => struct(a.getField("doc_id").as("doc_a"), b.getField("doc_id").as("doc_b"),
+          bit_count(a.getField("simhash").bitwiseXOR(b.getField("simhash"))).as("hamming")))))
+    buckets.select(explode(pairStructs).as("p"))
+      .select($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"), $"p.hamming".as("hamming"))
+      .filter($"hamming" <= MaxHamming)
+      .distinct()
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val dedupSimhashSql: String = {
+    val bandRows = (0 until NumBands).map { b =>
+      val u = if (b == 0) "" else "UNION ALL "
+      s"${u}SELECT doc_id, simhash, $b AS band, (simhash >> ${b * BandBits}) & ${(1L << BandBits) - 1} AS bh FROM fp"
+    }.mkString("\n ")
+    s"""WITH ${fingerprintsSqlCore},
+       |bands AS (
+       | $bandRows)
+       |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       | CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+       |FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+       |WHERE bit_count(xor(l.simhash, r.simhash)) <= $MaxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_simhash" -> (simhashQuery _),
+    "x_dedup_simhash" -> (dedupSimhash _))
+
+  val oracles: Map[String, String] = Map(
+    "x_simhash" -> simhashSql,
+    "x_dedup_simhash" -> dedupSimhashSql)
+}

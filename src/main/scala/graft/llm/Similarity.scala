@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
 import graft.io.Tables
 
 /** Similarity search over the `embeddings` table (embedding: array<float>,
@@ -33,6 +34,16 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(norm2(a) * norm2(b))
 
+  /** Native-Expression cosine (graft.functions.CosineSimilarity): one fused
+    * codegen loop instead of interpreted higher-order folds. Bit-identical to
+    * [[cosine]] (same left-to-right accumulation), so oracle-safe. Requires
+    * [[GraftFunctions.register]] (idempotent) on the session.
+    */
+  def cosineFast(spark: SparkSession, a: Column, b: Column): Column = {
+    GraftFunctions.register(spark)
+    call_function("cosine_sim", a, b)
+  }
+
   private def asDouble(emb: Column): Column = transform(emb, x => x.cast("double"))
 
   /** x_sim_topk — exact brute-force cosine top-10 for probe vectors vec_id<5. */
@@ -46,7 +57,7 @@ object Similarity {
         e.select($"vec_id".as("neighbor_id"), $"v".as("nv")))
       .filter($"query_id" =!= $"neighbor_id")
       // + 0.0 canonicalizes -0.0 so both engines hash identically
-      .withColumn("sim", round(cosine($"qv", $"nv"), 6) + lit(0.0))
+      .withColumn("sim", round(cosineFast(spark, $"qv", $"nv"), 6) + lit(0.0))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id".asc)
     sims.withColumn("rnk", row_number().over(w))
@@ -96,7 +107,7 @@ object Similarity {
     val r = e.select($"bucket", $"vec_id".as("vec_b"), $"v".as("vb"))
     l.join(r, Seq("bucket"))
       .filter($"vec_a" < $"vec_b")
-      .withColumn("sim", round(cosine($"va", $"vb"), 6) + lit(0.0))
+      .withColumn("sim", round(cosineFast(spark, $"va", $"vb"), 6) + lit(0.0))
       .filter($"sim" >= 0.2)
       .select($"vec_a", $"vec_b", $"sim")
       .orderBy($"vec_a", $"vec_b")

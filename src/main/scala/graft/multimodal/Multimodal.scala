@@ -1,0 +1,134 @@
+package graft.multimodal
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for training-data pipelines: image/audio/video as
+  * opaque `binary` columns with typed metadata, plus decode / feature-extract
+  * / resize / frame-sample operators.
+  *
+  * The Spark-side plumbing is real and tested — schema, shuffle-safety of
+  * binary columns, partition-level batch processing via `mapPartitions` on a
+  * typed Dataset (the JVM analogue of arrow-batched UDFs: one decoder
+  * instantiation per partition, streamed row iterator, no per-row setup).
+  * The codec itself is a clearly-marked DETERMINISTIC FAKE — this container
+  * has no image/audio libraries, so "decode" parses our own synthetic header
+  * instead of a real JPEG/WAV; swap `FakeCodec` for a real one without
+  * touching any operator shape.
+  */
+object Multimodal {
+
+  final case class MediaMeta(format: String, width: Int, height: Int, durationMs: Long)
+  final case class Asset(asset_id: Long, kind: String, meta: MediaMeta, data: Array[Byte])
+  final case class DecodedFrame(asset_id: Long, frame_idx: Int, width: Int, height: Int,
+      pixels: Array[Byte])
+  final case class MediaFeatures(asset_id: Long, kind: String, dim: Int,
+      features: Array[Float])
+
+  /** DETERMINISTIC FAKE codec: payload = 16-byte header
+    * ("GFT0" + kind byte + width/height/frames) + pseudo-pixel bytes derived
+    * from asset_id. A real deployment replaces exactly this object.
+    */
+  object FakeCodec {
+    def encode(assetId: Long, kind: String, w: Int, h: Int, frames: Int): Array[Byte] = {
+      val header = java.nio.ByteBuffer.allocate(16)
+        .put("GFT0".getBytes(StandardCharsets.US_ASCII))
+        .put(kind.head.toByte)
+        .putInt(w).putInt(h)
+        .put((frames & 0xff).toByte).array()
+      val body = Array.tabulate[Byte](64)(i => ((assetId * 31 + i * 7) & 0xff).toByte)
+      header ++ body
+    }
+    def decodeHeader(data: Array[Byte]): (Int, Int, Int) = {
+      require(data.length >= 16 && new String(data, 0, 4, StandardCharsets.US_ASCII) == "GFT0",
+        "not a GFT0 payload (real codec goes here)")
+      val bb = java.nio.ByteBuffer.wrap(data)
+      bb.position(5)
+      val w = bb.getInt; val h = bb.getInt
+      val frames = bb.get(13) & 0xff
+      (w, h, frames)
+    }
+  }
+
+  /** Deterministic synthetic asset table (seed-free: id-derived). */
+  def syntheticAssets(spark: SparkSession, n: Int): Dataset[Asset] = {
+    import spark.implicits._
+    spark.createDataset((0 until n).map { i =>
+      val kind = Seq("image", "audio", "video")(i % 3)
+      val (w, h) = if (kind == "audio") (0, 0) else (64 + (i % 4) * 32, 48 + (i % 3) * 16)
+      val frames = if (kind == "video") 8 else 1
+      Asset(i.toLong, kind,
+        MediaMeta(if (kind == "image") "gft-img" else if (kind == "audio") "gft-aud" else "gft-vid",
+          w, h, if (kind == "image") 0L else 1000L * (1 + i % 5)),
+        FakeCodec.encode(i.toLong, kind, w, h, frames))
+    }).repartition(4, col("asset_id")) // binary columns shuffle like any other
+  }
+
+  /** Decode: one codec per PARTITION (mapPartitions), frames streamed out.
+    * This is the batch shape that matters at scale — per-row decoder setup
+    * would dominate on small assets.
+    */
+  def decodeFrames(assets: Dataset[Asset]): Dataset[DecodedFrame] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // per-partition decoder instantiation happens HERE (the fake has none)
+      it.flatMap { a =>
+        val (w, h, frames) = FakeCodec.decodeHeader(a.data)
+        (0 until frames).iterator.map { f =>
+          DecodedFrame(a.asset_id, f, w, h,
+            a.data.drop(16).map(b => (b + f).toByte))
+        }
+      }
+    }
+  }
+
+  /** Frame sampling: keep every `stride`-th frame (video temporal sampling). */
+  def sampleFrames(frames: Dataset[DecodedFrame], stride: Int): Dataset[DecodedFrame] =
+    frames.filter(f => f.frame_idx % stride == 0)
+
+  /** Resize: deterministic downscale stub — halves dimensions, subsamples
+    * pseudo-pixels (a real impl swaps the body, signature/meta stay).
+    */
+  def resize(frames: Dataset[DecodedFrame], maxSide: Int): Dataset[DecodedFrame] = {
+    import frames.sparkSession.implicits._
+    frames.map { f =>
+      var (w, h) = (f.width, f.height)
+      var px = f.pixels
+      while (math.max(w, h) > maxSide && w > 1 && h > 1) {
+        w /= 2; h /= 2
+        px = px.zipWithIndex.collect { case (b, i) if i % 2 == 0 => b }
+      }
+      f.copy(width = w, height = h, pixels = px)
+    }
+  }
+
+  /** Feature extraction: fixed-dim float vector per asset (rolling-hash fake;
+    * batch shape = mapPartitions, output ready for Similarity ops).
+    */
+  def extractFeatures(assets: Dataset[Asset], dim: Int = 16): Dataset[MediaFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val v = new Array[Float](dim)
+        var i = 0
+        a.data.foreach { b =>
+          v(i % dim) += (b & 0xff) / 255.0f
+          i += 1
+        }
+        MediaFeatures(a.asset_id, a.kind, dim, v)
+      }
+    }
+  }
+
+  /** Relational view: typed metadata is queryable next to the opaque payload
+    * (parquet stores `data` as BINARY; metadata predicates prune without
+    * touching payload bytes thanks to column pruning).
+    */
+  def assetCatalog(assets: Dataset[Asset]): DataFrame =
+    assets.select(col("asset_id"), col("kind"),
+      col("meta.format").as("format"), col("meta.width").as("width"),
+      col("meta.height").as("height"), col("meta.durationMs").as("duration_ms"),
+      length(col("data")).as("payload_bytes"))
+}
