@@ -348,6 +348,35 @@ object Relational {
       |GROUP BY ROLLUP (1, 2)
       |ORDER BY y NULLS FIRST, m NULLS FIRST""".stripMargin
 
+  /** q_join_range — equi key + range predicate (non-equi condition family):
+    * per order, lineitems shipped within 30 days of the order date. The range
+    * predicate rides the equi shuffle join (no nested-loop explosion); at
+    * scale this is the pattern for bounded-window fact-to-fact joins.
+    */
+  def joinRange(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    o.join(l,
+        o("o_orderkey") === l("l_orderkey") &&
+          to_date(l("l_shipdate")) >= to_date(o("o_orderdate")) &&
+          to_date(l("l_shipdate")) <= date_add(to_date(o("o_orderdate")), 30))
+      .groupBy($"o_orderkey")
+      .agg(count(lit(1)).as("n_quick_ships"),
+        Det.decSum($"l_extendedprice").as("quick_ship_value"))
+      .orderBy($"o_orderkey")
+  }
+
+  val joinRangeSql: String =
+    """SELECT o_orderkey, count(*) AS n_quick_ships,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS quick_ship_value
+      |FROM orders JOIN lineitem
+      |  ON o_orderkey = l_orderkey
+      | AND CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)
+      | AND CAST(l_shipdate AS DATE) <= CAST(o_orderdate AS DATE) + INTERVAL 30 DAY
+      |GROUP BY o_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
   /** q_limit_order — deterministic head-n in key order: the batch analogue of
     * the reference's first-n CSV replay (kafka_stream.pyc @ 72-73).
     */
@@ -376,6 +405,7 @@ object Relational {
     "q_scalar_fns" -> (scalarFns _),
     "q_rollup_daily" -> (rollupDaily _),
     "q_rollup_ym" -> (rollupYearMonth _),
+    "q_join_range" -> (joinRange _),
     "q_limit_order" -> (limitOrder _))
 
   val oracles: Map[String, String] = Map(
@@ -395,5 +425,6 @@ object Relational {
     "q_scalar_fns" -> scalarFnsSql,
     "q_rollup_daily" -> rollupDailySql,
     "q_rollup_ym" -> rollupYearMonthSql,
+    "q_join_range" -> joinRangeSql,
     "q_limit_order" -> limitOrderSql)
 }

@@ -27,6 +27,11 @@ sealed trait Check
 final case class MinRowCount(threshold: Long) extends Check
 final case class RequiredColumns(columns: Seq[String]) extends Check
 final case class UniqueColumn(column: String) extends Check
+/** O2 — source-exists precondition (the reference raises FileNotFoundError
+  * when the S3 key is absent, data_quality_operator.py:54-57; here it is a
+  * first-class check producing a failed result instead of an exception).
+  */
+final case class SourceExists(path: String) extends Check
 /** Unrecognized check_type — retained so the skip semantics are explicit. */
 final case class UnknownCheck(checkType: String) extends Check
 
@@ -54,10 +59,22 @@ object DataQuality {
           .filter(col("count") > 1).count()
         Some(CheckResult("unique_column", dups == 0, s"dup_keys=$dups"))
       }
+    case SourceExists(path) =>
+      val exists = pathExists(df.sparkSession, path)
+      Some(CheckResult("source_exists", exists,
+        if (exists) s"$path present" else s"$path missing"))
     case UnknownCheck(t) =>
       // Reference behavior: warn + skip, never fail (data_quality_operator.py:116-117).
       System.err.println(s"[dq] unknown check type '$t' — skipped")
       None
+  }
+
+  /** Path existence via the Hadoop FS API (works for any supported scheme —
+    * the direct analogue of the reference's `check_for_key`).
+    */
+  def pathExists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Run all checks; failures accumulate in spec order, nothing short-circuits. */

@@ -17,17 +17,21 @@ import graft.io.Tables
   */
 object TextOps {
 
-  private def tokens(c: Column): Column = split(c, " ")
+  // All per-doc queries materialize the token array ONCE (withColumn) before
+  // referencing it: an inline split() referenced by several expressions is
+  // re-evaluated per reference (the regex-split trap measured in Dedup —
+  // see shinglesFromToks' scaladoc).
 
   /** x_text_stats — per-doc token/char counts. */
   def textStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
+      .withColumn("toks", split($"text", " "))
       .select(
         $"doc_id", $"lang",
-        size(tokens($"text")).cast("long").as("n_tokens"),
+        size($"toks").cast("long").as("n_tokens"),
         length($"text").cast("long").as("n_chars_obs"),
-        size(array_distinct(tokens($"text"))).cast("long").as("n_distinct_tokens"))
+        size(array_distinct($"toks")).cast("long").as("n_distinct_tokens"))
       .orderBy($"doc_id")
   }
 
@@ -43,7 +47,7 @@ object TextOps {
   def langStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .select($"lang", $"n_chars", size(tokens($"text")).cast("long").as("n_tokens"))
+      .select($"lang", $"n_chars", size(split($"text", " ")).cast("long").as("n_tokens"))
       .groupBy($"lang")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -68,10 +72,10 @@ object TextOps {
   /** x_quality_score — length + stopword-ratio quality signals per doc. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = tokens($"text")
-    val nTok = size(toks).cast("long")
-    val nStop = size(filter(toks, t => t.isin(Stopwords: _*))).cast("long")
+    val nTok = size($"toks").cast("long")
+    val nStop = size(filter($"toks", t => t.isin(Stopwords: _*))).cast("long")
     Tables.documents(spark, dir)
+      .withColumn("toks", split($"text", " "))
       .select(
         $"doc_id",
         nTok.as("n_tokens"),
@@ -90,6 +94,33 @@ object TextOps {
       | CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len
       |FROM documents
       |ORDER BY doc_id""".stripMargin
+
+  /** ASCII-safe pre-tokenizer regex (GPT-2-style word/number/punct runs,
+    * simplified to dodge unicode-class differences between regex engines).
+    */
+  val SubtokenPattern: String = "[a-z0-9]+|[^a-z0-9 ]+"
+
+  /** x_token_bpe — BPE-style pre-tokenization counts: subword-ish token runs
+    * vs whitespace words (the token-budget estimator for training pipelines).
+    */
+  def tokenBpe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("lower_text", lower($"text"))
+      .select(
+        $"doc_id",
+        size(regexp_extract_all($"lower_text", lit(SubtokenPattern), lit(0)))
+          .cast("long").as("n_subtokens"),
+        size(split($"lower_text", " ")).cast("long").as("n_words"))
+      .orderBy($"doc_id")
+  }
+
+  val tokenBpeSql: String =
+    s"""SELECT doc_id,
+       | CAST(len(regexp_extract_all(lower(text), '$SubtokenPattern')) AS BIGINT) AS n_subtokens,
+       | CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
 
   /** x_fingerprint — md5 fingerprint of whitespace-normalized lowercase text
     * (exact-dedup key; identical byte-for-byte in any engine).
@@ -111,11 +142,13 @@ object TextOps {
     "x_text_stats" -> (textStats _),
     "x_lang_stats" -> (langStats _),
     "x_quality_score" -> (qualityScore _),
+    "x_token_bpe" -> (tokenBpe _),
     "x_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
     "x_text_stats" -> textStatsSql,
     "x_lang_stats" -> langStatsSql,
     "x_quality_score" -> qualityScoreSql,
+    "x_token_bpe" -> tokenBpeSql,
     "x_fingerprint" -> fingerprintSql)
 }

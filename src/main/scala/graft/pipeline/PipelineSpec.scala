@@ -2,7 +2,7 @@ package graft.pipeline
 
 import scala.jdk.CollectionConverters._
 
-import graft.dq.{Check, MinRowCount, RequiredColumns, UniqueColumn, UnknownCheck}
+import graft.dq.{Check, MinRowCount, RequiredColumns, SourceExists, UniqueColumn, UnknownCheck}
 
 /** Typed pipeline specification — the engine's "query language" for the
   * self-service path, mirroring the 4-section YAML of
@@ -107,6 +107,8 @@ object PipelineSpec {
               RequiredColumns(c.get("columns").map(v => strSeq(v.asInstanceOf[Object])).getOrElse(Nil))
             case Some("unique_column") =>
               UniqueColumn(c.get("column").map(_.toString).getOrElse(""))
+            case Some("source_exists") =>
+              SourceExists(c.get("path").map(_.toString).getOrElse(""))
             case other =>
               UnknownCheck(other.getOrElse("<missing>"))
           }

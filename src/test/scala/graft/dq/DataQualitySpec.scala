@@ -43,6 +43,14 @@ class DataQualitySpec extends SparkSpec {
     assert(DataQuality.evaluate(oneNull, UniqueColumn("id")).get.passed)
   }
 
+  test("source_exists passes for a real path, fails for a missing one (O2)") {
+    val dir = java.nio.file.Files.createTempDirectory("dqsrc").toString
+    users.write.parquet(s"$dir/t.parquet")
+    assert(DataQuality.evaluate(users, SourceExists(s"$dir/t.parquet")).get.passed)
+    val r = DataQuality.evaluate(users, SourceExists(s"$dir/absent.parquet")).get
+    assert(!r.passed && r.detail.contains("missing"))
+  }
+
   test("unknown check type warns and skips, never fails (reference :116-117)") {
     assert(DataQuality.evaluate(users, UnknownCheck("volume_anomaly")).isEmpty)
     val results = DataQuality.runAll(users,
