@@ -121,6 +121,29 @@ object Sessions {
       |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
       | FROM events GROUP BY user_id) u""".stripMargin
 
+  /** q_window_running — explicit ROWS frame: per-user running event count and
+    * exact running value (cumulative frames family, SURVEY.md §2.2 windows).
+    */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select($"event_id", $"user_id",
+        count(lit(1)).over(w).as("n_so_far"),
+        sum(Det.dec($"value")).over(w).cast("double").as("value_so_far"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val windowRunningSql: String =
+    """SELECT event_id, user_id,
+      | count(*) OVER w AS n_so_far,
+      | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_so_far
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** q_event_counts — plain per-type counts (the funnel's first view). */
   def eventCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -138,11 +161,13 @@ object Sessions {
     "q_sessionize" -> (sessionize _),
     "q_session_stats" -> (sessionStats _),
     "q_funnel" -> (funnel _),
+    "q_window_running" -> (windowRunning _),
     "q_event_counts" -> (eventCounts _))
 
   val oracles: Map[String, String] = Map(
     "q_sessionize" -> sessionizeSql,
     "q_session_stats" -> sessionStatsSql,
     "q_funnel" -> funnelSql,
+    "q_window_running" -> windowRunningSql,
     "q_event_counts" -> eventCountsSql)
 }

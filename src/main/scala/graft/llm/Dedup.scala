@@ -156,7 +156,10 @@ object Dedup {
     */
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = dedupMinhash(spark, dir)
+    // The candidate-pair plan is referenced three times below (pairs, the
+    // candidate-id set, and the join probe); localCheckpoint materializes it
+    // once instead of re-running the whole signature pipeline per reference.
+    val pairs = dedupMinhash(spark, dir).localCheckpoint()
     // Shingle sets are only materialized for candidate docs (semi-join
     // first): at scale the candidate set is orders of magnitude smaller
     // than the corpus.
