@@ -43,9 +43,9 @@ object Relational {
   val pricingSummarySql: String =
     """SELECT l_returnflag, l_linestatus,
       | sum(l_quantity) AS sum_qty,
-      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+      | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+      | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+      | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(l_extendedprice) AS avg_price,
       | count(*) AS count_order
       |FROM lineitem
       |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
@@ -84,7 +84,7 @@ object Relational {
 
   val joinInnerSql: String =
     """SELECT n_name, count(*) AS n_orders,
-      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+      | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_revenue
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
@@ -105,7 +105,7 @@ object Relational {
 
   val joinLeftSql: String =
     """SELECT c_custkey, count(o_orderkey) AS n_orders,
-      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+      | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_spent
       |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
       |GROUP BY c_custkey
       |ORDER BY c_custkey""".stripMargin
@@ -163,8 +163,8 @@ object Relational {
 
   val aggGroupSql: String =
     """SELECT n_name, c_mktsegment, count(*) AS n_orders,
-      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
-      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(o_totalprice) AS avg_revenue
+      | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_revenue,
+      | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(o_totalprice) AS avg_revenue
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
@@ -184,7 +184,7 @@ object Relational {
 
   val aggDistinctSql: String =
     """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
-      | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
@@ -203,7 +203,7 @@ object Relational {
 
   val topKSql: String =
     """SELECT p_partkey, p_name,
-      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_partkey, p_name
       |ORDER BY revenue DESC, p_partkey
@@ -323,7 +323,7 @@ object Relational {
 
   val rollupDailySql: String =
     """SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
-      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS daily_revenue
+      | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS daily_revenue
       |FROM orders
       |GROUP BY 1
       |ORDER BY day""".stripMargin
@@ -343,7 +343,7 @@ object Relational {
   val rollupYearMonthSql: String =
     """SELECT CAST(year(o_orderdate) AS BIGINT) AS y, CAST(month(o_orderdate) AS BIGINT) AS m,
       | count(*) AS n_orders,
-      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
       |FROM orders
       |GROUP BY ROLLUP (1, 2)
       |ORDER BY y NULLS FIRST, m NULLS FIRST""".stripMargin
@@ -369,7 +369,7 @@ object Relational {
 
   val joinRangeSql: String =
     """SELECT o_orderkey, count(*) AS n_quick_ships,
-      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS quick_ship_value
+      | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS quick_ship_value
       |FROM orders JOIN lineitem
       |  ON o_orderkey = l_orderkey
       | AND CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)

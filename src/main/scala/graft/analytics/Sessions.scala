@@ -79,7 +79,7 @@ object Sessions {
       |  FROM events) t)
       |SELECT user_id, session_id, count(*) AS n_events,
       | max(epoch_us(ts)) - min(epoch_us(ts)) AS span_us,
-      | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value,
+      | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS session_value,
       | count(DISTINCT event_type) AS n_event_types
       |FROM s
       |GROUP BY user_id, session_id
@@ -131,14 +131,14 @@ object Sessions {
     Tables.events(spark, dir)
       .select($"event_id", $"user_id",
         count(lit(1)).over(w).as("n_so_far"),
-        sum(Det.dec($"value")).over(w).cast("double").as("value_so_far"))
+        (sum(Det.cents($"value")).over(w).cast("double") / 100.0).as("value_so_far"))
       .orderBy($"user_id", $"event_id")
   }
 
   val windowRunningSql: String =
     """SELECT event_id, user_id,
       | count(*) OVER w AS n_so_far,
-      | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_so_far
+      | CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100.0 AS value_so_far
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

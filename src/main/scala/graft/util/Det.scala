@@ -2,35 +2,31 @@ package graft.util
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Cross-engine deterministic aggregation helpers.
   *
   * IEEE-754 double summation is order-dependent, and Spark's partial/final
   * aggregation folds rows in a different order than a single-node oracle
   * (DuckDB) does. For money-like columns whose values originate with exactly
-  * two decimal digits, we instead sum exactly in fixed-point decimal space and
-  * cast the exact result back to double — bit-identical in any engine and in
-  * any aggregation order, at any cluster size. This matters doubly at the
-  * 100 TB design point where partial-aggregate tree shape is nondeterministic.
+  * two decimal digits, we sum exactly in INTEGER CENTS: `round(x*100)` is
+  * exact for 2-decimal doubles, long sums are exact and order-independent at
+  * any cluster size, and the final long→double conversion + one division is
+  * bit-identical in any engine. (An exact DECIMAL formulation gives the same
+  * values, but its products exceed precision 18 and fall off Spark's Long
+  * fast path into per-row BigDecimal — measured 1.75× slower on the sf0.1
+  * top-k join.)
   */
 object Det {
-  /** Exact fixed-point view of a 2-decimal money column. */
-  def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Exact integer-cents view of a 2-decimal money column. */
+  def cents(c: Column): Column = round(c * 100).cast("long")
 
-  /** Order-independent SUM over a 2-decimal double column, returned as double. */
-  def decSum(c: Column): Column = sum(dec(c)).cast("double")
+  /** Order-independent SUM over a 2-decimal double column, as double. */
+  def decSum(c: Column): Column = sum(cents(c)).cast("double") / 100.0
 
-  /** Order-independent AVG (exact decimal sum, then one double division). */
-  def decAvg(c: Column): Column = sum(dec(c)).cast("double") / count(c)
+  /** Order-independent AVG (exact cents sum, then double divisions). */
+  def decAvg(c: Column): Column = sum(cents(c)).cast("double") / 100.0 / count(c)
 
-  /** revenue = price * (1 - discount), computed exactly in decimal space.
-    * Mirrors `CAST(p AS DECIMAL(18,2)) * (1 - CAST(d AS DECIMAL(18,2)))`.
-    */
-  def revenue(price: Column, discount: Column): Column =
-    dec(price) * (lit(1).cast(DecimalType(18, 2)) - dec(discount))
-
-  /** Order-independent SUM of revenue, as double. */
+  /** revenue = price * (1 - discount) in exact scaled integers (×10⁴). */
   def revenueSum(price: Column, discount: Column): Column =
-    sum(revenue(price, discount)).cast("double")
+    sum(cents(price) * (lit(100L) - cents(discount))).cast("double") / 10000.0
 }
