@@ -19,6 +19,16 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Register every harness table as a temp view so users can `spark.sql`
+    * against the engine directly (the SQL face of the library). `events`
+    * goes through its ns-timestamp-safe loader.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else apply(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
+
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "customer")

@@ -132,11 +132,73 @@ object Similarity {
       |FROM pairs WHERE sim >= 0.2
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  val EmbedDupThreshold = 0.9
+  val EmbedTables = 4  // sign-LSH tables
+  val EmbedBits = 6    // bits per table: recall for cos≥0.9 ≈ 1-(1-0.39)^4 ≈ 0.86
+
+  /** x_dedup_embed — embedding-cosine near-duplicate pairs. Candidates come
+    * from FOUR independent sign-LSH tables (6 bits each over different dim
+    * spans): a single wide signbit bucket (as in simBucketed) has ~0.29
+    * recall at cos 0.9; four 6-bit tables lift it to ~0.86 while candidate
+    * generation stays a groupBy+equi-join on (table, bucket). Exact cosine
+    * then filters candidates at the threshold.
+    */
+  def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+    val tables = (0 until EmbedTables).map { t =>
+      struct(lit(t).as("tbl"),
+        concat((0 until EmbedBits).map(i =>
+          when(element_at($"v", t * EmbedBits + i + 1) >= 0.0, lit("1"))
+            .otherwise(lit("0"))): _*).as("bucket"))
+    }
+    val bands = e.select($"vec_id", $"v", explode(array(tables: _*)).as("x"))
+      .select($"vec_id", $"v", $"x.tbl".as("tbl"), $"x.bucket".as("bucket"))
+    val l = bands.select($"tbl", $"bucket", $"vec_id".as("vec_a"), $"v".as("va"))
+    val r = bands.select($"tbl", $"bucket", $"vec_id".as("vec_b"), $"v".as("vb"))
+    l.join(r, Seq("tbl", "bucket"))
+      .filter($"vec_a" < $"vec_b")
+      .withColumn("sim", round(cosineFast(spark, $"va", $"vb"), 6) + lit(0.0))
+      .filter($"sim" >= EmbedDupThreshold)
+      .select($"vec_a", $"vec_b", $"sim")
+      .distinct()
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  val dedupEmbedSql: String = {
+    val tableRows = (0 until EmbedTables).map { t =>
+      val u = if (t == 0) "" else "UNION ALL "
+      val bits = (0 until EmbedBits)
+        .map(i => s"CASE WHEN v[${t * EmbedBits + i + 1}] >= 0.0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      s"${u}SELECT vec_id, v, $t AS tbl, $bits AS bucket FROM e"
+    }.mkString("\n ")
+    s"""WITH e AS (
+       | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       | FROM embeddings),
+       |bands AS (
+       | $tableRows)
+       |SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b,
+       | round(
+       |  list_sum(list_transform(list_zip(l.v, r.v), p -> p[1] * p[2])) /
+       |  sqrt(list_sum(list_transform(l.v, x -> x * x)) * list_sum(list_transform(r.v, x -> x * x))),
+       |  6) + 0.0 AS sim
+       |FROM bands l JOIN bands r ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+       |WHERE round(
+       |  list_sum(list_transform(list_zip(l.v, r.v), p -> p[1] * p[2])) /
+       |  sqrt(list_sum(list_transform(l.v, x -> x * x)) * list_sum(list_transform(r.v, x -> x * x))),
+       |  6) + 0.0 >= $EmbedDupThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_sim_topk" -> (simTopK _),
-    "x_sim_bucketed" -> (simBucketed _))
+    "x_sim_bucketed" -> (simBucketed _),
+    "x_dedup_embed" -> (dedupEmbed _))
 
   val oracles: Map[String, String] = Map(
     "x_sim_topk" -> simTopKSql,
-    "x_sim_bucketed" -> simBucketedSql)
+    "x_sim_bucketed" -> simBucketedSql,
+    "x_dedup_embed" -> dedupEmbedSql)
 }
