@@ -377,6 +377,53 @@ object Relational {
       |GROUP BY o_orderkey
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q_pivot_status — conditional-aggregation pivot (portable PIVOT form):
+    * order counts per year spread across status columns.
+    */
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select(year($"o_orderdate").cast("long").as("y"), $"o_orderstatus")
+      .groupBy($"y")
+      .agg(
+        count(when($"o_orderstatus" === "F", 1)).as("n_f"),
+        count(when($"o_orderstatus" === "O", 1)).as("n_o"),
+        count(when($"o_orderstatus" === "P", 1)).as("n_p"),
+        count(lit(1)).as("n_total"))
+      .orderBy($"y")
+  }
+
+  val pivotStatusSql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+      | count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+      | count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+      | count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p,
+      | count(*) AS n_total
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY y""".stripMargin
+
+  /** One SQL text that parses identically in Spark SQL and DuckDB — used
+    * verbatim by both q_sql_region's Spark execution and its oracle, proving
+    * the engine's SQL entry path (`Tables.registerViews` + `spark.sql`).
+    * 4-way star join: region/nation broadcast, orders⋈customer shuffles.
+    */
+  val sqlRegionText: String =
+    """SELECT r_name, count(*) AS n_orders,
+      | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin
+
+  /** q_sql_region — the SQL face: same text, two engines, one hash. */
+  def sqlRegion(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(sqlRegionText)
+  }
+
   /** q_limit_order — deterministic head-n in key order: the batch analogue of
     * the reference's first-n CSV replay (kafka_stream.pyc @ 72-73).
     */
@@ -406,6 +453,8 @@ object Relational {
     "q_rollup_daily" -> (rollupDaily _),
     "q_rollup_ym" -> (rollupYearMonth _),
     "q_join_range" -> (joinRange _),
+    "q_pivot_status" -> (pivotStatus _),
+    "q_sql_region" -> (sqlRegion _),
     "q_limit_order" -> (limitOrder _))
 
   val oracles: Map[String, String] = Map(
@@ -426,5 +475,7 @@ object Relational {
     "q_rollup_daily" -> rollupDailySql,
     "q_rollup_ym" -> rollupYearMonthSql,
     "q_join_range" -> joinRangeSql,
+    "q_pivot_status" -> pivotStatusSql,
+    "q_sql_region" -> sqlRegionText,
     "q_limit_order" -> limitOrderSql)
 }
