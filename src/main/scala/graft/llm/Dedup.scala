@@ -53,9 +53,11 @@ object Dedup {
       i => concat_ws(" ",
         element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))
 
-  // Hash design: two md5s per shingle concatenated (64 hex chars), sliced into
-  // eight 8-hex (32-bit) components — two digests buy eight independent
-  // hashes, and lexicographic min over fixed-width hex == numeric min.
+  // Hash design: ONE md5 per shingle, parsed as two 60-bit longs (15 hex
+  // chars each), bit-split into eight 15-bit components — one digest + two
+  // hex parses buy all eight hashes; the per-component ops are shifts/ands
+  // inside codegen. 15-bit components collide at 2^-30 per band pair, which
+  // LSH tolerates (the Jaccard verify stage filters false candidates).
   // (At 100 TB you would swap md5 for xxhash64; md5 is kept because the
   // DuckDB oracle computes byte-identical digests.)
 
@@ -68,19 +70,25 @@ object Dedup {
     * distributed shape that scales (shuffle carries 8×8-char mins per doc,
     * not the shingle set).
     */
+  val SliceBits = 15
+  val SliceMask: Long = (1L << SliceBits) - 1
+
   def signatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // Numeric (long) slices, not hex strings: min(long) hash-aggregates with
     // a primitive Tungsten buffer (min(string) would fall back to
     // SortAggregate — observed via .explain and fixed).
-    val sigAggs = (0 until NumHashes)
-      .map(j => min(conv(substring($"h", 1 + 8 * j, 8), 16, 10).cast("long")).as(s"sig$j"))
+    def half(j: Int): Column = if (j < 4) $"h1" else $"h2"
+    val sigAggs = (0 until NumHashes).map(j =>
+      min(shiftright(half(j), (j % 4) * SliceBits).bitwiseAND(SliceMask)).as(s"sig$j"))
     Tables.documents(spark, dir)
       .withColumn("toks", split($"text", " "))
       .filter(size($"toks") >= 3)
       .select($"doc_id", explode(shinglesFromToks($"toks")).as("s"))
+      .select($"doc_id", md5(concat(lit("mh:"), $"s")).as("m"))
       .select($"doc_id",
-        concat(md5(concat(lit("a:"), $"s")), md5(concat(lit("b:"), $"s"))).as("h"))
+        conv(substring($"m", 1, 15), 16, 10).cast("long").as("h1"),
+        conv(substring($"m", 17, 15), 16, 10).cast("long").as("h2"))
       .groupBy($"doc_id")
       .agg(sigAggs.head, sigAggs.tail: _*)
   }
@@ -123,12 +131,14 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** Oracle-side mirror of `signatures`: slice the same 64-hex digest pair,
-    * parsed to BIGINT exactly like Spark's conv(hex,16,10).
+  /** Oracle-side mirror of `signatures`: same single digest, same 60-bit hex
+    * parses, same shift/mask slicing (the oracle re-parses per component for
+    * SQL simplicity — values are identical).
     */
-  private def sigDefsSql: String = (0 until NumHashes)
-    .map(j => s"list_min(list_transform(h, x -> CAST('0x' || substr(x, ${1 + 8 * j}, 8) AS BIGINT))) AS sig$j")
-    .mkString(",\n  ")
+  private def sigDefsSql: String = (0 until NumHashes).map { j =>
+    val off = if (j < 4) 1 else 17
+    s"list_min(list_transform(h, x -> (CAST('0x' || substr(x, $off, 15) AS BIGINT) >> ${(j % 4) * SliceBits}) & $SliceMask)) AS sig$j"
+  }.mkString(",\n  ")
 
   val dedupMinhashSql: String = {
     val bandRows = (0 until NumBands).map { b =>
@@ -139,7 +149,7 @@ object Dedup {
        |sh AS (SELECT doc_id,
        |  list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS s
        |  FROM toks WHERE len(t) >= 3),
-       |hm AS (SELECT doc_id, list_transform(s, x -> md5('a:' || x) || md5('b:' || x)) AS h FROM sh),
+       |hm AS (SELECT doc_id, list_transform(s, x -> md5('mh:' || x)) AS h FROM sh),
        |sigs AS (SELECT doc_id,
        |  $sigDefsSql
        |  FROM hm),
@@ -187,7 +197,7 @@ object Dedup {
        |shfull AS (SELECT doc_id,
        |  list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS s
        |  FROM toks WHERE len(t) >= 3),
-       |hm AS (SELECT doc_id, list_transform(s, x -> md5('a:' || x) || md5('b:' || x)) AS h FROM shfull),
+       |hm AS (SELECT doc_id, list_transform(s, x -> md5('mh:' || x)) AS h FROM shfull),
        |sigs AS (SELECT doc_id,
        |  $sigDefsSql
        |  FROM hm),
