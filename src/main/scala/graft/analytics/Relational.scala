@@ -279,7 +279,12 @@ object Relational {
     */
   def scalarFns(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Sort BEFORE projecting: range-partitioning samples its child, and with
+    // the projection on top the sampling pass would evaluate every scalar
+    // function twice. Sorting the narrow scan first keeps the sample pass to
+    // one column; the projection runs once, after the exchange.
     Tables.events(spark, dir)
+      .orderBy($"event_id")
       .select(
         $"event_id",
         upper($"event_type").as("etype_upper"),
@@ -292,7 +297,6 @@ object Relational {
         get_json_object($"props", "$.k").cast("long").as("k"),
         length($"props").cast("long").as("props_len"),
         substring($"event_type", 1, 2).as("etype_pre"))
-      .orderBy($"event_id")
   }
 
   val scalarFnsSql: String =

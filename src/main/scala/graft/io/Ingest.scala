@@ -39,10 +39,12 @@ object Ingest {
     */
   def ingestJsonRaw(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // orderBy below the projection: the range-sampling pass then touches only
+    // event_id instead of running the JSON parse twice (see scalarFns).
     Tables.events(spark, dir)
+      .orderBy($"event_id")
       .select($"event_id",
         get_json_object($"props", "$.k").cast("long").as("k"))
-      .orderBy($"event_id")
   }
 
   val ingestJsonRawSql: String =
