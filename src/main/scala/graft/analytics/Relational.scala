@@ -407,6 +407,24 @@ object Relational {
       |GROUP BY 1
       |ORDER BY y""".stripMargin
 
+  /** q_cube — CUBE(status, priority): all four grouping-set combinations,
+    * NULLS FIRST pinned on both engines.
+    */
+  def cubeStatusPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), Det.decSum($"o_totalprice").as("revenue"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  val cubeStatusPrioritySql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   /** One SQL text that parses identically in Spark SQL and DuckDB — used
     * verbatim by both q_sql_region's Spark execution and its oracle, proving
     * the engine's SQL entry path (`Tables.registerViews` + `spark.sql`).
@@ -458,6 +476,7 @@ object Relational {
     "q_rollup_ym" -> (rollupYearMonth _),
     "q_join_range" -> (joinRange _),
     "q_pivot_status" -> (pivotStatus _),
+    "q_cube" -> (cubeStatusPriority _),
     "q_sql_region" -> (sqlRegion _),
     "q_limit_order" -> (limitOrder _))
 
@@ -480,6 +499,7 @@ object Relational {
     "q_rollup_ym" -> rollupYearMonthSql,
     "q_join_range" -> joinRangeSql,
     "q_pivot_status" -> pivotStatusSql,
+    "q_cube" -> cubeStatusPrioritySql,
     "q_sql_region" -> sqlRegionText,
     "q_limit_order" -> limitOrderSql)
 }

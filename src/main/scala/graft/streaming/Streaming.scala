@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.util.Det
@@ -52,6 +52,58 @@ object Streaming {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
+
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class UserSessionState(
+      nEvents: Long, totalCents: Long, lastTsMs: Long, nSessions: Long)
+  final case class SessionSummary(
+      user_id: Long, n_sessions: Long, n_events: Long, total_value: Double)
+
+  /** Custom per-key state beyond what session_window expresses:
+    * flatMapGroupsWithState tracking lifetime session count + totals per
+    * user, emitting a summary whenever a session closes (gap exceeded) and
+    * expiring idle users via processing-time timeout so state stays bounded —
+    * the `KeyValueGroupedDataset` stateful path (SURVEY.md §2.2 streaming).
+    */
+  def userSessionTracker(
+      events: Dataset[UserEvent],
+      gapMs: Long = 30L * 60 * 1000,
+      idleTimeoutMs: Long = 60L * 60 * 1000): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    // idleTimeoutMs <= 0 disables expiry (deterministic tests); production
+    // keeps it on so state for dormant users is flushed and dropped.
+    val timeoutConf =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserSessionState, SessionSummary](
+        OutputMode.Append, timeoutConf) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserSessionState]) =>
+          if (state.hasTimedOut) {
+            // idle user: flush the final summary and drop the state
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionSummary(userId, s.nSessions, s.nEvents, s.totalCents / 100.0))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            var s = state.getOption.getOrElse(UserSessionState(0L, 0L, Long.MinValue, 0L))
+            val out = Seq.newBuilder[SessionSummary]
+            sorted.foreach { e =>
+              val newSession = s.lastTsMs == Long.MinValue || e.ts.getTime - s.lastTsMs > gapMs
+              if (newSession && s.nSessions > 0)
+                out += SessionSummary(userId, s.nSessions, s.nEvents, s.totalCents / 100.0)
+              s = UserSessionState(
+                s.nEvents + 1,
+                s.totalCents + math.round(e.value * 100),
+                e.ts.getTime,
+                s.nSessions + (if (newSession) 1 else 0))
+            }
+            state.update(s)
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            out.result().iterator
+          }
+      }
+  }
 
   /** ds-partitioned parquet sink via foreachBatch (idempotent per-batch
     * dynamic overwrite), with a processing-time trigger for rate control.

@@ -61,6 +61,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits a summary when a user's session closes") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import Streaming.{SessionSummary, UserEvent}
+    val input = MemoryStream[UserEvent]
+    val q = Streaming.userSessionTracker(input.toDS(), gapMs = 30 * 60 * 1000,
+        idleTimeoutMs = 0 /* NoTimeout: keeps processAllAvailable deterministic */)
+      .writeStream.format("memory").queryName("tracker").outputMode("append").start()
+    def ev(u: Long, t: String, v: Double) =
+      UserEvent(u, java.sql.Timestamp.valueOf(t), v)
+    try {
+      // session 1 for user 7: two events
+      input.addData(ev(7, "2024-01-01 10:00:00", 1.5), ev(7, "2024-01-01 10:10:00", 2.25))
+      q.processAllAvailable()
+      assert(spark.table("tracker").isEmpty) // session still open, nothing emitted
+      // a later event past the gap closes session 1 and opens session 2
+      input.addData(ev(7, "2024-01-01 12:00:00", 10.0))
+      q.processAllAvailable()
+      val out = spark.table("tracker").as[SessionSummary].collect().toSeq
+      assert(out == Seq(SessionSummary(7L, 1L, 2L, 3.75))) // exact cents math
+    } finally q.stop()
+  }
+
   test("tumbling window counts per event type") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[String]
