@@ -10,14 +10,14 @@ import graft.io.Tables
   *  - Exact dedup: hash-groupBy on a content hash — one shuffle on the hash,
   *    scales linearly; the canonical first step at 100 TB.
   *  - MinHash+LSH near-dedup: shingle → k minhashes → band buckets →
-  *    bucket-equi-join for candidate pairs. The join is on (band, band_hash),
-  *    so candidate generation never goes quadratic: cost is bounded by bucket
-  *    sizes, the standard LSH scale-out argument. All hashing is md5-over-UTF8
-  *    so the DuckDB oracle computes the identical signatures.
+  *    bucket-local pair expansion. Candidate generation groups on
+  *    (band, band_hash), so it never goes quadratic: cost is bounded by
+  *    bucket sizes, the standard LSH scale-out argument. All hashing is
+  *    md5-over-UTF8 so the DuckDB oracle computes identical signatures.
   *
-  * Built-ins + higher-order functions only (SURVEY.md §7.3): no UDF, no
-  * custom Expression needed — shingling is `transform(sequence(...))`, the
-  * minhash is `array_min` over md5s, all inside codegen.
+  * Built-ins only (SURVEY.md §7.3): no UDF, no custom Expression — shingling
+  * is `transform(sequence(...))`, signatures are an explode + hash-aggregate
+  * of primitive mins, all inside whole-stage codegen.
   */
 object Dedup {
 
@@ -63,11 +63,11 @@ object Dedup {
 
   /** Per-doc minhash signatures (docs with ≥3 tokens; all fixture docs are).
     *
-    * Shape: explode shingles → codegen'd md5 pair per shingle → hash
+    * Shape: explode shingles → one codegen'd md5 per shingle → hash
     * aggregate of 8 per-slice `min`s on doc_id. Higher-order-function folds
     * are interpreted per element; this explode+groupBy stays fully inside
     * whole-stage codegen with map-side partial mins, and is exactly the
-    * distributed shape that scales (shuffle carries 8×8-char mins per doc,
+    * distributed shape that scales (the shuffle carries 8 longs per doc,
     * not the shingle set).
     */
   val SliceBits = 15

@@ -10,11 +10,12 @@ import graft.io.Tables
   * dim 64). Brute-force cosine top-k as the exact baseline, and an
   * LSH-bucketed (random-hyperplane signbit) variant as the scale path.
   *
-  * All vector math uses higher-order functions (`zip_with` + `aggregate`) over
-  * double-cast elements — codegen-friendly, no UDF, deterministic left-to-right
-  * fold. Cosine values are rounded to 6 decimals before ranking so the oracle's
-  * (possibly differently-ordered) float fold agrees bit-for-bit; ties break on
-  * neighbor id.
+  * Vector math runs through the native `cosine_sim` Catalyst expression
+  * (graft.functions.CosineSimilarity — one fused codegen loop); the
+  * higher-order-function forms (`dot`/`norm2`/`cosine`) are kept as the
+  * reference implementation and fold in the same left-to-right order, so
+  * both are bit-identical. Cosine values are rounded to 6 decimals before
+  * ranking so the oracle's float fold agrees; ties break on neighbor id.
   *
   * Scale notes: brute-force is O(Q·N) — fine when Q is small (the declared
   * query uses 5 probe vectors) because the N-side streams through a map-only
