@@ -40,6 +40,31 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("no single-partition exchange anywhere in the declared IVF plan") {
+    // Round 1's seeding used Window.orderBy(vec_id) with no partitionBy —
+    // a guaranteed all-data-through-one-task bottleneck. Pin its absence.
+    val df = Ivf.ivfTopK(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"single-partition exchange in:\n$plan")
+  }
+
+  test("exhaustive probe (nProbe = nlist) is exactly brute-force top-k") {
+    val cents = Ivf.train(spark, clustered, nlist = 3)
+    val queries = clustered.filter($"vec_id" === 5L)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val ivf = Ivf.search(spark, clustered, cents, queries, k = 5, nProbe = 3)
+      .select($"neighbor_id", $"rnk").as[(Long, Int)].collect().toSet
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val q5 = clustered.filter($"vec_id" === 5L).select($"v".as("qv"))
+    val w = Window.orderBy(desc("sim"), asc("vec_id"))
+    val brute = clustered.filter($"vec_id" =!= 5L).crossJoin(q5)
+      .select($"vec_id", Similarity.cosineFast(spark, $"v", $"qv").as("sim"))
+      .withColumn("rnk", row_number().over(w)).filter($"rnk" <= 5)
+      .select($"vec_id", $"rnk").as[(Long, Int)].collect().toSet
+    assert(ivf == brute)
+  }
+
   test("search with nProbe=1 achieves perfect recall@3 on separated clusters") {
     val cents = Ivf.train(spark, clustered, nlist = 3)
     val queries = clustered.filter($"vec_id" === 0L)
