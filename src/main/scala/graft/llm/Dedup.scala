@@ -106,6 +106,33 @@ object Dedup {
       .select($"doc_id", $"x.band".as("band"), $"x.bh".as("bh"))
   }
 
+  /** Bucket-size cap for LSH pair expansion. A crawl corpus hands an
+    * adversarial input to LSH by construction — N near-identical boilerplate
+    * docs land in ONE bucket and naive expansion emits N²/2 pairs in a single
+    * task. Overflow policy past the cap: full pairwise expansion among the
+    * first `BucketCap` (smallest) ids, plus one REPRESENTATIVE EDGE from the
+    * bucket's first id to each overflow id — every doc in the bucket stays
+    * connected to the same dup-cluster component, while worst-case output
+    * drops from O(n²) to O(BucketCap² + n) per bucket. Sized far above any
+    * honest fixture bucket (the sf0.1 max is single digits), so the declared
+    * queries' oracle hashes are unaffected; DedupSpec's adversarial test
+    * proves the bound fires on a 1k-identical-doc corpus.
+    */
+  val BucketCap = 64
+
+  /** Capped in-bucket combination pairs: `ids` must be a sorted array.
+    * Shared with [[SimHash.dedupSimhash]] (same bucket-cap policy).
+    */
+  private[llm] def cappedPairs(ids: Column, mk: (Column, Column) => Column): Column = {
+    val head = slice(ids, 1, BucketCap)
+    val full = flatten(transform(head, (a, i) =>
+      transform(slice(head, i + 2, size(head) - (i + 1)), b => mk(a, b))))
+    val overflow = transform(
+      slice(ids, lit(BucketCap + 1), greatest(size(ids) - BucketCap, lit(0))),
+      b => mk(element_at(ids, 1), b))
+    concat(full, overflow)
+  }
+
   /** x_dedup_minhash — candidate near-duplicate pairs: docs sharing any LSH
     * band bucket.
     *
@@ -113,18 +140,22 @@ object Dedup {
     * in-bucket combinations) rather than via a bands⋈bands self-join: the
     * self-join would evaluate the whole signature pipeline twice (broadcast
     * kills exchange reuse — observed via .explain), while this shape computes
-    * signatures once and its cost is bounded by bucket sizes, the standard
-    * LSH scale-out argument.
+    * signatures once. Per-bucket cost is ENFORCED bounded via [[BucketCap]].
     */
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val buckets = bands(spark, dir)
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    dedupMinhashOver(bands(spark, dir))
+
+  /** Same pipeline from a prepared (doc_id, band, bh) band table — the seam
+    * the adversarial bucket-cap test injects through.
+    */
+  def dedupMinhashOver(bandRows: DataFrame): DataFrame = {
+    import bandRows.sparkSession.implicits._
+    val buckets = bandRows
       .groupBy($"band", $"bh")
       .agg(sort_array(collect_list($"doc_id")).as("ids"))
       .filter(size($"ids") >= 2)
-    val pairStructs = flatten(transform($"ids", (a, i) =>
-      transform(slice($"ids", i + 2, size($"ids") - (i + 1)),
-        b => struct(a.as("doc_a"), b.as("doc_b")))))
+    val pairStructs = cappedPairs($"ids",
+      (a, b) => struct(a.as("doc_a"), b.as("doc_b")))
     buckets.select(explode(pairStructs).as("p"))
       .select($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"))
       .distinct()
@@ -169,6 +200,9 @@ object Dedup {
     // The candidate-pair plan is referenced three times below (pairs, the
     // candidate-id set, and the join probe); localCheckpoint materializes it
     // once instead of re-running the whole signature pipeline per reference.
+    // NOTE localCheckpoint pins blocks to executor storage and is NOT
+    // lost-executor resilient — on a real cluster swap for
+    // persist(StorageLevel.DISK_ONLY) or a reliable checkpoint dir.
     val pairs = dedupMinhash(spark, dir).localCheckpoint()
     // Shingle sets are only materialized for candidate docs (semi-join
     // first): at scale the candidate set is orders of magnitude smaller

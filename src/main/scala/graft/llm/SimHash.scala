@@ -72,10 +72,19 @@ object SimHash {
     * blocking (pigeonhole: ≤3 flipped bits cannot touch all 4 bands), exact
     * distance via bit_count(xor). Deterministically empty when the corpus has
     * no near-dups — the unit test pins the behavior on crafted ones.
+    * Per-bucket pair expansion is bounded by [[Dedup.BucketCap]] (same
+    * adversarial-corpus argument + representative-edge overflow policy;
+    * overflow edges past the cap connect to the bucket's first doc and still
+    * pass through the Hamming filter).
     */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val fp = fingerprints(spark, dir)
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    dedupSimhashOver(fingerprints(spark, dir))
+
+  /** Same pipeline from a prepared (doc_id, simhash) table — the seam the
+    * adversarial bucket-cap test injects through.
+    */
+  def dedupSimhashOver(fp: DataFrame): DataFrame = {
+    import fp.sparkSession.implicits._
     val bandStructs = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
         shiftright($"simhash", b * BandBits).bitwiseAND((1L << BandBits) - 1).as("bh"))
@@ -85,10 +94,9 @@ object SimHash {
     val buckets = bands.groupBy($"band", $"bh")
       .agg(sort_array(collect_list(struct($"doc_id", $"simhash"))).as("ds"))
       .filter(size($"ds") >= 2)
-    val pairStructs = flatten(transform($"ds", (a, i) =>
-      transform(slice($"ds", i + 2, size($"ds") - (i + 1)),
-        b => struct(a.getField("doc_id").as("doc_a"), b.getField("doc_id").as("doc_b"),
-          bit_count(a.getField("simhash").bitwiseXOR(b.getField("simhash"))).as("hamming")))))
+    val pairStructs = Dedup.cappedPairs($"ds",
+      (a, b) => struct(a.getField("doc_id").as("doc_a"), b.getField("doc_id").as("doc_b"),
+        bit_count(a.getField("simhash").bitwiseXOR(b.getField("simhash"))).as("hamming")))
     buckets.select(explode(pairStructs).as("p"))
       .select($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"), $"p.hamming".as("hamming"))
       .filter($"hamming" <= MaxHamming)

@@ -73,4 +73,42 @@ class DedupSpec extends SparkSpec {
     val s2 = Dedup.signatures(spark, dir).collect().toSeq
     assert(s1 == s2)
   }
+
+  // Adversarial corpus: 1000 docs land in ONE LSH bucket (the crawl-dedup
+  // worst case). Uncapped expansion would emit C(1000,2) = 499500 pairs in a
+  // single task; the cap bounds output to C(cap,2) full pairs + (n - cap)
+  // representative edges while keeping every doc connected to the cluster.
+  test("bucket cap bounds adversarial pair expansion and preserves connectivity") {
+    val n = 1000
+    val cap = Dedup.BucketCap
+    val bandRows = (0 until n).map(i => (i.toLong, 0, "samehash"))
+      .toDF("doc_id", "band", "bh")
+    val pairs = Dedup.dedupMinhashOver(bandRows).as[(Long, Long)].collect()
+    assert(pairs.length == cap * (cap - 1) / 2 + (n - cap))
+    // every doc is in some pair => one connected dup-cluster component
+    assert(pairs.flatMap(p => Seq(p._1, p._2)).distinct.length == n)
+    // overflow ids (>= cap) each appear exactly once, linked to the rep (id 0)
+    assert(pairs.filter(_._2 >= cap).forall(_._1 == 0L))
+  }
+
+  test("simhash bucket cap bounds identical-fingerprint pair expansion") {
+    val n = 1000
+    val cap = Dedup.BucketCap
+    val fp = (0 until n).map(i => (i.toLong, 0x123456789abcdL))
+      .toDF("doc_id", "simhash")
+    val pairs = SimHash.dedupSimhashOver(fp)
+      .as[(Long, Long, Int)].collect()
+    // all 4 bands produce the SAME capped pair set; distinct() collapses them
+    assert(pairs.length == cap * (cap - 1) / 2 + (n - cap))
+    assert(pairs.forall(_._3 == 0)) // hamming 0 for identical fingerprints
+    assert(pairs.flatMap(p => Seq(p._1, p._2)).distinct.length == n)
+  }
+
+  test("bucket cap never fires on small honest buckets (pairs unchanged)") {
+    val bandRows = (0 until 5).map(i => (i.toLong, 0, "h"))
+      .toDF("doc_id", "band", "bh")
+    val pairs = Dedup.dedupMinhashOver(bandRows).as[(Long, Long)].collect().toSet
+    val expected = (for { a <- 0 until 5; b <- a + 1 until 5 } yield (a.toLong, b.toLong)).toSet
+    assert(pairs == expected)
+  }
 }
