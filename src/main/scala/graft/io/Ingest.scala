@@ -55,21 +55,51 @@ object Ingest {
   /** csv_replay_limit — to_json envelope over the first n rows in key order:
     * the deterministic batch analogue of the reference's CSV→Kafka replay
     * (kafka_stream.pyc @ 68-74: first n rows, JSON-serialized).
-    * No oracle (JSON serialization formats differ across engines); the
-    * row-count gate plus the ScalaTest golden cover it.
+    *
+    * The envelope is CANONICAL so the DuckDB oracle reproduces it
+    * byte-for-byte (round-1 gap closed — this was the one rows-only query):
+    * fixed field order, timestamp pre-formatted ISO-8601 with microseconds,
+    * money as integer cents (engine-controlled number formatting — a raw
+    * double would hit each engine's float-printing rules). The reference's
+    * own payloads are all strings (kafka_stream.pyc @ 32-37), so a canonical
+    * envelope is parity, not a restriction.
     */
   def csvReplayLimit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
       .orderBy($"event_id")
       .limit(100)
-      .select($"event_id", to_json(struct(col("*"))).as("value"))
+      .select($"event_id", to_json(struct(
+        $"event_id",
+        date_format($"ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("ts"),
+        $"user_id",
+        $"event_type",
+        graft.util.Det.cents($"value").as("value_cents"),
+        $"props")).as("value"))
   }
+
+  /** Oracle: the same envelope via string concatenation (DuckDB has no
+    * field-ordered struct→JSON with these exact formats). `\"` inside a
+    * single-quoted SQL literal is two characters — standard SQL strings do
+    * not process backslash escapes — matching Jackson's quote escaping.
+    */
+  val csvReplayLimitSql: String =
+    """SELECT event_id,
+      | '{"event_id":' || event_id ||
+      | ',"ts":"' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') ||
+      | '","user_id":' || user_id ||
+      | ',"event_type":"' || event_type ||
+      | '","value_cents":' || CAST(round(value * 100) AS BIGINT) ||
+      | ',"props":"' || replace(props, '"', '\"') || '"}' AS value
+      |FROM events
+      |ORDER BY event_id
+      |LIMIT 100""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ingest_json_raw" -> (ingestJsonRaw _),
     "csv_replay_limit" -> (csvReplayLimit _))
 
   val oracles: Map[String, String] = Map(
-    "ingest_json_raw" -> ingestJsonRawSql)
+    "ingest_json_raw" -> ingestJsonRawSql,
+    "csv_replay_limit" -> csvReplayLimitSql)
 }
