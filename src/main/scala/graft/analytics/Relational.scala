@@ -446,6 +446,28 @@ object Relational {
     spark.sql(sqlRegionText)
   }
 
+  /** One SQL text for both engines: orders strictly above their customer's
+    * average order value — a CORRELATED scalar subquery, exercising
+    * Catalyst's decorrelation family (RewriteCorrelatedScalarSubquery turns
+    * each subquery into an aggregate + join; SURVEY.md §4.2). The comparison
+    * is exact integer arithmetic (cents × count vs cent-sum) instead of a
+    * float `avg`, so the boundary rows agree bit-for-bit across engines.
+    */
+  val subqueryCorrText: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE CAST(round(o_totalprice * 100) AS BIGINT) *
+      |      (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |    > (SELECT sum(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+      |       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q_subquery_corr — the decorrelation path (same text, two engines). */
+  def subqueryCorr(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(subqueryCorrText)
+  }
+
   /** q_limit_order — deterministic head-n in key order: the batch analogue of
     * the reference's first-n CSV replay (kafka_stream.pyc @ 72-73).
     */
@@ -478,6 +500,7 @@ object Relational {
     "q_pivot_status" -> (pivotStatus _),
     "q_cube" -> (cubeStatusPriority _),
     "q_sql_region" -> (sqlRegion _),
+    "q_subquery_corr" -> (subqueryCorr _),
     "q_limit_order" -> (limitOrder _))
 
   val oracles: Map[String, String] = Map(
@@ -501,5 +524,6 @@ object Relational {
     "q_pivot_status" -> pivotStatusSql,
     "q_cube" -> cubeStatusPrioritySql,
     "q_sql_region" -> sqlRegionText,
+    "q_subquery_corr" -> subqueryCorrText,
     "q_limit_order" -> limitOrderSql)
 }
