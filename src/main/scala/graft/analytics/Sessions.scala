@@ -144,6 +144,37 @@ object Sessions {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** q_user_stats_salted — per-user lifetime stats THROUGH the two-phase
+    * salted aggregate ([[Skew.twoPhaseAgg]]): partial-aggregate on
+    * (user_id, salt) spreads a bot/power user over 8 reducers, the final
+    * aggregate merges per-salt partials. The oracle is the plain one-level
+    * SQL — passing the hash gate proves the salted plan is value-identical
+    * to the unsalted aggregate (all aggregates here are algebraic: counts,
+    * integer-cent sums, min/max).
+    */
+  def userStatsSalted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .withColumn("cents", Det.cents($"value"))
+      .withColumn("ts_us", unix_micros($"ts".cast("timestamp")))
+    Skew.twoPhaseAgg(ev, $"user_id", $"event_id", saltBuckets = 8,
+      partial = Seq(count(lit(1)).as("pn"), sum($"cents").as("pc"),
+        min($"ts_us").as("pmin"), max($"ts_us").as("pmax")),
+      fin = Seq(sum($"pn").as("n_events"),
+        (sum($"pc").cast("double") / 100.0).as("total_value"),
+        (max($"pmax") - min($"pmin")).as("span_us")))
+      .select(col("__k").as("user_id"), $"n_events", $"total_value", $"span_us")
+      .orderBy($"user_id")
+  }
+
+  val userStatsSaltedSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value,
+      | max(epoch_us(ts)) - min(epoch_us(ts)) AS span_us
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   /** q_event_counts — plain per-type counts (the funnel's first view). */
   def eventCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -162,6 +193,7 @@ object Sessions {
     "q_session_stats" -> (sessionStats _),
     "q_funnel" -> (funnel _),
     "q_window_running" -> (windowRunning _),
+    "q_user_stats_salted" -> (userStatsSalted _),
     "q_event_counts" -> (eventCounts _))
 
   val oracles: Map[String, String] = Map(
@@ -169,5 +201,6 @@ object Sessions {
     "q_session_stats" -> sessionStatsSql,
     "q_funnel" -> funnelSql,
     "q_window_running" -> windowRunningSql,
+    "q_user_stats_salted" -> userStatsSaltedSql,
     "q_event_counts" -> eventCountsSql)
 }

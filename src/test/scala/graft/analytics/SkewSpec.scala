@@ -42,4 +42,22 @@ class SkewSpec extends SparkSpec {
       .groupBy($"key", $"__salt").count()
     assert(partials.count() > 1) // the hot key occupies multiple partial groups
   }
+
+  test("q_user_stats_salted plans a two-level aggregate and matches unsalted") {
+    import graft.io.Tables
+    val dir = "/root/testdata/sf0.001"
+    val salted = Sessions.userStatsSalted(spark, dir)
+    // the salt key must appear in the physical aggregate (phase 1 groups on it)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salted grouping missing from plan:\n$plan")
+    val got = salted.as[(Long, Long, Double, Long)].collect().toSeq
+    val want = Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        (sum(graft.util.Det.cents($"value")).cast("double") / 100.0).as("total_value"),
+        (max(unix_micros($"ts")) - min(unix_micros($"ts"))).as("span_us"))
+      .orderBy($"user_id")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(got == want)
+  }
 }
