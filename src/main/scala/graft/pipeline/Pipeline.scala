@@ -48,6 +48,37 @@ object LogAlertSink extends AlertSink {
         s"Errors: ${failures.mkString("; ")}")
 }
 
+/** Webhook alert sink — the reference's real failure branch: an HTTP POST of
+  * a templated message to an injected endpoint (dag_factory.py:80-87 posts
+  * `{"text": ...}` to a Slack webhook). Unlike the reference's template —
+  * which interpolates a `dq_summary['errors']` key that is never written —
+  * the message carries the actual failure details.
+  */
+final class WebhookAlertSink(endpoint: String) extends AlertSink {
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  def alert(pipelineName: String, failures: Seq[String]): Unit = {
+    val msg = s"Data quality check failed for pipeline: $pipelineName! " +
+      s"Errors: ${failures.mkString("; ")}"
+    val body = s"""{"text":"${jsonEscape(msg)}"}"""
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest.newBuilder()
+      .uri(java.net.URI.create(endpoint))
+      .header("Content-Type", "application/json")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
+    client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    ()
+  }
+}
+
 final case class PipelineResult(
     passed: Boolean,
     results: Seq[CheckResult],
