@@ -105,8 +105,12 @@ object Streaming {
       }
   }
 
-  /** ds-partitioned parquet sink via foreachBatch (idempotent per-batch
-    * dynamic overwrite), with a processing-time trigger for rate control.
+  /** batch_id-partitioned parquet sink via foreachBatch, idempotent under
+    * replay: after a failure Structured Streaming re-runs the last batch with
+    * the SAME batchId, and the dynamic-overwrite write replaces exactly that
+    * batch's partition instead of appending duplicates — the standard
+    * exactly-once-to-parquet recipe for foreachBatch sinks. Downstream batch
+    * readers partition-prune on batch_id.
     */
   def parquetSink(
       stats: DataFrame,
@@ -118,7 +122,17 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outRoot)
+        writeBatch(batch, batchId, outRoot)
       }
+
+  /** The per-batch write: replaces exactly this batch's partition (dynamic
+    * overwrite), so re-running a batchId is a no-op in row terms — pinned by
+    * StreamingSpec's replay test.
+    */
+  private[streaming] def writeBatch(batch: DataFrame, batchId: Long, outRoot: String): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(outRoot)
 }

@@ -83,6 +83,20 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parquetSink batch replay is idempotent (dynamic partition overwrite)") {
+    val out = java.nio.file.Files.createTempDirectory("sink").toString + "/out"
+    val b0 = Seq((1L, 10.0), (2L, 20.0)).toDF("user_id", "v")
+    val b1 = Seq((3L, 30.0)).toDF("user_id", "v")
+    Streaming.writeBatch(b0, 0L, out)
+    Streaming.writeBatch(b1, 1L, out)
+    // failure recovery: Structured Streaming re-runs the last batch with the
+    // SAME id — the write must replace batch 1's partition, not append to it
+    Streaming.writeBatch(b1, 1L, out)
+    val rows = spark.read.parquet(out)
+      .select($"batch_id", $"user_id").as[(Long, Long)].collect().toSet
+    assert(rows == Set((0L, 1L), (0L, 2L), (1L, 3L)))
+  }
+
   test("tumbling window counts per event type") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[String]
