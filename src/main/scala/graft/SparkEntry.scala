@@ -5,7 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.{AsOf, Relational, Sessions}
 import graft.dq.DataQuality
 import graft.io.Ingest
-import graft.llm.{Dedup, LangId, SimHash, Similarity, TextOps}
+import graft.llm.{Dedup, Ivf, LangId, SimHash, Similarity, TextOps}
+import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,7 +32,9 @@ object SparkEntry {
       Dedup.queries ++
       SimHash.queries ++
       LangId.queries ++
-      Similarity.queries
+      Similarity.queries ++
+      Ivf.queries ++
+      Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -46,5 +49,7 @@ object SparkEntry {
       Dedup.oracles ++
       SimHash.oracles ++
       LangId.oracles ++
-      Similarity.oracles
+      Similarity.oracles ++
+      Ivf.oracles ++
+      Multimodal.oracles
 }
