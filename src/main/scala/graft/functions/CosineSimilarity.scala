@@ -17,6 +17,14 @@ import org.apache.spark.sql.SparkSession
   * primitive loop (dot, |a|², |b|² in one pass), keeping the hot path of
   * similarity search fully codegen'd. Accumulation order is left-to-right,
   * identical to the HOF fold, so results are bit-identical and oracle-safe.
+  *
+  * Null semantics: NULL on mismatched array lengths (matching zip_with's
+  * null padding poisoning the HOF fold) and NULL on a zero denominator —
+  * never NaN, never silent truncation. The zero-norm case deliberately takes
+  * `try_divide` semantics: under Spark 4's default ANSI mode the HOF's bare
+  * Divide THROWS on a 0 divisor, which is wrong for a similarity measure
+  * (one all-zero embedding would kill a whole corpus scan); a null sim is
+  * simply "no similarity defined" and filters/ranks naturally.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -34,6 +42,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def nullIntolerant: Boolean = true
 
+  // Can produce NULL for non-null inputs (length mismatch, zero norm), so
+  // nullability must not be inferred from the children alone.
+  override def nullable: Boolean = true
+
   override def dataType: DataType = DoubleType
 
   override def prettyName: String = "cosine_sim"
@@ -41,7 +53,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -49,7 +62,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / math.sqrt(na * nb)
+    val den = na * nb
+    if (den == 0.0) null else dot / math.sqrt(den)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -61,15 +75,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val den = ctx.freshName("den")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $a.getDouble($i);
-         |  double $yi = $b.getDouble($i);
-         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = $a.getDouble($i);
+         |    double $yi = $b.getDouble($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  double $den = $na * $nb;
+         |  if ($den == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / java.lang.Math.sqrt($den);
+         |  }
          |}
-         |${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
        """.stripMargin
     })
 

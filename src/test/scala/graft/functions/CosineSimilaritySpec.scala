@@ -48,4 +48,25 @@ class CosineSimilaritySpec extends SparkSpec {
     val r = df.select(call_function("cosine_sim", $"a", $"b")).collect().head
     assert(r.isNullAt(0))
   }
+
+  test("zero-norm input yields null (try_divide semantics), never NaN") {
+    GraftFunctions.register(spark)
+    val df = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val r = df.select(call_function("cosine_sim", $"a", $"b")).collect().head
+    assert(r.isNullAt(0))
+    // the HOF's bare Divide throws under default ANSI — the documented reason
+    // cosine_sim deviates to try_divide semantics here
+    intercept[Exception] {
+      df.select(Similarity.cosine($"a", $"b")).collect()
+    }
+  }
+
+  test("mismatched lengths yield null, matching zip_with's null padding") {
+    GraftFunctions.register(spark)
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val r = df.select(
+      call_function("cosine_sim", $"a", $"b").as("fast"),
+      Similarity.cosine($"a", $"b").as("hof")).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
 }
