@@ -25,37 +25,51 @@ object EventGen {
   val UtmSources: Seq[String] = Seq("facebook", "google", "tiktok_ads", "organic")
   val NumUsers = 50
 
-  private def pick(domain: Seq[String], seed: Long): org.apache.spark.sql.Column =
+  /** Field pick: murmur3 of (row id, seed) mod the domain size. A pure
+    * function of the id VALUE — unlike `rand(seed)`, whose stream depends on
+    * the partition layout, this reproduces identically at any parallelism or
+    * cluster size.
+    */
+  private def pick(domain: Seq[String], id: org.apache.spark.sql.Column,
+      seed: Long): org.apache.spark.sql.Column =
     element_at(typedlit(domain),
-      (floor(rand(seed) * domain.size) + 1).cast("int"))
+      (pmod(hash(id, lit(seed)), lit(domain.size)) + 1).cast("int"))
 
-  /** n synthetic events, seeded => reproducible. Timestamps are a fixed base
-    * plus one second per row (deterministic, unlike utcnow in the reference;
-    * the ISO-8601 'Z' format matches kafka_stream.pyc @ 36 exactly).
+  /** n synthetic events, seeded => reproducible (every field derives from
+    * (id, seed) via murmur3 — partition-layout-independent). Timestamps are a
+    * fixed base plus one second per row (deterministic, unlike utcnow in the
+    * reference; the ISO-8601 'Z' format matches kafka_stream.pyc @ 36
+    * exactly). `partitions` > 0 pins the range parallelism (tests use it to
+    * prove layout independence).
     */
   def syntheticEvents(spark: SparkSession, n: Long, seed: Long,
-      baseEpoch: Long = 1753664400L /* 2025-07-28T01:00:00Z, the reference DAG start */): DataFrame = {
-    spark.range(n).select(
-      concat(lit("user_"), floor(rand(seed) * NumUsers).cast("long").cast("string")).as("user_id"),
-      pick(EventTypes, seed + 1).as("event_type"),
-      pick(Urls, seed + 2).as("url"),
+      baseEpoch: Long = 1753664400L /* 2025-07-28T01:00:00Z, the reference DAG start */,
+      partitions: Int = 0): DataFrame = {
+    val ids = if (partitions > 0) spark.range(0L, n, 1L, partitions) else spark.range(n)
+    ids.select(
+      concat(lit("user_"),
+        pmod(hash(col("id"), lit(seed)), lit(NumUsers)).cast("long").cast("string")).as("user_id"),
+      pick(EventTypes, col("id"), seed + 1).as("event_type"),
+      pick(Urls, col("id"), seed + 2).as("url"),
       date_format(timestamp_seconds(lit(baseEpoch) + col("id")),
         "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timestamp"),
-      pick(UtmSources, seed + 3).as("utm_source"))
+      pick(UtmSources, col("id"), seed + 3).as("utm_source"))
   }
 
   /** Streaming variant: rate source → same projection (timestamps from the
     * source; rowsPerSecond is the principled replacement for per-row sleep).
+    * Fields derive from the rate source's monotonically increasing `value`.
     */
   def syntheticEventStream(spark: SparkSession, rowsPerSecond: Int, seed: Long): DataFrame =
     spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond).load()
       .select(
-        concat(lit("user_"), floor(rand(seed) * NumUsers).cast("long").cast("string")).as("user_id"),
-        pick(EventTypes, seed + 1).as("event_type"),
-        pick(Urls, seed + 2).as("url"),
+        concat(lit("user_"),
+          pmod(hash(col("value"), lit(seed)), lit(NumUsers)).cast("long").cast("string")).as("user_id"),
+        pick(EventTypes, col("value"), seed + 1).as("event_type"),
+        pick(Urls, col("value"), seed + 2).as("url"),
         date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timestamp"),
-        pick(UtmSources, seed + 3).as("utm_source"))
+        pick(UtmSources, col("value"), seed + 3).as("utm_source"))
 
   /** O15 — the UTF-8 JSON envelope: every row becomes one JSON object. */
   def jsonEnvelope(df: DataFrame): DataFrame =

@@ -26,6 +26,15 @@ class EventGenSpec extends SparkSpec {
     assert(a != c)
   }
 
+  test("generation is partition-layout independent (id-derived, not rand)") {
+    // rand(seed) streams depend on the partition layout; the murmur3(id, seed)
+    // derivation must not — the same rows at parallelism 1 and 13.
+    def sorted(parts: Int) =
+      EventGen.syntheticEvents(spark, 100, seed = 42, partitions = parts)
+        .collect().toSeq.sortBy(_.getString(3)) // timestamp is unique per id
+    assert(sorted(1) == sorted(13))
+  }
+
   test("jsonEnvelope emits one JSON object per row with field names") {
     val df = Seq((1L, "x")).toDF("id", "v")
     val out = EventGen.jsonEnvelope(df).as[String].head()
