@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.{AsOf, Relational, Sessions}
 import graft.dq.DataQuality
 import graft.io.Ingest
-import graft.llm.{Dedup, Ivf, LangId, SimHash, Similarity, TextOps}
+import graft.llm.{Dedup, Ivf, LangId, SimHash, Similarity, TextClean, TextOps}
 import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -29,6 +29,7 @@ object SparkEntry {
       DataQuality.queries ++
       Ingest.queries ++
       TextOps.queries ++
+      TextClean.queries ++
       Dedup.queries ++
       SimHash.queries ++
       LangId.queries ++
@@ -46,6 +47,7 @@ object SparkEntry {
       DataQuality.oracles ++
       Ingest.oracles ++
       TextOps.oracles ++
+      TextClean.oracles ++
       Dedup.oracles ++
       SimHash.oracles ++
       LangId.oracles ++

@@ -146,6 +146,34 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** q_join_full — FULL OUTER join of two pre-aggregated sides (customers
+    * and suppliers per nation key), null-coalesced: completes the join family
+    * (inner/left/semi/anti/range/full). Aggregating BEFORE the join keeps the
+    * outer join small at any scale — the classic outer-join-after-rollup
+    * shape.
+    */
+  def joinFull(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+      .groupBy($"c_nationkey".as("nationkey")).agg(count(lit(1)).as("n_customers"))
+    val s = Tables.supplier(spark, dir)
+      .groupBy($"s_nationkey".as("nationkey")).agg(count(lit(1)).as("n_suppliers"))
+    c.join(s, Seq("nationkey"), "full_outer")
+      .select($"nationkey",
+        coalesce($"n_customers", lit(0L)).as("n_customers"),
+        coalesce($"n_suppliers", lit(0L)).as("n_suppliers"))
+      .orderBy($"nationkey")
+  }
+
+  val joinFullSql: String =
+    """SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+      | COALESCE(n_customers, 0) AS n_customers,
+      | COALESCE(n_suppliers, 0) AS n_suppliers
+      |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_customers FROM customer GROUP BY 1) c
+      |FULL OUTER JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers FROM supplier GROUP BY 1) s
+      | ON c.nationkey = s.nationkey
+      |ORDER BY nationkey""".stripMargin
+
   /** q_agg_group — revenue per (nation, segment): multi-key hash aggregate. */
   def aggGroup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -425,6 +453,37 @@ object Relational {
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  /** q_window_range — RANGE-frame window: for each order day, the trailing
+    * 7-day order count and revenue (frames family beyond ROWS — a RANGE
+    * frame bounds by VALUE distance on the ordering key, so days with gaps
+    * still look back exactly 7 calendar days). Computed over the per-day
+    * rollup, so the window input is small whatever the fact-table scale.
+    */
+  def windowRange(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, dir)
+      .groupBy(unix_date(to_date($"o_orderdate")).as("day_n"))
+      .agg(count(lit(1)).as("n_orders"), sum(Det.cents($"o_totalprice")).as("cents"))
+    val w = Window.orderBy($"day_n").rangeBetween(-6, Window.currentRow)
+    daily.select(
+        date_from_unix_date($"day_n").as("day"),
+        sum($"n_orders").over(w).as("n_7d"),
+        (sum($"cents").over(w).cast("double") / 100.0).as("revenue_7d"))
+      .orderBy($"day")
+  }
+
+  val windowRangeSql: String =
+    """WITH daily AS (
+      | SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
+      |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      | FROM orders GROUP BY 1)
+      |SELECT day,
+      | sum(n_orders) OVER w AS n_7d,
+      | CAST(sum(cents) OVER w AS DOUBLE) / 100.0 AS revenue_7d
+      |FROM daily
+      |WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+      |ORDER BY day""".stripMargin
+
   /** One SQL text that parses identically in Spark SQL and DuckDB — used
     * verbatim by both q_sql_region's Spark execution and its oracle, proving
     * the engine's SQL entry path (`Tables.registerViews` + `spark.sql`).
@@ -486,10 +545,12 @@ object Relational {
     "q_join_left" -> (joinLeft _),
     "q_join_semi" -> (joinSemi _),
     "q_join_anti" -> (joinAnti _),
+    "q_join_full" -> (joinFull _),
     "q_agg_group" -> (aggGroup _),
     "q_agg_distinct" -> (aggDistinct _),
     "q_topk" -> (topK _),
     "q_window_rank" -> (windowRank _),
+    "q_window_range" -> (windowRange _),
     "q_union" -> (unionKeys _),
     "q_except" -> (exceptKeys _),
     "q_intersect" -> (intersectKeys _),
@@ -510,10 +571,12 @@ object Relational {
     "q_join_left" -> joinLeftSql,
     "q_join_semi" -> joinSemiSql,
     "q_join_anti" -> joinAntiSql,
+    "q_join_full" -> joinFullSql,
     "q_agg_group" -> aggGroupSql,
     "q_agg_distinct" -> aggDistinctSql,
     "q_topk" -> topKSql,
     "q_window_rank" -> windowRankSql,
+    "q_window_range" -> windowRangeSql,
     "q_union" -> unionKeysSql,
     "q_except" -> exceptKeysSql,
     "q_intersect" -> intersectKeysSql,

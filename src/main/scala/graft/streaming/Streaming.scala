@@ -105,6 +105,24 @@ object Streaming {
       }
   }
 
+  /** Streaming exact dedup — the ingestion-time companion of Dedup.dedupExact
+    * for a training-data firehose: drop records whose dedup key was already
+    * seen, with state bounded by the watermark (dropDuplicatesWithinWatermark
+    * expires keys once the watermark passes, so 100 TB of stream history
+    * never accumulates in state — the unbounded-state trap of a bare
+    * dropDuplicates). Key defaults to the md5 of the payload column.
+    */
+  def dedupStream(
+      events: DataFrame,
+      payloadCol: String = "text",
+      tsCol: String = "ts",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("dedup_key", md5(col(payloadCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("dedup_key")
+      .drop("dedup_key")
+
   /** batch_id-partitioned parquet sink via foreachBatch, idempotent under
     * replay: after a failure Structured Streaming re-runs the last batch with
     * the SAME batchId, and the dynamic-overwrite write replaces exactly that

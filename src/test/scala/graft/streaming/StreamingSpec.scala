@@ -83,6 +83,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops payload duplicates across batches, state watermark-bounded") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val deduped = Streaming.dedupStream(
+      input.toDF().toDF("ts", "text"), payloadCol = "text", watermark = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      input.addData((t("2024-01-01 10:00:00"), "alpha"), (t("2024-01-01 10:00:01"), "beta"))
+      q.processAllAvailable()
+      // same payload again within the watermark window: dropped
+      input.addData((t("2024-01-01 10:01:00"), "alpha"))
+      q.processAllAvailable()
+      val texts = spark.table("dedup").select($"text").as[String].collect().toSeq
+      assert(texts.sorted == Seq("alpha", "beta"))
+    } finally q.stop()
+  }
+
   test("parquetSink batch replay is idempotent (dynamic partition overwrite)") {
     val out = java.nio.file.Files.createTempDirectory("sink").toString + "/out"
     val b0 = Seq((1L, 10.0), (2L, 20.0)).toDF("user_id", "v")
