@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.{AsOf, Relational, Sessions}
 import graft.dq.DataQuality
 import graft.io.Ingest
-import graft.llm.{Dedup, Ivf, LangId, SimHash, Similarity, TextClean, TextOps}
+import graft.llm.{Cluster, Dedup, Ivf, LangId, SimHash, Similarity, TextClean, TextOps}
 import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -31,6 +31,7 @@ object SparkEntry {
       TextOps.queries ++
       TextClean.queries ++
       Dedup.queries ++
+      Cluster.queries ++
       SimHash.queries ++
       LangId.queries ++
       Similarity.queries ++
@@ -49,6 +50,7 @@ object SparkEntry {
       TextOps.oracles ++
       TextClean.oracles ++
       Dedup.oracles ++
+      Cluster.oracles ++
       SimHash.oracles ++
       LangId.oracles ++
       Similarity.oracles ++

@@ -484,6 +484,220 @@ object Relational {
       |WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
       |ORDER BY day""".stripMargin
 
+  /** q_grouping_sets — explicit GROUPING SETS ((status), (priority), ()):
+    * the third member of the rollup/cube family, with `grouping()` flags
+    * disambiguating real NULLs from subtotal rows. One shuffle; Spark
+    * expands sets via a single Expand node, not one pass per set.
+    */
+  def groupingSetsQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority"), Seq()),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(
+        grouping($"o_orderstatus").cast("long").as("g_status"),
+        grouping($"o_orderpriority").cast("long").as("g_priority"),
+        count(lit(1)).as("n_orders"),
+        (sum(Det.cents($"o_totalprice")).cast("double") / 100.0).as("revenue"))
+      .orderBy($"g_status", $"g_priority",
+        $"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      | CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      | CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+      | count(*) AS n_orders,
+      | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY g_status, g_priority, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** q_lag_lead — offset window functions over the per-day revenue rollup:
+    * previous/next day's revenue and the day-over-day delta. All arithmetic
+    * in integer cents; the window input is the (small) daily rollup.
+    */
+  def lagLead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(Det.cents($"o_totalprice")).as("cents"))
+    val w = Window.orderBy($"day")
+    daily.select(
+        $"day",
+        ($"cents".cast("double") / 100.0).as("revenue"),
+        (lag($"cents", 1).over(w).cast("double") / 100.0).as("prev_revenue"),
+        (lead($"cents", 1).over(w).cast("double") / 100.0).as("next_revenue"),
+        (($"cents" - lag($"cents", 1).over(w)).cast("double") / 100.0).as("delta"))
+      .orderBy($"day")
+  }
+
+  val lagLeadSql: String =
+    """WITH daily AS (
+      | SELECT CAST(o_orderdate AS DATE) AS day,
+      |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      | FROM orders GROUP BY 1)
+      |SELECT day,
+      | CAST(cents AS DOUBLE) / 100.0 AS revenue,
+      | CAST(lag(cents, 1) OVER w AS DOUBLE) / 100.0 AS prev_revenue,
+      | CAST(lead(cents, 1) OVER w AS DOUBLE) / 100.0 AS next_revenue,
+      | CAST(cents - lag(cents, 1) OVER w AS DOUBLE) / 100.0 AS delta
+      |FROM daily
+      |WINDOW w AS (ORDER BY day)
+      |ORDER BY day""".stripMargin
+
+  /** q_quantiles — EXACT discrete quantiles (lower median, p90) of order
+    * value per priority, via row_number picks instead of an interpolating
+    * percentile: engines differ in interpolation arithmetic, but "the value
+    * at sorted position floor((n+1)/2)" is pure integer selection and
+    * matches bit-for-bit. Positions are computed in doubles (exact for any
+    * feasible n) so both dialects share one formula. One shuffle on the
+    * group key; the sort is per-partition within the window.
+    */
+  def quantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"cents", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .select($"o_orderpriority", $"o_orderkey", Det.cents($"o_totalprice").as("cents"))
+      .select($"o_orderpriority", $"cents",
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy($"o_orderpriority")).as("n"))
+      .groupBy($"o_orderpriority")
+      .agg(
+        max($"n").as("n_orders"),
+        (max(when($"rn" === floor(($"n" + 1) / 2.0), $"cents")).cast("double") / 100.0).as("median_price"),
+        (max(when($"rn" === floor(($"n" * 9 + 9) / 10.0), $"cents")).cast("double") / 100.0).as("p90_price"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val quantilesSql: String =
+    """WITH ranked AS (
+      | SELECT o_orderpriority,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |  row_number() OVER (PARTITION BY o_orderpriority
+      |                     ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey) AS rn,
+      |  count(*) OVER (PARTITION BY o_orderpriority) AS n
+      | FROM orders)
+      |SELECT o_orderpriority,
+      | max(n) AS n_orders,
+      | CAST(max(CASE WHEN rn = floor((n + 1) / 2.0) THEN cents END) AS DOUBLE) / 100.0 AS median_price,
+      | CAST(max(CASE WHEN rn = floor((n * 9 + 9) / 10.0) THEN cents END) AS DOUBLE) / 100.0 AS p90_price
+      |FROM ranked
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** q_string_agg — ordered string aggregation: nations per region as a
+    * comma-joined, alphabetically sorted list. The explicit sort inside the
+    * aggregate is what makes a string agg deterministic under parallelism —
+    * an unordered string_agg is a different string every run.
+    */
+  def stringAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)),
+        $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(
+        count(lit(1)).as("n_nations"),
+        concat_ws(",", sort_array(collect_list($"n_name"))).as("nations"))
+      .orderBy($"r_name")
+  }
+
+  val stringAggSql: String =
+    """SELECT r_name, count(*) AS n_nations,
+      | string_agg(n_name, ',' ORDER BY n_name) AS nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin
+
+  /** q_array_fns — array construction + element ops per (sampled) order:
+    * sorted quantity list, first/last element, membership, join-to-string.
+    * The deterministic key-mod sample keeps output bounded at any SF; the
+    * arrays are emitted as joined strings because canonical text compares
+    * across engines where raw list hashing might not.
+    */
+  def arrayFns(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_orderkey" % 97 === 0)
+      .select($"l_orderkey", $"l_quantity".cast("long").as("qty"))
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_list($"qty")).as("qtys"))
+      .select(
+        $"l_orderkey",
+        size($"qtys").cast("long").as("n_items"),
+        element_at($"qtys", 1).as("q_min"),
+        element_at($"qtys", size($"qtys")).as("q_max"),
+        array_contains($"qtys", 50L).as("has_qty50"),
+        array_join($"qtys", ",").as("qty_list"))
+      .orderBy($"l_orderkey")
+  }
+
+  val arrayFnsSql: String =
+    """WITH g AS (
+      | SELECT l_orderkey, list_sort(list(CAST(l_quantity AS BIGINT))) AS qtys
+      | FROM lineitem WHERE l_orderkey % 97 = 0
+      | GROUP BY l_orderkey)
+      |SELECT l_orderkey,
+      | CAST(len(qtys) AS BIGINT) AS n_items,
+      | qtys[1] AS q_min,
+      | qtys[len(qtys)] AS q_max,
+      | list_contains(qtys, 50) AS has_qty50,
+      | array_to_string(qtys, ',') AS qty_list
+      |FROM g
+      |ORDER BY l_orderkey""".stripMargin
+
+  /** q_sample_hash — DETERMINISTIC sampling: hash-prefix selection instead
+    * of TABLESAMPLE/rand(). md5 of the row key is identical in every engine
+    * and under any partitioning, so a 1/16 profile sample of a 100 TB table
+    * is reproducible run-to-run — the property rand()-based sampling loses
+    * the moment the partition layout changes. Map-only scan + one tiny agg.
+    */
+  def sampleHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter(substring(md5(concat($"l_orderkey".cast("string"), lit("_"),
+        $"l_linenumber".cast("string"))), 1, 1) === "0")
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        sum($"l_quantity".cast("long")).as("sum_qty"),
+        countDistinct($"l_orderkey").as("n_orders"))
+  }
+
+  val sampleHashSql: String =
+    """SELECT count(*) AS n_sampled,
+      | sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+      | count(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem
+      |WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)), 1, 1) = '0'""".stripMargin
+
+  /** One SQL text for both engines: segments counted over customers having
+    * an urgent order but no finished order — EXISTS and NOT EXISTS
+    * correlated subqueries, which Catalyst decorrelates to left-semi and
+    * left-anti joins respectively (RewritePredicateSubquery; SURVEY.md §4.2).
+    */
+  val existsSubqueryText: String =
+    """SELECT c_mktsegment, count(*) AS n_customers
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderpriority = '1-URGENT')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderstatus = 'F')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** q_subquery_exists — EXISTS/NOT EXISTS decorrelation (same text, two
+    * engines).
+    */
+  def subqueryExists(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(existsSubqueryText)
+  }
+
   /** One SQL text that parses identically in Spark SQL and DuckDB — used
     * verbatim by both q_sql_region's Spark execution and its oracle, proving
     * the engine's SQL entry path (`Tables.registerViews` + `spark.sql`).
@@ -560,6 +774,13 @@ object Relational {
     "q_join_range" -> (joinRange _),
     "q_pivot_status" -> (pivotStatus _),
     "q_cube" -> (cubeStatusPriority _),
+    "q_grouping_sets" -> (groupingSetsQ _),
+    "q_lag_lead" -> (lagLead _),
+    "q_quantiles" -> (quantiles _),
+    "q_string_agg" -> (stringAgg _),
+    "q_array_fns" -> (arrayFns _),
+    "q_sample_hash" -> (sampleHash _),
+    "q_subquery_exists" -> (subqueryExists _),
     "q_sql_region" -> (sqlRegion _),
     "q_subquery_corr" -> (subqueryCorr _),
     "q_limit_order" -> (limitOrder _))
@@ -586,6 +807,13 @@ object Relational {
     "q_join_range" -> joinRangeSql,
     "q_pivot_status" -> pivotStatusSql,
     "q_cube" -> cubeStatusPrioritySql,
+    "q_grouping_sets" -> groupingSetsSql,
+    "q_lag_lead" -> lagLeadSql,
+    "q_quantiles" -> quantilesSql,
+    "q_string_agg" -> stringAggSql,
+    "q_array_fns" -> arrayFnsSql,
+    "q_sample_hash" -> sampleHashSql,
+    "q_subquery_exists" -> existsSubqueryText,
     "q_sql_region" -> sqlRegionText,
     "q_subquery_corr" -> subqueryCorrText,
     "q_limit_order" -> limitOrderSql)

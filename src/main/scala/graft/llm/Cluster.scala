@@ -1,0 +1,104 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster assignment — the step between "candidate pairs" and "a
+  * deduplicated corpus". LSH emits PAIRS (a~b, b~c); keeping one doc per
+  * TRANSITIVE group needs connected components: every doc gets the minimum
+  * doc_id of its component as `cluster_id`, and the pipeline keeps the
+  * `is_keeper` rows (doc_id == cluster_id).
+  *
+  * Algorithm: iterative min-label propagation. Each round every node takes
+  * the min label among itself and its neighbors — one equi-join + one
+  * hash-aggregate per round, both fully distributed, converging in
+  * graph-diameter rounds. Dup graphs from capped LSH buckets are near-stars
+  * (Dedup.BucketCap overflow wires every bucket member to the bucket's first
+  * id), so the diameter — and the round count — stays small regardless of
+  * corpus size. For adversarially long chains at 100 TB scale, swap the loop
+  * body for the large-star/small-star rounds (O(log n) convergence,
+  * Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14);
+  * the per-round join shape is the same.
+  *
+  * The driver loop iterates over ROUNDS (bounded, data-independent check per
+  * round); all per-row work stays on executors. Each round localCheckpoints
+  * to truncate lineage — on a real cluster swap for reliable checkpointing
+  * (same caveat as Dedup.dedupJaccard).
+  */
+object Cluster {
+
+  val MaxRounds = 25
+
+  /** Connected components over an undirected edge list (doc_a, doc_b):
+    * (doc_id, cluster_id = component min, is_keeper) for every doc that
+    * appears in at least one edge. Docs in no edge are implicitly their own
+    * singleton cluster and are not emitted (the corpus-sized identity rows
+    * would dominate output without adding information).
+    */
+  def componentsOver(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // Symmetric closure: propagate both ways along each pair.
+    val edges = pairs
+      .select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .localCheckpoint()
+    var labels = edges.select($"src".as("doc_id")).distinct()
+      .withColumn("label", $"doc_id")
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < MaxRounds) {
+      val next = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .select($"dst".as("doc_id"), $"label")
+        .union(labels)
+        .groupBy($"doc_id").agg(min($"label").as("label"))
+        .localCheckpoint()
+      // Existence probe, not a full diff: one improved row proves another
+      // round is needed; limit(1) lets Spark stop at the first hit.
+      val improved = next
+        .join(labels.withColumnRenamed("label", "prev"), "doc_id")
+        .filter($"label" < $"prev")
+        .limit(1).count()
+      labels = next
+      converged = improved == 0L
+      round += 1
+    }
+    labels
+      .select($"doc_id", $"label".as("cluster_id"),
+        ($"doc_id" === $"label").as("is_keeper"))
+      .orderBy($"doc_id")
+  }
+
+  /** x_dedup_cluster — components over the MinHash+LSH candidate pairs. */
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame =
+    componentsOver(Dedup.dedupMinhash(spark, dir))
+
+  /** Oracle: reachable-min via a recursive CTE over the same pair SQL.
+    * `walk` carries every (node, label-of-a-node-that-reaches-it); edges are
+    * symmetric, so min(label) per node is the component minimum.
+    */
+  val dedupClusterSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM (${Dedup.dedupMinhashSql})
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |), walk(doc_id, label) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.doc_id
+       |)
+       |SELECT doc_id, min(label) AS cluster_id,
+       |  doc_id = min(label) AS is_keeper
+       |FROM walk GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_dedup_cluster" -> (dedupCluster _))
+
+  val oracles: Map[String, String] = Map(
+    "x_dedup_cluster" -> dedupClusterSql)
+}
