@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.{AsOf, Relational, Sessions}
 import graft.dq.DataQuality
 import graft.io.Ingest
-import graft.llm.{Cluster, Dedup, Ivf, LangId, SimHash, Similarity, TextClean, TextOps}
+import graft.llm.{Cluster, CorpusFilter, Dedup, Ivf, LangId, SimHash, Similarity, TextClean, TextOps}
 import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -32,6 +32,7 @@ object SparkEntry {
       TextClean.queries ++
       Dedup.queries ++
       Cluster.queries ++
+      CorpusFilter.queries ++
       SimHash.queries ++
       LangId.queries ++
       Similarity.queries ++
@@ -51,6 +52,7 @@ object SparkEntry {
       TextClean.oracles ++
       Dedup.oracles ++
       Cluster.oracles ++
+      CorpusFilter.oracles ++
       SimHash.oracles ++
       LangId.oracles ++
       Similarity.oracles ++

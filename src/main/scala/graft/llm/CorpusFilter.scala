@@ -1,0 +1,94 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Corpus-level operators: the vocabulary histogram and the composed
+  * retention filter — the two queries that turn per-doc signals into an
+  * actual training corpus decision.
+  *
+  * Scale notes: the histogram is explode → hash-aggregate with map-side
+  * partial counts (the shuffle carries (token, partial_n, partial_docs),
+  * never raw token streams) and top-k via TakeOrderedAndProject. The
+  * retention filter is three equi-joins on doc_id over per-doc map-only
+  * signal plans plus one left-anti join against the (tiny) dup-loser set —
+  * every input is pruned to the columns it contributes.
+  */
+object CorpusFilter {
+
+  /** x_token_hist — top-100 tokens by corpus frequency with doc frequency
+    * (the vocab-building / IDF-precursor scan). Ties break alphabetically so
+    * the cut is deterministic.
+    */
+  def tokenHist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("n_docs"))
+      .orderBy($"n".desc, $"token")
+      .limit(100)
+  }
+
+  val tokenHistSql: String =
+    """SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+      |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      |      FROM documents)
+      |GROUP BY token
+      |ORDER BY n DESC, token
+      |LIMIT 100""".stripMargin
+
+  /** x_quality_filter — the composed retention pipeline: keep documents that
+    * (1) language-ID as English, (2) have ≥5 tokens with stopword ratio
+    * ≥ 1/20 (integer comparison `n_stopwords * 20 >= n_tokens`, no float
+    * boundary), and (3) are not a non-keeper member of a near-dup cluster.
+    * This is the query a corpus curator actually runs; everything upstream
+    * (LangId, TextOps, Dedup, Cluster) composes into it unchanged.
+    */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lang = LangId.langIdQuery(spark, dir).select($"doc_id", $"pred_lang")
+    val qual = TextOps.qualityScore(spark, dir)
+      .select($"doc_id", $"n_tokens", $"n_stopwords")
+    val dupLosers = Cluster.dedupCluster(spark, dir)
+      .filter(!$"is_keeper").select($"doc_id")
+    Tables.documents(spark, dir).select($"doc_id", $"lang")
+      .join(lang, "doc_id")
+      .join(qual, "doc_id")
+      .filter($"pred_lang" === "en" &&
+        $"n_tokens" >= 5 && $"n_stopwords" * 20 >= $"n_tokens")
+      .join(dupLosers, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"lang", $"pred_lang", $"n_tokens")
+      .orderBy($"doc_id")
+  }
+
+  val qualityFilterSql: String =
+    s"""WITH scored AS (
+       | SELECT doc_id,
+       |  ${LangId.scoreDefsSql}
+       | FROM documents),
+       |pred AS (SELECT doc_id, ${LangId.predCaseSql} AS pred_lang FROM scored),
+       |q AS (SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter(string_split(text, ' '), t -> t IN (${TextOps.Stopwords.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS n_stopwords
+       | FROM documents),
+       |losers AS (SELECT doc_id FROM (${Cluster.dedupClusterSql}) WHERE NOT is_keeper)
+       |SELECT d.doc_id, d.lang, pred.pred_lang, q.n_tokens
+       |FROM documents d
+       |JOIN pred ON pred.doc_id = d.doc_id
+       |JOIN q ON q.doc_id = d.doc_id
+       |WHERE pred.pred_lang = 'en'
+       |  AND q.n_tokens >= 5 AND q.n_stopwords * 20 >= q.n_tokens
+       |  AND d.doc_id NOT IN (SELECT doc_id FROM losers)
+       |ORDER BY d.doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_token_hist" -> (tokenHist _),
+    "x_quality_filter" -> (qualityFilter _))
+
+  val oracles: Map[String, String] = Map(
+    "x_token_hist" -> tokenHistSql,
+    "x_quality_filter" -> qualityFilterSql)
+}

@@ -45,22 +45,31 @@ object LangId {
       .orderBy($"doc_id")
   }
 
-  val langIdSql: String = {
+  /** Oracle fragments, shared with CorpusFilter's composed retention oracle
+    * so both engines' language decisions come from ONE definition.
+    */
+  private[llm] val scoreDefsSql: String = Profiles.map { case (lang, words) =>
+    val list = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split(text, ' '), t -> t IN ($list))) AS s_$lang"
+  }.mkString(",\n  ")
+
+  private[llm] val predCaseSql: String = {
     val langs = Profiles.map(_._1)
-    val scores = Profiles.map { case (lang, words) =>
-      val list = words.map(w => s"'$w'").mkString(", ")
-      s"len(list_filter(string_split(text, ' '), t -> t IN ($list))) AS s_$lang"
-    }.mkString(",\n  ")
     val whenChain = langs.init.zipWithIndex.map { case (lang, i) =>
       val rest = langs.drop(i + 1).map(l => s"s_$l").mkString(", ")
       s"WHEN s_$lang >= greatest($rest) THEN '$lang'"
     }.mkString("\n  ")
+    s"CASE $whenChain ELSE '${langs.last}' END"
+  }
+
+  val langIdSql: String = {
+    val langs = Profiles.map(_._1)
     s"""WITH scored AS (
        | SELECT doc_id,
-       |  $scores
+       |  $scoreDefsSql
        | FROM documents)
        |SELECT doc_id,
-       | CASE $whenChain ELSE '${langs.last}' END AS pred_lang,
+       | $predCaseSql AS pred_lang,
        | CAST(greatest(${langs.map(l => s"s_$l").mkString(", ")}) AS BIGINT) AS best_score
        |FROM scored
        |ORDER BY doc_id""".stripMargin
