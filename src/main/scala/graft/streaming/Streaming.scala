@@ -123,6 +123,27 @@ object Streaming {
       .dropDuplicatesWithinWatermark("dedup_key")
       .drop("dedup_key")
 
+  /** Stream-stream inner join with state cleanup: impressions joined to
+    * their clicks within `maxDelay`. BOTH sides are watermarked and the join
+    * condition bounds click_ts to [imp_ts, imp_ts + maxDelay] — together
+    * these let Spark expire buffered rows once the watermark passes the
+    * bound, so join state stays finite on an unbounded stream (an
+    * unconstrained stream-stream join buffers both sides forever).
+    */
+  def clickAttribution(
+      impressions: DataFrame,
+      clicks: DataFrame,
+      maxDelay: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val imp = impressions.withWatermark("imp_ts", watermark)
+    val clk = clicks.withWatermark("click_ts", watermark)
+    imp.join(clk, expr(
+      s"""imp_id = click_imp_id
+         |AND click_ts >= imp_ts
+         |AND click_ts <= imp_ts + interval $maxDelay""".stripMargin))
+      .drop("click_imp_id")
+  }
+
   /** batch_id-partitioned parquet sink via foreachBatch, idempotent under
     * replay: after a failure Structured Streaming re-runs the last batch with
     * the SAME batchId, and the dynamic-overwrite write replaces exactly that

@@ -102,6 +102,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join attributes clicks within the delay bound only") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val imps = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = Streaming.clickAttribution(
+      imps.toDF().toDF("imp_id", "imp_ts", "campaign"),
+      clicks.toDF().toDF("click_imp_id", "click_ts"),
+      maxDelay = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      imps.addData((1L, t("2024-01-01 10:00:00"), "spring"),
+        (2L, t("2024-01-01 10:00:00"), "spring"))
+      clicks.addData((1L, t("2024-01-01 10:05:00")), // within 30 min: attributed
+        (2L, t("2024-01-01 11:00:00")))              // 60 min late: outside bound
+      q.processAllAvailable()
+      val got = spark.table("attrib").select($"imp_id").as[Long].collect().toSeq
+      assert(got == Seq(1L))
+    } finally q.stop()
+  }
+
   test("parquetSink batch replay is idempotent (dynamic partition overwrite)") {
     val out = java.nio.file.Files.createTempDirectory("sink").toString + "/out"
     val b0 = Seq((1L, 10.0), (2L, 20.0)).toDF("user_id", "v")
