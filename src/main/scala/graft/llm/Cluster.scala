@@ -49,19 +49,20 @@ object Cluster {
     var round = 0
     var converged = false
     while (!converged && round < MaxRounds) {
+      // Each node's own (unique) label rides through the aggregate as `prev`,
+      // so convergence detection needs no second join against the old labels:
+      // one filter over the already-materialized round output.
       val next = edges
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
-        .select($"dst".as("doc_id"), $"label")
-        .union(labels)
-        .groupBy($"doc_id").agg(min($"label").as("label"))
+        .select($"dst".as("doc_id"), $"label", lit(false).as("own"))
+        .union(labels.select($"doc_id", $"label", lit(true).as("own")))
+        .groupBy($"doc_id")
+        .agg(min($"label").as("label"), min(when($"own", $"label")).as("prev"))
         .localCheckpoint()
       // Existence probe, not a full diff: one improved row proves another
       // round is needed; limit(1) lets Spark stop at the first hit.
-      val improved = next
-        .join(labels.withColumnRenamed("label", "prev"), "doc_id")
-        .filter($"label" < $"prev")
-        .limit(1).count()
-      labels = next
+      val improved = next.filter($"label" < $"prev").limit(1).count()
+      labels = next.select($"doc_id", $"label")
       converged = improved == 0L
       round += 1
     }

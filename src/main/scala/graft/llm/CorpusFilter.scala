@@ -49,14 +49,18 @@ object CorpusFilter {
     */
   def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val lang = LangId.langIdQuery(spark, dir).select($"doc_id", $"pred_lang")
-    val qual = TextOps.qualityScore(spark, dir)
-      .select($"doc_id", $"n_tokens", $"n_stopwords")
     val dupLosers = Cluster.dedupCluster(spark, dir)
       .filter(!$"is_keeper").select($"doc_id")
-    Tables.documents(spark, dir).select($"doc_id", $"lang")
-      .join(lang, "doc_id")
-      .join(qual, "doc_id")
+    // All per-doc signals (language scores, token counts) come from ONE scan
+    // and one materialized token array — they are map-only derivations of the
+    // same row, so joining separate per-signal frames would re-scan the
+    // corpus three times for nothing.
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", split($"text", " ").as("toks"))
+    LangId.addPredLang(base, $"toks")
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("n_stopwords",
+        size(filter($"toks", t => t.isin(TextOps.Stopwords: _*))).cast("long"))
       .filter($"pred_lang" === "en" &&
         $"n_tokens" >= 5 && $"n_stopwords" * 20 >= $"n_tokens")
       .join(dupLosers, Seq("doc_id"), "left_anti")

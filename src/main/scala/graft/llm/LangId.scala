@@ -24,6 +24,25 @@ object LangId {
   private def score(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words: _*)))
 
+  /** Adds a `pred_lang` column to a frame that already has a materialized
+    * token-array column. The per-language scores go through a named
+    * projection first so each token-set intersection is computed ONCE per
+    * row, not once per WHEN branch (the expression-duplication trap).
+    * Decision logic is identical to [[langIdQuery]]/[[predCaseSql]].
+    */
+  def addPredLang(df: DataFrame, toks: Column, out: String = "pred_lang"): DataFrame = {
+    val scored = df.select(df.columns.map(col) ++
+      Profiles.map { case (lang, words) => score(toks, words).as(s"__s_$lang") }: _*)
+    val langs = Profiles.map(_._1)
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
+      case ((lang, i), elseCol) =>
+        val rest = langs.drop(i + 1).map(l => col(s"__s_$l"))
+        val restMax = if (rest.size == 1) rest.head else greatest(rest: _*)
+        when(col(s"__s_$lang") >= restMax, lang).otherwise(elseCol)
+    }
+    scored.withColumn(out, pred).drop(langs.map(l => s"__s_$l"): _*)
+  }
+
   /** x_lang_id — (doc_id, pred_lang, best_score); ties resolve to the
     * alphabetically first language (the WHEN-chain order, mirrored in SQL).
     */
