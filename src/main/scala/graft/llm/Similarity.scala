@@ -193,13 +193,47 @@ object Similarity {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** x_embed_centroid — per-label centroid of the embedding space (the
+    * class-prototype / IVF-seed computation). Each component is summed as a
+    * micro-quantized integer (`round(x * 1e6)` on the exactly-widened float)
+    * so the aggregate is order-independent — a raw float/double sum would
+    * drift in the last bits under different partition orders and break both
+    * the oracle hash and run-to-run reproducibility at scale. One explode +
+    * one hash aggregate on (label, dim); the shuffle carries (label, dim,
+    * partial_sum) — 64 longs per label per partition, independent of N.
+    */
+  def embedCentroid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"label".cast("long").as("label"),
+        posexplode(transform($"embedding",
+          x => round(x.cast("double") * 1e6).cast("long"))).as(Seq("dim", "q")))
+      .groupBy($"label", $"dim")
+      .agg(count(lit(1)).as("n_vectors"), sum($"q").as("qsum"))
+      .select($"label", $"dim".cast("long").as("dim"), $"n_vectors",
+        ($"qsum".cast("double") / 1e6 / $"n_vectors").as("centroid"))
+      .orderBy($"label", $"dim")
+  }
+
+  val embedCentroidSql: String =
+    """SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
+      | count(*) AS n_vectors,
+      | CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+      |   / 1000000.0 / count(*) AS centroid
+      |FROM embeddings, generate_series(1, 64) AS t(i)
+      |WHERE i <= len(embedding)
+      |GROUP BY label, i
+      |ORDER BY label, dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_sim_topk" -> (simTopK _),
     "x_sim_bucketed" -> (simBucketed _),
-    "x_dedup_embed" -> (dedupEmbed _))
+    "x_dedup_embed" -> (dedupEmbed _),
+    "x_embed_centroid" -> (embedCentroid _))
 
   val oracles: Map[String, String] = Map(
     "x_sim_topk" -> simTopKSql,
     "x_sim_bucketed" -> simBucketedSql,
-    "x_dedup_embed" -> dedupEmbedSql)
+    "x_dedup_embed" -> dedupEmbedSql,
+    "x_embed_centroid" -> embedCentroidSql)
 }
