@@ -188,13 +188,66 @@ object Sessions {
     """SELECT event_type, count(*) AS n_events
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q_latest_event — keep-latest-per-key compaction (the CDC/upsert dedup
+    * every warehouse runs before serving a mutable table): one row per user,
+    * the most recent event, deterministic tie-break on event_id. One shuffle
+    * on the key; row_number + filter(rn=1) lets Spark discard non-latest
+    * rows during the sort — no full-history materialization per key.
+    */
+  def latestEvent(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id", $"ts", $"event_type", $"value")
+      .orderBy($"user_id")
+  }
+
+  val latestEventSql: String =
+    """SELECT user_id, event_id, ts, event_type, value
+      |FROM (
+      | SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      | FROM events) t
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  /** q_cohort_retention — day-N retention matrix: users bucketed by
+    * first-seen day, counted distinct on each offset day they return.
+    * Two aggregates plus one join on user_id; output is bounded by
+    * days², independent of event volume.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val days = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("d"))
+    val first = days.groupBy($"user_id").agg(min($"d").as("cohort_day"))
+    days.join(first, "user_id")
+      .groupBy($"cohort_day", datediff($"d", $"cohort_day").cast("long").as("day_offset"))
+      .agg(countDistinct($"user_id").as("n_active"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
+  val cohortRetentionSql: String =
+    """WITH days AS (
+      | SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      |first AS (
+      | SELECT user_id, min(d) AS cohort_day FROM days GROUP BY user_id)
+      |SELECT cohort_day, CAST(d - cohort_day AS BIGINT) AS day_offset,
+      | count(DISTINCT days.user_id) AS n_active
+      |FROM days JOIN first ON days.user_id = first.user_id
+      |GROUP BY cohort_day, d - cohort_day
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> (sessionize _),
     "q_session_stats" -> (sessionStats _),
     "q_funnel" -> (funnel _),
     "q_window_running" -> (windowRunning _),
     "q_user_stats_salted" -> (userStatsSalted _),
-    "q_event_counts" -> (eventCounts _))
+    "q_event_counts" -> (eventCounts _),
+    "q_latest_event" -> (latestEvent _),
+    "q_cohort_retention" -> (cohortRetention _))
 
   val oracles: Map[String, String] = Map(
     "q_sessionize" -> sessionizeSql,
@@ -202,5 +255,7 @@ object Sessions {
     "q_funnel" -> funnelSql,
     "q_window_running" -> windowRunningSql,
     "q_user_stats_salted" -> userStatsSaltedSql,
-    "q_event_counts" -> eventCountsSql)
+    "q_event_counts" -> eventCountsSql,
+    "q_latest_event" -> latestEventSql,
+    "q_cohort_retention" -> cohortRetentionSql)
 }
