@@ -32,6 +32,18 @@ final case class UniqueColumn(column: String) extends Check
   * first-class check producing a failed result instead of an exception).
   */
 final case class SourceExists(path: String) extends Check
+/** NULL ratio bound: nulls(column)/rows ≤ num/den, compared in integer
+  * cross-multiplication (`nulls * den <= num * rows`) — no float boundary.
+  */
+final case class NullRatio(column: String, num: Long, den: Long) extends Check
+/** All values inside [lo, hi] (inclusive); NULLs are not range violations
+  * (they are NullRatio's job).
+  */
+final case class ValueRange(column: String, lo: Double, hi: Double) extends Check
+/** Referential integrity: every non-null child key exists in the parent
+  * column (left-anti join — one shuffle, no driver-side key set).
+  */
+final case class FkIntegrity(column: String, parent: DataFrame, parentColumn: String) extends Check
 /** Unrecognized check_type — retained so the skip semantics are explicit. */
 final case class UnknownCheck(checkType: String) extends Check
 
@@ -63,6 +75,31 @@ object DataQuality {
       val exists = pathExists(df.sparkSession, path)
       Some(CheckResult("source_exists", exists,
         if (exists) s"$path present" else s"$path missing"))
+    case NullRatio(column, num, den) =>
+      if (!df.columns.contains(column))
+        Some(CheckResult("null_ratio", passed = false, s"column $column absent"))
+      else {
+        val row = df.agg(count(lit(1)).as("n"), count(col(column)).as("nn")).head()
+        val (n, nulls) = (row.getLong(0), row.getLong(0) - row.getLong(1))
+        Some(CheckResult("null_ratio", nulls * den <= num * n,
+          s"nulls=$nulls rows=$n max=$num/$den"))
+      }
+    case ValueRange(column, lo, hi) =>
+      if (!df.columns.contains(column))
+        Some(CheckResult("value_range", passed = false, s"column $column absent"))
+      else {
+        val bad = df.filter(col(column) < lo || col(column) > hi).count()
+        Some(CheckResult("value_range", bad == 0, s"violations=$bad range=[$lo,$hi]"))
+      }
+    case FkIntegrity(column, parent, parentColumn) =>
+      if (!df.columns.contains(column))
+        Some(CheckResult("fk_integrity", passed = false, s"column $column absent"))
+      else {
+        val orphans = df.filter(col(column).isNotNull).select(col(column))
+          .join(parent.select(parent(parentColumn).as(column)), Seq(column), "left_anti")
+          .count()
+        Some(CheckResult("fk_integrity", orphans == 0, s"orphans=$orphans"))
+      }
     case UnknownCheck(t) =>
       // Reference behavior: warn + skip, never fail (data_quality_operator.py:116-117).
       System.err.println(s"[dq] unknown check type '$t' — skipped")
@@ -172,15 +209,75 @@ object DataQuality {
       |UNION ALL SELECT 'verdict', p1 AND p2 AND p3 FROM p
       |ORDER BY check_name""".stripMargin
 
+  /** dq_null_ratio — NULL fraction of events.value ≤ 1/100, integer
+    * cross-multiplied (one pruned-scan aggregate).
+    */
+  def nullRatioQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .agg(count(lit(1)).as("n_rows"), (count(lit(1)) - count($"value")).as("n_nulls"))
+      .select(lit("null_ratio").as("check_name"),
+        ($"n_nulls" * 100L <= $"n_rows").as("passed"), $"n_nulls", $"n_rows")
+  }
+
+  val nullRatioSql: String =
+    """SELECT 'null_ratio' AS check_name,
+      | (count(*) - count(value)) * 100 <= count(*) AS passed,
+      | count(*) - count(value) AS n_nulls, count(*) AS n_rows
+      |FROM events""".stripMargin
+
+  /** dq_value_range — lineitem.l_quantity inside [1, 50] (pushable scan
+    * filter + count).
+    */
+  def valueRangeQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_quantity" < 1.0 || $"l_quantity" > 50.0)
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("value_range").as("check_name"),
+        ($"n_violations" === 0L).as("passed"), $"n_violations")
+  }
+
+  val valueRangeSql: String =
+    """SELECT 'value_range' AS check_name, count(*) = 0 AS passed, count(*) AS n_violations
+      |FROM lineitem WHERE l_quantity < 1.0 OR l_quantity > 50.0""".stripMargin
+
+  /** dq_fk_integrity — orders.o_custkey ⊆ customer.c_custkey via left-anti
+    * join (one shuffle; no driver-side key set, so the check scales with the
+    * parent table).
+    */
+  def fkIntegrityQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .filter($"o_custkey".isNotNull).select($"o_custkey")
+      .join(Tables.customer(spark, dir).select($"c_custkey".as("o_custkey")),
+        Seq("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+      .select(lit("fk_integrity").as("check_name"),
+        ($"n_orphans" === 0L).as("passed"), $"n_orphans")
+  }
+
+  val fkIntegritySql: String =
+    """SELECT 'fk_integrity' AS check_name, count(*) = 0 AS passed, count(*) AS n_orphans
+      |FROM orders o
+      |WHERE o.o_custkey IS NOT NULL
+      |  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_min_row_count" -> (minRowCountQuery _),
     "dq_required_columns" -> (requiredColumnsQuery _),
     "dq_unique_column" -> (uniqueColumnQuery _),
+    "dq_null_ratio" -> (nullRatioQuery _),
+    "dq_value_range" -> (valueRangeQuery _),
+    "dq_fk_integrity" -> (fkIntegrityQuery _),
     "dq_verdict" -> (verdictQuery _))
 
   val oracles: Map[String, String] = Map(
     "dq_min_row_count" -> minRowCountSql,
     "dq_required_columns" -> requiredColumnsSql,
     "dq_unique_column" -> uniqueColumnSql,
+    "dq_null_ratio" -> nullRatioSql,
+    "dq_value_range" -> valueRangeSql,
+    "dq_fk_integrity" -> fkIntegritySql,
     "dq_verdict" -> verdictSql)
 }

@@ -59,6 +59,31 @@ class DataQualitySpec extends SparkSpec {
     assert(DataQuality.verdict(results))
   }
 
+  test("null_ratio: integer cross-multiplied bound, absent column fails") {
+    val df = Seq(Some(1L), Some(2L), Some(3L), None).toDF("v")
+    // 1 null of 4 rows: ratio 0.25 — passes at 1/4, fails at 1/5
+    assert(DataQuality.evaluate(df, NullRatio("v", 1, 4)).get.passed)
+    assert(!DataQuality.evaluate(df, NullRatio("v", 1, 5)).get.passed)
+    assert(!DataQuality.evaluate(df, NullRatio("absent", 1, 2)).get.passed)
+  }
+
+  test("value_range: inclusive bounds, NULLs are not violations") {
+    val df = Seq(Some(1.0), Some(50.0), None).toDF("q")
+    assert(DataQuality.evaluate(df, ValueRange("q", 1.0, 50.0)).get.passed)
+    val bad = Seq(Some(0.5), Some(51.0)).toDF("q")
+    val r = DataQuality.evaluate(bad, ValueRange("q", 1.0, 50.0)).get
+    assert(!r.passed && r.detail.contains("violations=2"))
+  }
+
+  test("fk_integrity: orphan child keys fail, null child keys are ignored") {
+    val parent = Seq(1L, 2L).toDF("pid")
+    val ok = Seq(Some(1L), Some(2L), None).toDF("fk")
+    assert(DataQuality.evaluate(ok, FkIntegrity("fk", parent, "pid")).get.passed)
+    val orphan = Seq(Some(1L), Some(9L)).toDF("fk")
+    val r = DataQuality.evaluate(orphan, FkIntegrity("fk", parent, "pid")).get
+    assert(!r.passed && r.detail.contains("orphans=1"))
+  }
+
   test("failures accumulate in spec order; verdict is a value, not a throw") {
     val results = DataQuality.runAll(users,
       Seq(MinRowCount(99), RequiredColumns(Seq("zip")), UniqueColumn("id")))
