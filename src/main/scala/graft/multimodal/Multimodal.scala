@@ -95,11 +95,16 @@ object Multimodal {
     import frames.sparkSession.implicits._
     frames.map { f =>
       var (w, h) = (f.width, f.height)
-      var px = f.pixels
+      var step = 1
       while (math.max(w, h) > maxSide && w > 1 && h > 1) {
-        w /= 2; h /= 2
-        px = px.zipWithIndex.collect { case (b, i) if i % 2 == 0 => b }
+        w /= 2; h /= 2; step *= 2
       }
+      // One strided copy for the whole downscale (keeps indices that are
+      // multiples of 2^halvings — identical to halving repeatedly, without
+      // per-halving intermediate allocations in the per-row hot path).
+      val px =
+        if (step == 1) f.pixels
+        else Array.tabulate((f.pixels.length + step - 1) / step)(i => f.pixels(i * step))
       f.copy(width = w, height = h, pixels = px)
     }
   }

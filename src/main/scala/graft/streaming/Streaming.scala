@@ -123,6 +123,15 @@ object Streaming {
       .dropDuplicatesWithinWatermark("dedup_key")
       .drop("dedup_key")
 
+  /** Stream-static dimension enrichment: each micro-batch left-joins the
+    * (small, broadcast) static dimension — no streaming state at all, the
+    * standard lookup-enrichment shape. The dimension is re-resolved per
+    * batch, so a file-backed dim picks up slowly-changing updates without
+    * restarting the query.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Stream-stream inner join with state cleanup: impressions joined to
     * their clicks within `maxDelay`. BOTH sides are watermarked and the join
     * condition bounds click_ts to [imp_ts, imp_ts + maxDelay] — together

@@ -102,6 +102,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins the broadcast dimension per batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val out = Streaming.enrichWithDim(input.toDF().toDF("user_id", "v"), dim, "user_id")
+    val q = out.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 10.0), (3L, 30.0)) // user 3 has no dim row → null tier
+      q.processAllAvailable()
+      val got = spark.table("enriched").select($"user_id", $"tier")
+        .as[(Long, Option[String])].collect().toMap
+      assert(got == Map(1L -> Some("gold"), 3L -> None))
+    } finally q.stop()
+  }
+
   test("stream-stream join attributes clicks within the delay bound only") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val imps = MemoryStream[(Long, java.sql.Timestamp, String)]
