@@ -9,16 +9,17 @@ import org.apache.spark.sql.functions._
   * doc_id of its component as `cluster_id`, and the pipeline keeps the
   * `is_keeper` rows (doc_id == cluster_id).
   *
-  * Algorithm: iterative min-label propagation. Each round every node takes
-  * the min label among itself and its neighbors — one equi-join + one
-  * hash-aggregate per round, both fully distributed, converging in
-  * graph-diameter rounds. Dup graphs from capped LSH buckets are near-stars
-  * (Dedup.BucketCap overflow wires every bucket member to the bucket's first
-  * id), so the diameter — and the round count — stays small regardless of
-  * corpus size. For adversarially long chains at 100 TB scale, swap the loop
-  * body for the large-star/small-star rounds (O(log n) convergence,
-  * Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14);
-  * the per-round join shape is the same.
+  * Algorithm: min-label propagation with POINTER JUMPING. Each round every
+  * node takes the min label among itself and its neighbors (one equi-join +
+  * one hash-aggregate), then follows its label one hop — label'(v) =
+  * min(label(v), label(label(v))) — which doubles the effective propagation
+  * distance per round, the classic shortcutting idea behind
+  * large-star/small-star (Kiveris et al., "Connected Components in MapReduce
+  * and Beyond", SoCC'14). Convergence is O(log diameter) rounds, so even an
+  * adversarial dup CHAIN (a~b~c~…, the worst case for plain propagation,
+  * which needs diameter rounds) finishes far inside MaxRounds — pinned by
+  * ClusterSpec's 60-node chain test. Capped LSH buckets make real dup graphs
+  * near-stars, so typical runs converge in 2–3 rounds.
   *
   * The driver loop iterates over ROUNDS (bounded, data-independent check per
   * round); all per-row work stays on executors. Each round localCheckpoints
@@ -52,12 +53,21 @@ object Cluster {
       // Each node's own (unique) label rides through the aggregate as `prev`,
       // so convergence detection needs no second join against the old labels:
       // one filter over the already-materialized round output.
-      val next = edges
+      val prop = edges
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
         .select($"dst".as("doc_id"), $"label", lit(false).as("own"))
         .union(labels.select($"doc_id", $"label", lit(true).as("own")))
         .groupBy($"doc_id")
         .agg(min($"label").as("label"), min(when($"own", $"label")).as("prev"))
+      // Pointer jump: a label is itself a node id whose row is in `prop`
+      // (it is the min over ids of live nodes), so label(label(v)) is one
+      // equi-join away. least() keeps monotonicity; the left join + coalesce
+      // is defensive only.
+      val next = prop
+        .join(prop.select($"doc_id".as("label"), $"label".as("label2")),
+          Seq("label"), "left")
+        .select($"doc_id",
+          least($"label", coalesce($"label2", $"label")).as("label"), $"prev")
         .localCheckpoint()
       // Existence probe, not a full diff: one improved row proves another
       // round is needed; limit(1) lets Spark stop at the first hit.

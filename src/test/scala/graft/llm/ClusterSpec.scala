@@ -30,6 +30,14 @@ class ClusterSpec extends SparkSpec {
     assert(got.values.map(_._1).toSet == Set(1L))
   }
 
+  test("a 60-node chain converges within MaxRounds (pointer jumping)") {
+    // Plain propagation would need 59 rounds (> MaxRounds = 25); the
+    // label-of-label shortcut makes this O(log diameter).
+    val chain = (1L until 60L).map(i => (i, i + 1))
+    val got = components(chain)
+    assert(got.size == 60 && got.values.map(_._1).toSet == Set(1L))
+  }
+
   test("exactly one keeper per cluster, keeper is the min id") {
     val got = components(Seq((5L, 9L), (9L, 2L), (20L, 30L)))
     val byCluster = got.toSeq.groupBy(_._2._1)
