@@ -484,6 +484,52 @@ object Relational {
       |WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
       |ORDER BY day""".stripMargin
 
+  /** q_join_star6 — TPC-H Q5-shaped six-table join: local-supplier revenue
+    * per nation in one region and one order year. The demanding plan shape:
+    * two fact-fact shuffle joins (orders⋈customer, lineitem⋈orders+supplier)
+    * with the co-nation predicate folded into the supplier join, and the
+    * tiny dims (nation, region) explicitly broadcast. Supplier is NOT
+    * broadcast-hinted — it grows with SF; AQE promotes it at runtime when
+    * small. Filters (region name, date range) sit below the joins so the
+    * scans prune first.
+    */
+  def joinStar6(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .filter(to_date($"o_orderdate") >= lit("1996-01-01").cast("date") &&
+        to_date($"o_orderdate") < lit("1997-01-01").cast("date"))
+      .select($"o_orderkey", $"o_custkey")
+    val c = Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")
+    val l = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+    val s = Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey")
+    val n = Tables.nation(spark, dir).select($"n_nationkey", $"n_name", $"n_regionkey")
+    val r = Tables.region(spark, dir).filter($"r_name" === "ASIA").select($"r_regionkey")
+    o.join(c, $"o_custkey" === $"c_custkey")
+      .join(l, $"l_orderkey" === $"o_orderkey")
+      .join(s, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(Det.revenueSum($"l_extendedprice", $"l_discount").as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  val joinStar6Sql: String =
+    """SELECT n_name,
+      | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   /** q_grouping_sets — explicit GROUPING SETS ((status), (priority), ()):
     * the third member of the rollup/cube family, with `grouping()` flags
     * disambiguating real NULLs from subtotal rows. One shuffle; Spark
@@ -760,6 +806,7 @@ object Relational {
     "q_join_semi" -> (joinSemi _),
     "q_join_anti" -> (joinAnti _),
     "q_join_full" -> (joinFull _),
+    "q_join_star6" -> (joinStar6 _),
     "q_agg_group" -> (aggGroup _),
     "q_agg_distinct" -> (aggDistinct _),
     "q_topk" -> (topK _),
@@ -793,6 +840,7 @@ object Relational {
     "q_join_semi" -> joinSemiSql,
     "q_join_anti" -> joinAntiSql,
     "q_join_full" -> joinFullSql,
+    "q_join_star6" -> joinStar6Sql,
     "q_agg_group" -> aggGroupSql,
     "q_agg_distinct" -> aggDistinctSql,
     "q_topk" -> topKSql,
