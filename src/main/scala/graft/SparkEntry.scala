@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{AsOf, Relational, Sessions}
+import graft.analytics.{AsOf, Relational, Sessions, Upsert}
 import graft.dq.DataQuality
 import graft.io.Ingest
 import graft.llm.{Cluster, CorpusFilter, Dedup, Ivf, LangId, SimHash, Similarity, TextClean, TextOps}
@@ -24,6 +24,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++
+      Upsert.queries ++
       Sessions.queries ++
       AsOf.queries ++
       DataQuality.queries ++
@@ -44,6 +45,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++
+      Upsert.oracles ++
       Sessions.oracles ++
       AsOf.oracles ++
       DataQuality.oracles ++
