@@ -719,6 +719,58 @@ object Relational {
       |FROM lineitem
       |WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)), 1, 1) = '0'""".stripMargin
 
+  /** q_histogram — fixed-width binning of order value ($20k bins over
+    * integer cents; floor of an exact double division, identical in both
+    * engines). The profiling histogram: one pruned scan + one tiny
+    * aggregate whatever the table size.
+    */
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy(floor(Det.cents($"o_totalprice") / 2000000.0).as("bin"))
+      .agg(count(lit(1)).as("n_orders"))
+      .select(($"bin" * 20000L).as("bin_lo_dollars"), $"n_orders")
+      .orderBy($"bin_lo_dollars")
+  }
+
+  val histogramSql: String =
+    """SELECT CAST(floor(CAST(round(o_totalprice * 100) AS BIGINT) / 2000000.0) AS BIGINT) * 20000 AS bin_lo_dollars,
+      | count(*) AS n_orders
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY bin_lo_dollars""".stripMargin
+
+  /** q_gap_fill — calendar-spine densification: every day between the first
+    * and last order date gets a row, revenue zero-filled. The spine is
+    * sequence+explode over the (two-value) bounds aggregate — rows are
+    * GENERATED, not scanned, so the pattern costs one rollup plus one join
+    * regardless of fact volume.
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(Det.cents($"o_totalprice")).as("cents"))
+    val spine = daily.agg(min($"day").as("mn"), max($"day").as("mx"))
+      .select(explode(sequence($"mn", $"mx", expr("interval 1 day"))).as("day"))
+    spine.join(daily, Seq("day"), "left")
+      .select($"day",
+        (coalesce($"cents", lit(0L)).cast("double") / 100.0).as("revenue"))
+      .orderBy($"day")
+  }
+
+  val gapFillSql: String =
+    """WITH daily AS (
+      | SELECT CAST(o_orderdate AS DATE) AS day,
+      |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      | FROM orders GROUP BY 1),
+      |b AS (SELECT min(day) AS mn, max(day) AS mx FROM daily),
+      |spine AS (
+      | SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day FROM b)
+      |SELECT spine.day AS day, CAST(COALESCE(cents, 0) AS DOUBLE) / 100.0 AS revenue
+      |FROM spine LEFT JOIN daily ON spine.day = daily.day
+      |ORDER BY spine.day""".stripMargin
+
   /** One SQL text for both engines: segments counted over customers having
     * an urgent order but no finished order — EXISTS and NOT EXISTS
     * correlated subqueries, which Catalyst decorrelates to left-semi and
@@ -827,6 +879,8 @@ object Relational {
     "q_string_agg" -> (stringAgg _),
     "q_array_fns" -> (arrayFns _),
     "q_sample_hash" -> (sampleHash _),
+    "q_histogram" -> (histogram _),
+    "q_gap_fill" -> (gapFill _),
     "q_subquery_exists" -> (subqueryExists _),
     "q_sql_region" -> (sqlRegion _),
     "q_subquery_corr" -> (subqueryCorr _),
@@ -861,6 +915,8 @@ object Relational {
     "q_string_agg" -> stringAggSql,
     "q_array_fns" -> arrayFnsSql,
     "q_sample_hash" -> sampleHashSql,
+    "q_histogram" -> histogramSql,
+    "q_gap_fill" -> gapFillSql,
     "q_subquery_exists" -> existsSubqueryText,
     "q_sql_region" -> sqlRegionText,
     "q_subquery_corr" -> subqueryCorrText,
