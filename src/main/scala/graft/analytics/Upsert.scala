@@ -45,14 +45,20 @@ object Upsert {
     */
   def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // `seq` is the honest tie-break: a change-set row wins over a base row
+    // even at an equal version (the key itself would be constant inside the
+    // window partition and decide nothing).
     val base = Tables.orders(spark, dir)
-      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice", lit(1L).as("version"))
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+        lit(1L).as("version"), lit(0L).as("seq"))
     val changes = Tables.orders(spark, dir)
       .filter($"o_orderkey" % 5 === 0)
       .select($"o_orderkey", $"o_orderstatus",
-        ($"o_totalprice" + 10.0).as("o_totalprice"), lit(2L).as("version"))
+        ($"o_totalprice" + 10.0).as("o_totalprice"),
+        lit(2L).as("version"), lit(1L).as("seq"))
     applyChanges(base, changes, key = "o_orderkey",
-      version = "version", tieBreak = "o_orderkey")
+      version = "version", tieBreak = "seq")
+      .drop("seq")
       .groupBy($"o_orderstatus")
       .agg(
         count(lit(1)).as("n_orders"),
@@ -63,13 +69,13 @@ object Upsert {
 
   val mergeUpsertSql: String =
     """WITH base AS (
-      | SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version FROM orders),
+      | SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version, 0 AS seq FROM orders),
       |changes AS (
-      | SELECT o_orderkey, o_orderstatus, o_totalprice + 10.0 AS o_totalprice, 2 AS version
+      | SELECT o_orderkey, o_orderstatus, o_totalprice + 10.0 AS o_totalprice, 2 AS version, 1 AS seq
       | FROM orders WHERE o_orderkey % 5 = 0),
       |merged AS (
       | SELECT *, row_number() OVER (PARTITION BY o_orderkey
-      |                              ORDER BY version DESC, o_orderkey DESC) AS rn
+      |                              ORDER BY version DESC, seq DESC) AS rn
       | FROM (SELECT * FROM base UNION ALL SELECT * FROM changes) u)
       |SELECT o_orderstatus,
       | count(*) AS n_orders,

@@ -94,6 +94,12 @@ object DataQuality {
     case FkIntegrity(column, parent, parentColumn) =>
       if (!df.columns.contains(column))
         Some(CheckResult("fk_integrity", passed = false, s"column $column absent"))
+      else if (!parent.columns.contains(parentColumn))
+        // same no-throw contract as the child side: a misspelled parent
+        // column is a failed check, not an AnalysisException that aborts
+        // the whole suite mid-run.
+        Some(CheckResult("fk_integrity", passed = false,
+          s"parent column $parentColumn absent"))
       else {
         val orphans = df.filter(col(column).isNotNull).select(col(column))
           .join(parent.select(parent(parentColumn).as(column)), Seq(column), "left_anti")

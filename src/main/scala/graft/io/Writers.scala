@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 /** Batch sink/source surface beyond the parquet tables: ORC, CSV, and
@@ -38,16 +38,14 @@ object Writers {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
-  private def withSchema(r: DataFrameReader, schema: StructType) = r.schema(schema)
-
   /** Schema-first CSV read (header consumed, types from the schema). */
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    withSchema(spark.read.option("header", "true"), schema).csv(path)
+    spark.read.option("header", "true").schema(schema).csv(path)
 
   /** Exploratory CSV read — schema inferred (extra pass; not for pipelines). */
   def inferCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(path)
 
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    withSchema(spark.read, schema).json(path)
+    spark.read.schema(schema).json(path)
 }

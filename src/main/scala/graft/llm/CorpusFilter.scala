@@ -59,8 +59,7 @@ object CorpusFilter {
       .select($"doc_id", $"lang", split($"text", " ").as("toks"))
     LangId.addPredLang(base, $"toks")
       .withColumn("n_tokens", size($"toks").cast("long"))
-      .withColumn("n_stopwords",
-        size(filter($"toks", t => t.isin(TextOps.Stopwords: _*))).cast("long"))
+      .withColumn("n_stopwords", TextOps.stopwordCount($"toks"))
       .filter($"pred_lang" === "en" &&
         $"n_tokens" >= 5 && $"n_stopwords" * 20 >= $"n_tokens")
       .join(dupLosers, Seq("doc_id"), "left_anti")

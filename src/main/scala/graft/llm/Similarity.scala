@@ -201,6 +201,9 @@ object Similarity {
     * the oracle hash and run-to-run reproducibility at scale. One explode +
     * one hash aggregate on (label, dim); the shuffle carries (label, dim,
     * partial_sum) — 64 longs per label per partition, independent of N.
+    * (The oracle's generate_series bound of 4096 is a ceiling, not the dim:
+    * the `i <= len(embedding)` guard makes it length-exact for any vector
+    * up to that bound, matching posexplode's any-length behavior.)
     */
   def embedCentroid(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -220,7 +223,7 @@ object Similarity {
       | count(*) AS n_vectors,
       | CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
       |   / 1000000.0 / count(*) AS centroid
-      |FROM embeddings, generate_series(1, 64) AS t(i)
+      |FROM embeddings, generate_series(1, 4096) AS t(i)
       |WHERE i <= len(embedding)
       |GROUP BY label, i
       |ORDER BY label, dim""".stripMargin

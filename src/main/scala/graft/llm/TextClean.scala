@@ -23,7 +23,11 @@ object TextClean {
   // count is on digits, not span length — an 11-digit phone with separators
   // spans 14 chars and must NOT match (RE2-safe: no lookahead).
   val CardRe = "\\b(?:[0-9][ -]?){12,18}[0-9]\\b"
-  val PhoneRe = "\\+?[0-9]{1,3}[ .-]?\\(?[0-9]{2,4}\\)?[ .-]?[0-9]{3,4}[ .-]?[0-9]{3,4}\\b"
+  // Leading anchor: either an explicit '+' or a word boundary — without it
+  // the pattern would match a 9+ digit run starting MID-token ("X9123456789")
+  // and destroy arbitrary alphanumeric ids. Whole-token digit runs of phone
+  // length still redact: over-redaction is the intended stance for PII.
+  val PhoneRe = "(?:\\+|\\b)[0-9]{1,3}[ .-]?\\(?[0-9]{2,4}\\)?[ .-]?[0-9]{3,4}[ .-]?[0-9]{3,4}\\b"
   val TagRe = "<[^>]*>"
   val WsRe = "[ \\t\\r\\n]+"
 

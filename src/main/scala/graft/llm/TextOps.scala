@@ -69,11 +69,18 @@ object TextOps {
   /** Fixed stopword list for quality scoring (deterministic, engine-neutral). */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in")
 
+  /** Stopword hits in a materialized token array — the ONE definition of
+    * "stopword count", shared by qualityScore and CorpusFilter so the two
+    * declared queries can never desynchronize.
+    */
+  def stopwordCount(toks: Column): Column =
+    size(filter(toks, t => t.isin(Stopwords: _*))).cast("long")
+
   /** x_quality_score — length + stopword-ratio quality signals per doc. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val nTok = size($"toks").cast("long")
-    val nStop = size(filter($"toks", t => t.isin(Stopwords: _*))).cast("long")
+    val nStop = stopwordCount($"toks")
     Tables.documents(spark, dir)
       .withColumn("toks", split($"text", " "))
       .select(

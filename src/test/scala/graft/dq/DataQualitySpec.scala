@@ -82,6 +82,9 @@ class DataQualitySpec extends SparkSpec {
     val orphan = Seq(Some(1L), Some(9L)).toDF("fk")
     val r = DataQuality.evaluate(orphan, FkIntegrity("fk", parent, "pid")).get
     assert(!r.passed && r.detail.contains("orphans=1"))
+    // a misspelled parent column is a failed check, not an AnalysisException
+    val bad = DataQuality.evaluate(ok, FkIntegrity("fk", parent, "pid_typo")).get
+    assert(!bad.passed && bad.detail.contains("pid_typo"))
   }
 
   test("failures accumulate in spec order; verdict is a value, not a throw") {

@@ -37,4 +37,9 @@ class TextCleanSpec extends SparkSpec {
     val s = "the quick brown fox jumps over 12 lazy dogs"
     assert(one(s, TextClean.redactPii($"text")) == s)
   }
+
+  test("digit runs inside alphanumeric tokens are NOT phone-redacted") {
+    val s = "order X9123456789 shipped"
+    assert(one(s, TextClean.redactPii($"text")) == s)
+  }
 }
