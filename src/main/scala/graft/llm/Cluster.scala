@@ -44,6 +44,8 @@ object Cluster {
       .select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
       .localCheckpoint()
+    // Materialized: round 1 references labels TWICE (join side + union
+    // side) — without the checkpoint the distinct aggregate runs twice.
     var labels = edges.select($"src".as("doc_id")).distinct()
       .withColumn("label", $"doc_id")
       .localCheckpoint()
@@ -70,8 +72,12 @@ object Cluster {
           least($"label", coalesce($"label2", $"label")).as("label"), $"prev")
         .localCheckpoint()
       // Existence probe, not a full diff: one improved row proves another
-      // round is needed; limit(1) lets Spark stop at the first hit.
-      val improved = next.filter($"label" < $"prev").limit(1).count()
+      // round is needed; limit(1) lets Spark stop at the first hit. Round 1
+      // skips the probe — any non-empty edge set improves some label, so the
+      // probe job would be pure overhead (the degenerate no-edges case just
+      // runs one cheap extra round over empty frames).
+      val improved =
+        if (round == 0) 1L else next.filter($"label" < $"prev").limit(1).count()
       labels = next.select($"doc_id", $"label")
       converged = improved == 0L
       round += 1
