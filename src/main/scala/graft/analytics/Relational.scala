@@ -740,6 +740,38 @@ object Relational {
       |GROUP BY 1
       |ORDER BY bin_lo_dollars""".stripMargin
 
+  /** x_hist_sketch — the native `bin_counts` TypedImperativeAggregate
+    * (graft.functions.BinCounts) over order values: a 30-bin fixed-width
+    * histogram in one aggregate whose shuffle payload is a single count
+    * vector per partition. The sketch is exactly order-independent (vector
+    * add merge), so — unusually for a sketch — the DuckDB oracle can gate
+    * it bit-for-bit by rebuilding the same integer binning relationally.
+    */
+  def histSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    Tables.orders(spark, dir)
+      .agg(
+        call_function("bin_counts", $"o_totalprice",
+          lit(0.0), lit(600000.0), lit(30)).as("bins"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        array_join(transform($"bins", x => x.cast("string")), ",").as("hist"),
+        $"n_rows")
+  }
+
+  val histSketchSql: String =
+    """WITH b AS (
+      | SELECT LEAST(GREATEST(CAST(floor(o_totalprice / 20000.0) AS BIGINT), 0), 29) AS bin
+      | FROM orders),
+      |c AS (SELECT bin, count(*) AS n FROM b GROUP BY bin),
+      |spine AS (SELECT unnest(generate_series(0, 29)) AS bin),
+      |f AS (SELECT spine.bin AS bin, COALESCE(n, 0) AS n
+      |      FROM spine LEFT JOIN c ON spine.bin = c.bin)
+      |SELECT string_agg(CAST(n AS VARCHAR), ',' ORDER BY bin) AS hist,
+      | CAST(sum(n) AS BIGINT) AS n_rows
+      |FROM f""".stripMargin
+
   /** q_gap_fill — calendar-spine densification: every day between the first
     * and last order date gets a row, revenue zero-filled. The spine is
     * sequence+explode over the (two-value) bounds aggregate — rows are
@@ -880,6 +912,7 @@ object Relational {
     "q_array_fns" -> (arrayFns _),
     "q_sample_hash" -> (sampleHash _),
     "q_histogram" -> (histogram _),
+    "x_hist_sketch" -> (histSketch _),
     "q_gap_fill" -> (gapFill _),
     "q_subquery_exists" -> (subqueryExists _),
     "q_sql_region" -> (sqlRegion _),
@@ -916,6 +949,7 @@ object Relational {
     "q_array_fns" -> arrayFnsSql,
     "q_sample_hash" -> sampleHashSql,
     "q_histogram" -> histogramSql,
+    "x_hist_sketch" -> histSketchSql,
     "q_gap_fill" -> gapFillSql,
     "q_subquery_exists" -> existsSubqueryText,
     "q_sql_region" -> sqlRegionText,

@@ -116,7 +116,12 @@ object GraftFunctions {
     (new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) =>
-        CosineSimilarity(toDoubleArray(children.head), toDoubleArray(children(1)))))
+        CosineSimilarity(toDoubleArray(children.head), toDoubleArray(children(1)))),
+    (new FunctionIdentifier("bin_counts"),
+      new ExpressionInfo(classOf[BinCounts].getName, "bin_counts"),
+      (children: Seq[Expression]) =>
+        BinCounts(Cast(children.head, DoubleType), Cast(children(1), DoubleType),
+          Cast(children(2), DoubleType), children(3)).toAggregateExpression()))
 
   /** Idempotent per-session registration (for sessions built without the
     * extensions hook — e.g. the driver's own SparkSession).
