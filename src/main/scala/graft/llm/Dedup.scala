@@ -113,10 +113,11 @@ object Dedup {
     * first `BucketCap` (smallest) ids, plus one REPRESENTATIVE EDGE from the
     * bucket's first id to each overflow id — every doc in the bucket stays
     * connected to the same dup-cluster component, while worst-case output
-    * drops from O(n²) to O(BucketCap² + n) per bucket. Sized far above any
-    * honest fixture bucket (the sf0.1 max is single digits), so the declared
-    * queries' oracle hashes are unaffected; DedupSpec's adversarial test
-    * proves the bound fires on a 1k-identical-doc corpus.
+    * drops from O(n²) to O(BucketCap² + n) per bucket. The oracle SQL
+    * mirrors the SAME capped expansion ([[cappedPairsSqlOverBands]]), so a
+    * firing cap is correctness-neutral at any scale (sf0.1's simhash band
+    * skew reaches ~270-doc buckets); DedupSpec's adversarial test proves the
+    * bound fires on a 1k-identical-doc corpus.
     */
   val BucketCap = 64
 
@@ -171,6 +172,26 @@ object Dedup {
     s"list_min(list_transform(h, x -> (CAST('0x' || substr(x, $off, 15) AS BIGINT) >> ${(j % 4) * SliceBits}) & $SliceMask)) AS sig$j"
   }.mkString(",\n  ")
 
+  /** Shared oracle fragment: capped in-bucket pair expansion over a `bands`
+    * CTE (doc_id, band, bh) — full pairs among the BucketCap smallest ids
+    * per bucket plus representative edges first→overflow, mirroring
+    * [[cappedPairs]] exactly. An uncapped self-join oracle diverges once a
+    * real bucket exceeds the cap (sf0.1's simhash bands already do).
+    */
+  private[llm] val cappedPairsSqlOverBands: String =
+    s"""ranked AS (
+       | SELECT doc_id, band, bh,
+       |  row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rn,
+       |  first_value(doc_id) OVER (PARTITION BY band, bh ORDER BY doc_id) AS f_doc
+       | FROM bands),
+       |pairs AS (
+       | SELECT DISTINCT doc_a, doc_b FROM (
+       |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM ranked l JOIN ranked r
+       |   ON l.band = r.band AND l.bh = r.bh AND l.rn < r.rn AND r.rn <= $BucketCap
+       |  UNION ALL
+       |  SELECT f_doc, doc_id FROM ranked WHERE rn > $BucketCap) e)""".stripMargin
+
   val dedupMinhashSql: String = {
     val bandRows = (0 until NumBands).map { b =>
       val u = if (b == 0) "" else "UNION ALL "
@@ -185,9 +206,9 @@ object Dedup {
        |  $sigDefsSql
        |  FROM hm),
        |bands AS (
-       | $bandRows)
-       |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-       |FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+       | $bandRows),
+       |$cappedPairsSqlOverBands
+       |SELECT doc_a, doc_b FROM pairs
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
@@ -240,9 +261,7 @@ object Dedup {
             val u = if (b == 0) "" else "UNION ALL "
             s"${u}SELECT doc_id, $b AS band, md5(CAST(sig${2 * b} AS VARCHAR) || '_' || CAST(sig${2 * b + 1} AS VARCHAR)) AS bh FROM sigs"
           }.mkString("\n ")}),
-       |pairs AS (
-       | SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-       | FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id)
+       |$cappedPairsSqlOverBands
        |SELECT doc_a, doc_b,
        | CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
        | CAST(len(list_distinct(list_concat(a.s, b.s))) AS BIGINT) AS n_union,

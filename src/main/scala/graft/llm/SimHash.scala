@@ -124,18 +124,37 @@ object SimHash {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Oracle mirrors the CAPPED expansion exactly (full pairs among the
+    * BucketCap smallest ids per bucket + representative edges first→overflow)
+    * — an uncapped self-join oracle diverges the moment a real fixture
+    * bucket exceeds the cap, which sf0.1's band skew already does.
+    */
   val dedupSimhashSql: String = {
+    val cap = Dedup.BucketCap
     val bandRows = (0 until NumBands).map { b =>
       val u = if (b == 0) "" else "UNION ALL "
       s"${u}SELECT doc_id, simhash, $b AS band, (simhash >> ${b * BandBits}) & ${(1L << BandBits) - 1} AS bh FROM fp"
     }.mkString("\n ")
     s"""WITH ${fingerprintsSqlCore},
        |bands AS (
-       | $bandRows)
-       |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
-       | CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
-       |FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
-       |WHERE bit_count(xor(l.simhash, r.simhash)) <= $MaxHamming
+       | $bandRows),
+       |ranked AS (
+       | SELECT doc_id, simhash, band, bh,
+       |  row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rn,
+       |  first_value(doc_id) OVER (PARTITION BY band, bh ORDER BY doc_id) AS f_doc,
+       |  first_value(simhash) OVER (PARTITION BY band, bh ORDER BY doc_id) AS f_sim
+       | FROM bands),
+       |expanded AS (
+       | SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       |  bit_count(xor(l.simhash, r.simhash)) AS hamming
+       | FROM ranked l JOIN ranked r
+       |  ON l.band = r.band AND l.bh = r.bh AND l.rn < r.rn AND r.rn <= $cap
+       | UNION ALL
+       | SELECT f_doc, doc_id, bit_count(xor(f_sim, simhash))
+       | FROM ranked WHERE rn > $cap)
+       |SELECT DISTINCT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
+       |FROM expanded
+       |WHERE hamming <= $MaxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
