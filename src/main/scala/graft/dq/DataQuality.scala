@@ -87,6 +87,13 @@ object DataQuality {
     case ValueRange(column, lo, hi) =>
       if (!df.columns.contains(column))
         Some(CheckResult("value_range", passed = false, s"column $column absent"))
+      else if (!df.schema(column).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType])
+        // guard the type up front: under ANSI mode a numeric comparison on a
+        // string column throws at the first non-numeric value, which would
+        // abort the whole no-throw check suite mid-run.
+        Some(CheckResult("value_range", passed = false,
+          s"column $column not numeric (${df.schema(column).dataType.simpleString})"))
       else {
         val bad = df.filter(col(column) < lo || col(column) > hi).count()
         Some(CheckResult("value_range", bad == 0, s"violations=$bad range=[$lo,$hi]"))

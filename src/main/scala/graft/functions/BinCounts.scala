@@ -43,16 +43,25 @@ case class BinCounts(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // Analysis-time validation must not itself throw: literal params may be
+  // NULL or non-numeric, and eval()+toString would NPE / NumberFormat there.
+  private def evalNum(e: Expression): Option[Double] =
+    try Option(e.eval()).map(_.toString.toDouble)
+    catch { case scala.util.control.NonFatal(_) => None }
+
   override def checkInputDataTypes(): TypeCheckResult = {
     if (child.dataType != DoubleType)
       TypeCheckResult.TypeCheckFailure(s"value must be DOUBLE, got ${child.dataType}")
     else if (!Seq(loExpr, hiExpr, nExpr).forall(_.foldable))
       TypeCheckResult.TypeCheckFailure("lo, hi, nbins must be literals")
-    else if (nExpr.eval().toString.toInt <= 0)
-      TypeCheckResult.TypeCheckFailure("nbins must be positive")
-    else if (hiExpr.eval().toString.toDouble <= loExpr.eval().toString.toDouble)
-      TypeCheckResult.TypeCheckFailure("hi must be greater than lo")
-    else TypeCheckResult.TypeCheckSuccess
+    else (evalNum(loExpr), evalNum(hiExpr), evalNum(nExpr)) match {
+      case (Some(l), Some(h), Some(n)) =>
+        if (n.toInt <= 0) TypeCheckResult.TypeCheckFailure("nbins must be positive")
+        else if (h <= l) TypeCheckResult.TypeCheckFailure("hi must be greater than lo")
+        else TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure("lo, hi, nbins must be non-null numeric literals")
+    }
   }
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](nbins)

@@ -35,6 +35,13 @@ object EventGen {
     element_at(typedlit(domain),
       (pmod(hash(id, lit(seed)), lit(domain.size)) + 1).cast("int"))
 
+  /** One definition of the user-id derivation, shared by the batch and
+    * stream generators so they can never disagree on user assignment.
+    */
+  private def userId(id: org.apache.spark.sql.Column, seed: Long): org.apache.spark.sql.Column =
+    concat(lit("user_"),
+      pmod(hash(id, lit(seed)), lit(NumUsers)).cast("long").cast("string"))
+
   /** n synthetic events, seeded => reproducible (every field derives from
     * (id, seed) via murmur3 — partition-layout-independent). Timestamps are a
     * fixed base plus one second per row (deterministic, unlike utcnow in the
@@ -47,8 +54,7 @@ object EventGen {
       partitions: Int = 0): DataFrame = {
     val ids = if (partitions > 0) spark.range(0L, n, 1L, partitions) else spark.range(n)
     ids.select(
-      concat(lit("user_"),
-        pmod(hash(col("id"), lit(seed)), lit(NumUsers)).cast("long").cast("string")).as("user_id"),
+      userId(col("id"), seed).as("user_id"),
       pick(EventTypes, col("id"), seed + 1).as("event_type"),
       pick(Urls, col("id"), seed + 2).as("url"),
       date_format(timestamp_seconds(lit(baseEpoch) + col("id")),
@@ -64,8 +70,7 @@ object EventGen {
     spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond).load()
       .select(
-        concat(lit("user_"),
-          pmod(hash(col("value"), lit(seed)), lit(NumUsers)).cast("long").cast("string")).as("user_id"),
+        userId(col("value"), seed).as("user_id"),
         pick(EventTypes, col("value"), seed + 1).as("event_type"),
         pick(Urls, col("value"), seed + 2).as("url"),
         date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timestamp"),

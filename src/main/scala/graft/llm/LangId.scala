@@ -30,7 +30,9 @@ object LangId {
     * row, not once per WHEN branch (the expression-duplication trap).
     * Decision logic is identical to [[langIdQuery]]/[[predCaseSql]].
     */
-  def addPredLang(df: DataFrame, toks: Column, out: String = "pred_lang"): DataFrame = {
+  def addPredLang(
+      df: DataFrame, toks: Column, out: String = "pred_lang",
+      keepScores: Boolean = false): DataFrame = {
     val scored = df.select(df.columns.map(col) ++
       Profiles.map { case (lang, words) => score(toks, words).as(s"__s_$lang") }: _*)
     val langs = Profiles.map(_._1)
@@ -40,27 +42,22 @@ object LangId {
         val restMax = if (rest.size == 1) rest.head else greatest(rest: _*)
         when(col(s"__s_$lang") >= restMax, lang).otherwise(elseCol)
     }
-    scored.withColumn(out, pred).drop(langs.map(l => s"__s_$l"): _*)
+    val withPred = scored.withColumn(out, pred)
+    if (keepScores) withPred else withPred.drop(langs.map(l => s"__s_$l"): _*)
   }
 
   /** x_lang_id — (doc_id, pred_lang, best_score); ties resolve to the
-    * alphabetically first language (the WHEN-chain order, mirrored in SQL).
+    * alphabetically first language. The decision comes from [[addPredLang]]
+    * — ONE Scala definition of the WHEN-chain, shared with CorpusFilter's
+    * retention query, so the two can never desynchronize.
     */
   def langIdQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val scored = Tables.documents(spark, dir)
-      .withColumn("toks", split($"text", " "))
-      .select(($"doc_id" +:
-        Profiles.map { case (lang, words) => score($"toks", words).as(s"s_$lang") }): _*)
-    val langs = Profiles.map(_._1)
-    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
-      case ((lang, i), elseCol) =>
-        val rest = langs.drop(i + 1).map(l => col(s"s_$l"))
-        val restMax = if (rest.size == 1) rest.head else greatest(rest: _*)
-        when(col(s"s_$lang") >= restMax, lang).otherwise(elseCol)
-    }
-    val best = greatest(langs.map(l => col(s"s_$l")): _*)
-    scored.select($"doc_id", pred.as("pred_lang"), best.cast("long").as("best_score"))
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+    val best = greatest(Profiles.map { case (l, _) => col(s"__s_$l") }: _*)
+    addPredLang(base, $"toks", keepScores = true)
+      .select($"doc_id", $"pred_lang", best.cast("long").as("best_score"))
       .orderBy($"doc_id")
   }
 

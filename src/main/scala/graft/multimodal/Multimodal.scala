@@ -139,9 +139,13 @@ object Multimodal {
 
   /** Committed binary-asset parquet fixture (written once by
     * `graft.tools.WriteFixtures`; regenerable — `syntheticAssets` is
-    * deterministic).
+    * deterministic). Resolved to an absolute path from the working
+    * directory (sbt and the driver both run from the repo root), not a
+    * hard-coded checkout location; the oracle SQL interpolates the same
+    * resolved path.
     */
-  val FixturePath = "/root/repo/src/test/resources/graft/assets.parquet"
+  val FixturePath: String =
+    new java.io.File("src/test/resources/graft/assets.parquet").getAbsolutePath
 
   /** x_mm_catalog — the declared, oracle-gated face of multimodal columns:
     * read the committed parquet holding opaque binary payloads + typed

@@ -65,17 +65,33 @@ final class WebhookAlertSink(endpoint: String) extends AlertSink {
     case c => c.toString
   }
 
+  /** Best-effort delivery: alerting must never turn an already-recorded DQ
+    * failure into a crashed or hung pipeline, so the call is bounded by
+    * connect/request timeouts, exceptions are logged instead of propagated,
+    * and a non-2xx response (e.g. a rate-limited webhook) is logged as an
+    * undelivered alert rather than silently treated as success.
+    */
   def alert(pipelineName: String, failures: Seq[String]): Unit = {
     val msg = s"Data quality check failed for pipeline: $pipelineName! " +
       s"Errors: ${failures.mkString("; ")}"
     val body = s"""{"text":"${jsonEscape(msg)}"}"""
-    val client = java.net.http.HttpClient.newHttpClient()
-    val req = java.net.http.HttpRequest.newBuilder()
-      .uri(java.net.URI.create(endpoint))
-      .header("Content-Type", "application/json")
-      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
-    client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-    ()
+    try {
+      val client = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofSeconds(5)).build()
+      val req = java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(endpoint))
+        .timeout(java.time.Duration.ofSeconds(10))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() >= 300)
+        System.err.println(
+          s"[alert] webhook returned HTTP ${resp.statusCode()} for $pipelineName — alert NOT delivered")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[alert] webhook delivery failed for $pipelineName: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
   }
 }
 

@@ -173,9 +173,19 @@ object Streaming {
         writeBatch(batch, batchId, outRoot)
       }
 
+  /** Sink read-back with `batch_id` restored to LONG: partition-directory
+    * type inference reconstructs numeric partition values as INT, which
+    * would break readers (or unions with pre-partitioning data) that expect
+    * the original LongType column.
+    */
+  def readSink(spark: org.apache.spark.sql.SparkSession, outRoot: String): DataFrame =
+    spark.read.parquet(outRoot)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+
   /** The per-batch write: replaces exactly this batch's partition (dynamic
     * overwrite), so re-running a batchId is a no-op in row terms — pinned by
-    * StreamingSpec's replay test.
+    * StreamingSpec's replay test. NOTE `batch_id` becomes a partition
+    * directory; read back through [[readSink]] to get it as LONG again.
     */
   private[streaming] def writeBatch(batch: DataFrame, batchId: Long, outRoot: String): Unit =
     batch.withColumn("batch_id", lit(batchId))

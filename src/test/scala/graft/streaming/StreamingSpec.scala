@@ -149,8 +149,11 @@ class StreamingSpec extends SparkSpec {
     // failure recovery: Structured Streaming re-runs the last batch with the
     // SAME id — the write must replace batch 1's partition, not append to it
     Streaming.writeBatch(b1, 1L, out)
-    val rows = spark.read.parquet(out)
-      .select($"batch_id", $"user_id").as[(Long, Long)].collect().toSet
+    val back = Streaming.readSink(spark, out)
+    // partition inference yields INT for numeric dirs; readSink restores LONG
+    assert(back.schema("batch_id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val rows = back.select($"batch_id", $"user_id").as[(Long, Long)].collect().toSet
     assert(rows == Set((0L, 1L), (0L, 2L), (1L, 3L)))
   }
 
