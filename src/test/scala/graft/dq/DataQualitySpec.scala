@@ -75,6 +75,16 @@ class DataQualitySpec extends SparkSpec {
     assert(!r.passed && r.detail.contains("violations=2"))
   }
 
+  test("value_range on a non-numeric column fails cleanly, never throws") {
+    val strings = Seq("alpha", "beta").toDF("q")
+    val r = DataQuality.evaluate(strings, ValueRange("q", 1.0, 50.0)).get
+    assert(!r.passed && r.detail.contains("not numeric"))
+    // and the suite keeps running past it
+    val results = DataQuality.runAll(strings,
+      Seq(ValueRange("q", 1.0, 50.0), MinRowCount(1)))
+    assert(results.map(_.checkName) == Seq("value_range", "min_row_count"))
+  }
+
   test("fk_integrity: orphan child keys fail, null child keys are ignored") {
     val parent = Seq(1L, 2L).toDF("pid")
     val ok = Seq(Some(1L), Some(2L), None).toDF("fk")

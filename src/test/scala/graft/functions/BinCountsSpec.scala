@@ -34,6 +34,21 @@ class BinCountsSpec extends SparkSpec {
     assert(one == many && one.sum == 1000L)
   }
 
+  test("null or invalid literal params fail analysis cleanly, no NPE") {
+    GraftFunctions.register(spark)
+    Seq(1.0).toDF("v").createOrReplaceTempView("bc_bad")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT bin_counts(v, 0.0, 4.0, CAST(NULL AS INT)) FROM bc_bad").collect()
+    }
+    assert(e.getMessage.contains("non-null numeric literals") ||
+      e.getMessage.toLowerCase.contains("bin_counts"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT bin_counts(v, 4.0, 0.0, 2) FROM bc_bad").collect()
+    }
+    assert(e2.getMessage.contains("hi must be greater than lo") ||
+      e2.getMessage.toLowerCase.contains("bin_counts"))
+  }
+
   test("works through the SQL registry too") {
     GraftFunctions.register(spark)
     Seq(1.0, 2.0).toDF("v").createOrReplaceTempView("bc_t")
