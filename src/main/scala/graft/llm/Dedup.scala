@@ -73,15 +73,21 @@ object Dedup {
   val SliceBits = 15
   val SliceMask: Long = (1L << SliceBits) - 1
 
-  def signatures(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  def signatures(spark: SparkSession, dir: String): DataFrame =
+    signaturesOver(Tables.documents(spark, dir))
+
+  /** Same pipeline over any (doc_id, text) frame — the seam stress/scale
+    * harnesses feed synthetic corpora through.
+    */
+  def signaturesOver(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     // Numeric (long) slices, not hex strings: min(long) hash-aggregates with
     // a primitive Tungsten buffer (min(string) would fall back to
     // SortAggregate — observed via .explain and fixed).
     def half(j: Int): Column = if (j < 4) $"h1" else $"h2"
     val sigAggs = (0 until NumHashes).map(j =>
       min(shiftright(half(j), (j % 4) * SliceBits).bitwiseAND(SliceMask)).as(s"sig$j"))
-    Tables.documents(spark, dir)
+    docs
       .withColumn("toks", split($"text", " "))
       .filter(size($"toks") >= 3)
       .select($"doc_id", explode(shinglesFromToks($"toks")).as("s"))
@@ -94,14 +100,17 @@ object Dedup {
   }
 
   /** LSH band rows: (doc_id, band, band_hash), band_hash = md5(sig_{2b}_sig_{2b+1}). */
-  def bands(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  def bands(spark: SparkSession, dir: String): DataFrame =
+    bandsOver(Tables.documents(spark, dir))
+
+  def bandsOver(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val bandStructs = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
         md5(concat(col(s"sig${2 * b}").cast("string"), lit("_"),
           col(s"sig${2 * b + 1}").cast("string"))).as("bh"))
     }
-    signatures(spark, dir)
+    signaturesOver(docs)
       .select($"doc_id", explode(array(bandStructs: _*)).as("x"))
       .select($"doc_id", $"x.band".as("band"), $"x.bh".as("bh"))
   }

@@ -1,0 +1,89 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Cluster, Dedup}
+
+/** Scale-stress harness for the dedup pipeline: generates an N-doc corpus
+  * with PLANTED near-duplicate groups (deterministically, from murmur3 of
+  * ids — no fixture needed, no rand()), then times signatures → LSH pairs →
+  * connected components end to end and reports whether the planted structure
+  * was recovered. This is the "would it survive 20–40× the bench corpus"
+  * evidence the fixed sf0.1 fixture can't give:
+  *
+  *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.Stress 200000"
+  *
+  * Corpus design: docs come in groups of [[GroupSize]]; every member of a
+  * group shares the group's token body except one member-specific position —
+  * intra-group Jaccard ≈ 0.9 (near-dup), inter-group similarity is noise.
+  * MinHash+LSH should pair up each group and components should emit one
+  * cluster per multi-member group.
+  */
+object Stress {
+
+  val GroupSize = 4
+  val DocTokens = 40
+  val Vocab = 50000
+
+  /** (doc_id, text): deterministic, group-structured corpus. */
+  def corpus(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    // token j of a doc comes from the GROUP id — identical across the group —
+    // except one member-specific position, which mixes in the doc id.
+    val toks = transform(sequence(lit(0), lit(DocTokens - 1)), j =>
+      concat(lit("w"),
+        when(j === ($"doc_id" % GroupSize + 2).cast("int"),
+          pmod(hash($"doc_id", lit(7L)), lit(Vocab)))
+          .otherwise(pmod(hash($"gid" * 131 + j, lit(13L)), lit(Vocab)))))
+    spark.range(n)
+      .select($"id".as("doc_id"), ($"id" / GroupSize).cast("long").as("gid"))
+      .select($"doc_id", concat_ws(" ", toks).as("text"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 200000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def timed[T](what: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[stress] $what: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+
+    val docs = corpus(spark, n).localCheckpoint() // generation cost excluded
+    println(s"[stress] corpus: $n docs in groups of $GroupSize, $DocTokens tokens each")
+
+    val pairs = timed("signatures -> LSH bands -> capped pairs") {
+      Dedup.dedupMinhashOver(Dedup.bandsOver(docs)).localCheckpoint()
+    }
+    val nPairs = pairs.count()
+
+    val clusters = timed("connected components (pointer-jumped)") {
+      Cluster.componentsOver(pairs).localCheckpoint()
+    }
+    val nClustered = clusters.count()
+    val nClusters = clusters.filter($"is_keeper").count()
+
+    // Recovery check: a pair is intra-group iff doc_a/GroupSize == doc_b/GroupSize.
+    val intra = pairs.filter(($"doc_a" / GroupSize).cast("long") ===
+      ($"doc_b" / GroupSize).cast("long")).count()
+    val expectedGroups = n / GroupSize
+    println(s"[stress] pairs=$nPairs (intra-group=$intra, cross-group=${nPairs - intra})")
+    println(s"[stress] clustered_docs=$nClustered clusters=$nClusters " +
+      s"(planted groups=$expectedGroups)")
+    val ok = nClusters <= expectedGroups * 11 / 10 && intra * 10 >= nPairs * 9
+    println(s"[stress] structure recovered: ${if (ok) "YES" else "NO"}")
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}
