@@ -88,17 +88,36 @@ object Cluster {
       .orderBy($"doc_id")
   }
 
-  /** x_dedup_cluster — components over the MinHash+LSH candidate pairs. */
+  /** x_dedup_cluster — components over the raw MinHash+LSH candidate pairs. */
   def dedupCluster(spark: SparkSession, dir: String): DataFrame =
     componentsOver(Dedup.dedupMinhash(spark, dir))
 
-  /** Oracle: reachable-min via a recursive CTE over the same pair SQL.
+  /** Jaccard bar for verified clustering: candidates below it are treated as
+    * LSH band-collision noise, not duplicates.
+    */
+  val VerifyThreshold = 0.5
+
+  /** x_dedup_cluster_verified — the semantically RIGHT dedup pipeline:
+    * LSH candidates → exact Jaccard verify → components over only the pairs
+    * that cleared the bar. Raw-LSH clustering (x_dedup_cluster) transitively
+    * merges unrelated docs through collision pairs; verification removes
+    * those edges BEFORE connectivity, which is the order a production crawl
+    * dedup must use.
+    */
+  def dedupClusterVerified(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    componentsOver(Dedup.dedupJaccard(spark, dir)
+      .filter($"jaccard" >= VerifyThreshold)
+      .select($"doc_a", $"doc_b"))
+  }
+
+  /** Oracle builder: reachable-min via a recursive CTE over any pair SQL.
     * `walk` carries every (node, label-of-a-node-that-reaches-it); edges are
     * symmetric, so min(label) per node is the component minimum.
     */
-  val dedupClusterSql: String =
+  private def componentsSqlOver(pairsSql: String): String =
     s"""WITH RECURSIVE pairs AS (
-       |  SELECT doc_a, doc_b FROM (${Dedup.dedupMinhashSql})
+       |  $pairsSql
        |), edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL
@@ -113,9 +132,18 @@ object Cluster {
        |FROM walk GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  val dedupClusterSql: String =
+    componentsSqlOver(s"SELECT doc_a, doc_b FROM (${Dedup.dedupMinhashSql})")
+
+  val dedupClusterVerifiedSql: String =
+    componentsSqlOver(
+      s"SELECT doc_a, doc_b FROM (${Dedup.dedupJaccardSql}) WHERE jaccard >= $VerifyThreshold")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x_dedup_cluster" -> (dedupCluster _))
+    "x_dedup_cluster" -> (dedupCluster _),
+    "x_dedup_cluster_verified" -> (dedupClusterVerified _))
 
   val oracles: Map[String, String] = Map(
-    "x_dedup_cluster" -> dedupClusterSql)
+    "x_dedup_cluster" -> dedupClusterSql,
+    "x_dedup_cluster_verified" -> dedupClusterVerifiedSql)
 }
