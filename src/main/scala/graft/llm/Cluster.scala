@@ -30,19 +30,39 @@ object Cluster {
 
   val MaxRounds = 25
 
+  /** Pair-count gate for the driver-side solve: 1M edges ≈ 16 MB on the
+    * driver — the same "tiny result of a distributed stage lives on the
+    * driver" shape as IVF's centroids. Above it, the distributed
+    * propagation path runs instead.
+    */
+  val DriverSolveMaxPairs = 1L << 20
+
   /** Connected components over an undirected edge list (doc_a, doc_b):
     * (doc_id, cluster_id = component min, is_keeper) for every doc that
     * appears in at least one edge. Docs in no edge are implicitly their own
     * singleton cluster and are not emitted (the corpus-sized identity rows
     * would dominate output without adding information).
+    *
+    * HYBRID solve: candidate pairs are always generated distributed, but the
+    * dup-pair graph itself is usually tiny relative to the corpus (dup rate
+    * × N, further thinned by Jaccard verification). When it fits the
+    * [[DriverSolveMaxPairs]] gate, a driver-side union-find answers in one
+    * pass instead of paying propagation-round job overhead; past the gate,
+    * the distributed pointer-jumped propagation runs. Both paths are
+    * value-identical (InvariantSpec cross-checks them against each other).
     */
-  def componentsOver(pairs: DataFrame): DataFrame = {
+  def componentsOver(
+      pairs: DataFrame,
+      driverSolveMaxPairs: Long = DriverSolveMaxPairs): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    val pairRows = pairs.select($"doc_a", $"doc_b").localCheckpoint()
+    if (pairRows.count() <= driverSolveMaxPairs)
+      return driverSolve(pairRows)
     // Symmetric closure: propagate both ways along each pair.
-    val edges = pairs
+    val edges = pairRows
       .select($"doc_a".as("src"), $"doc_b".as("dst"))
-      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .union(pairRows.select($"doc_b".as("src"), $"doc_a".as("dst")))
       .localCheckpoint()
     // Materialized: round 1 references labels TWICE (join side + union
     // side) — without the checkpoint the distinct aggregate runs twice.
@@ -85,6 +105,35 @@ object Cluster {
     labels
       .select($"doc_id", $"label".as("cluster_id"),
         ($"doc_id" === $"label").as("is_keeper"))
+      .orderBy($"doc_id")
+  }
+
+  /** Driver-side union-find over an already-materialized tiny edge set —
+    * path-compressed, union-by-min so roots are component minima.
+    */
+  private def driverSolve(pairRows: DataFrame): DataFrame = {
+    val spark = pairRows.sparkSession
+    import spark.implicits._
+    val edges = pairRows.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    // iterative find + full path compression: recursion would overflow the
+    // stack on a degenerate million-edge chain
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val rows = parent.keys.toSeq.sorted.map { d =>
+      val c = find(d)
+      (d, c, d == c)
+    }
+    spark.createDataset(rows).toDF("doc_id", "cluster_id", "is_keeper")
       .orderBy($"doc_id")
   }
 

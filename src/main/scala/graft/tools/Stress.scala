@@ -68,7 +68,13 @@ object Stress {
     }
     val nPairs = pairs.count()
 
-    val clusters = timed("connected components (pointer-jumped)") {
+    // time BOTH solve paths: the hybrid gate (driver union-find at this pair
+    // count) and the forced-distributed pointer-jumped propagation
+    timed("connected components (forced distributed)") {
+      Cluster.componentsOver(pairs, driverSolveMaxPairs = 0L)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val clusters = timed("connected components (hybrid gate)") {
       Cluster.componentsOver(pairs).localCheckpoint()
     }
     val nClustered = clusters.count()

@@ -35,9 +35,15 @@ class InvariantSpec extends SparkSpec {
       val expected = byRoot.flatMap { case (_, ms) =>
         val m = ms.min; ms.map(_ -> m)
       }
-      val got = Cluster.componentsOver(edges.toDF("doc_a", "doc_b"))
+      // BOTH solve paths must match the reference: the driver union-find
+      // (default gate) and the distributed propagation (gate forced to 0)
+      val df = edges.toDF("doc_a", "doc_b")
+      val viaDriver = Cluster.componentsOver(df)
         .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toMap
-      assert(got == expected, s"edges=$edges")
+      val viaDistributed = Cluster.componentsOver(df, driverSolveMaxPairs = 0L)
+        .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toMap
+      assert(viaDriver == expected, s"driver path, edges=$edges")
+      assert(viaDistributed == expected, s"distributed path, edges=$edges")
     }
   }
 

@@ -32,9 +32,13 @@ class ClusterSpec extends SparkSpec {
 
   test("a 60-node chain converges within MaxRounds (pointer jumping)") {
     // Plain propagation would need 59 rounds (> MaxRounds = 25); the
-    // label-of-label shortcut makes this O(log diameter).
+    // label-of-label shortcut makes this O(log diameter). Gate forced to 0
+    // so the DISTRIBUTED path runs (the driver union-find would hide it).
     val chain = (1L until 60L).map(i => (i, i + 1))
-    val got = components(chain)
+    val got = Cluster.componentsOver(
+        chain.toDF("doc_a", "doc_b"), driverSolveMaxPairs = 0L)
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (d, c, k) => d -> (c, k) }.toMap
     assert(got.size == 60 && got.values.map(_._1).toSet == Set(1L))
   }
 
