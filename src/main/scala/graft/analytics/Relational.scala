@@ -828,6 +828,28 @@ object Relational {
     spark.sql(existsSubqueryText)
   }
 
+  /** One SQL text for both engines: a RECURSIVE CTE (new in Spark 4) walking
+    * the implicit binary-tree ancestry of the max order key (parent =
+    * floor(k/2), the heap-numbering scheme) — data-seeded, ~log2(maxkey)
+    * iterations, each a tiny single-row step. Proves the recursive-query
+    * family end to end; division goes through floor(k/2.0) because bare
+    * integer `/` differs between dialects.
+    */
+  val recursiveCteText: String =
+    """WITH RECURSIVE anc(k, depth) AS (
+      |  SELECT CAST(max(o_orderkey) AS BIGINT) AS k, 0 AS depth FROM orders
+      |  UNION ALL
+      |  SELECT CAST(floor(k / 2.0) AS BIGINT) AS k, depth + 1 AS depth
+      |  FROM anc WHERE k > 0
+      |)
+      |SELECT depth, k FROM anc ORDER BY depth""".stripMargin
+
+  /** q_recursive_cte — the recursive-query path (same text, two engines). */
+  def recursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(recursiveCteText)
+  }
+
   /** One SQL text that parses identically in Spark SQL and DuckDB — used
     * verbatim by both q_sql_region's Spark execution and its oracle, proving
     * the engine's SQL entry path (`Tables.registerViews` + `spark.sql`).
@@ -915,6 +937,7 @@ object Relational {
     "x_hist_sketch" -> (histSketch _),
     "q_gap_fill" -> (gapFill _),
     "q_subquery_exists" -> (subqueryExists _),
+    "q_recursive_cte" -> (recursiveCte _),
     "q_sql_region" -> (sqlRegion _),
     "q_subquery_corr" -> (subqueryCorr _),
     "q_limit_order" -> (limitOrder _))
@@ -952,6 +975,7 @@ object Relational {
     "x_hist_sketch" -> histSketchSql,
     "q_gap_fill" -> gapFillSql,
     "q_subquery_exists" -> existsSubqueryText,
+    "q_recursive_cte" -> recursiveCteText,
     "q_sql_region" -> sqlRegionText,
     "q_subquery_corr" -> subqueryCorrText,
     "q_limit_order" -> limitOrderSql)
