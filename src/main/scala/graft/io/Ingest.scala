@@ -95,11 +95,35 @@ object Ingest {
       |ORDER BY event_id
       |LIMIT 100""".stripMargin
 
+  /** ingest_variant — the same JSON extraction through Spark 4's VARIANT
+    * type (`parse_json` → `variant_get`): the modern shredded-semi-structured
+    * path. Unlike `get_json_object` (per-call string re-parse), a VARIANT
+    * column parses once into a binary-encoded tree that every downstream
+    * `variant_get` navigates directly — the shape that matters when a 100 TB
+    * corpus has many extractions per payload. Aggregated so the gate checks
+    * VALUES while output stays bounded.
+    */
+  def ingestVariant(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+      .agg(count(lit(1)).as("n_rows"), count($"k").as("n_k"),
+        sum($"k").as("sum_k"), min($"k").as("min_k"), max($"k").as("max_k"))
+  }
+
+  val ingestVariantSql: String =
+    """SELECT count(*) AS n_rows, count(k) AS n_k,
+      | CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+      |FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events) t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ingest_json_raw" -> (ingestJsonRaw _),
+    "ingest_variant" -> (ingestVariant _),
     "csv_replay_limit" -> (csvReplayLimit _))
 
   val oracles: Map[String, String] = Map(
     "ingest_json_raw" -> ingestJsonRawSql,
+    "ingest_variant" -> ingestVariantSql,
     "csv_replay_limit" -> csvReplayLimitSql)
 }
