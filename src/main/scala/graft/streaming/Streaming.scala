@@ -173,6 +173,18 @@ object Streaming {
         writeBatch(batch, batchId, outRoot)
       }
 
+  /** RocksDB state store provider class — the large-state path. The default
+    * HDFS-backed provider keeps every key in executor HEAP; a 100 TB
+    * stream's dedup/session state OOMs it, while RocksDB spills state to
+    * local disk with an in-memory working set. Set BEFORE starting the
+    * query (the provider is pinned per query at start).
+    */
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  def useRocksDbState(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+
   /** Sink read-back with `batch_id` restored to LONG: partition-directory
     * type inference reconstructs numeric partition values as INT, which
     * would break readers (or unions with pre-partitioning data) that expect

