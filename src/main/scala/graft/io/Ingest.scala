@@ -105,8 +105,11 @@ object Ingest {
     */
   def ingestVariant(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // try_parse_json, not parse_json: one malformed payload in a crawl-scale
+    // corpus must yield a NULL row, not kill the job (matching
+    // get_json_object's and the oracle's null-on-malformed semantics).
     Tables.events(spark, dir)
-      .select(expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+      .select(expr("variant_get(try_parse_json(props), '$.k', 'long')").as("k"))
       .agg(count(lit(1)).as("n_rows"), count($"k").as("n_k"),
         sum($"k").as("sum_k"), min($"k").as("min_k"), max($"k").as("max_k"))
   }

@@ -32,8 +32,13 @@ object Observed {
     (df.observe(name, metrics.head, metrics.tail: _*), handle)
   }
 
-  /** Collects observed-metrics rows by observation name as actions finish. */
-  final class MetricsHandle(name: String, spark: org.apache.spark.sql.SparkSession) {
+  /** Collects observed-metrics rows by observation name as actions finish.
+    * Reading a metric unregisters the listener; if the action FAILS and no
+    * metric will ever be read, call [[close]] (or use try/finally) so the
+    * listener does not stay registered on the shared session for life.
+    */
+  final class MetricsHandle(name: String, spark: org.apache.spark.sql.SparkSession)
+      extends AutoCloseable {
     private val seen = mutable.Map.empty[String, Any]
     private val listener = new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
@@ -52,17 +57,18 @@ object Observed {
       */
     def apply(metric: String, timeoutMs: Long = 10000): Any = {
       val deadline = System.currentTimeMillis() + timeoutMs
-      while (System.currentTimeMillis() < deadline) {
-        seen.synchronized { seen.get(metric) } match {
-          case Some(v) =>
-            spark.listenerManager.unregister(listener)
-            return v
-          case None => Thread.sleep(50)
+      try {
+        while (System.currentTimeMillis() < deadline) {
+          seen.synchronized { seen.get(metric) } match {
+            case Some(v) => return v
+            case None => Thread.sleep(50)
+          }
         }
-      }
-      spark.listenerManager.unregister(listener)
-      throw new IllegalStateException(
-        s"observed metric '$metric' for '$name' not delivered within ${timeoutMs}ms — did an action run?")
+        throw new IllegalStateException(
+          s"observed metric '$metric' for '$name' not delivered within ${timeoutMs}ms — did an action run?")
+      } finally close()
     }
+
+    override def close(): Unit = spark.listenerManager.unregister(listener)
   }
 }

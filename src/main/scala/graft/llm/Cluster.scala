@@ -30,10 +30,13 @@ object Cluster {
 
   val MaxRounds = 25
 
-  /** Pair-count gate for the driver-side solve: 1M edges ≈ 16 MB on the
-    * driver — the same "tiny result of a distributed stage lives on the
-    * driver" shape as IVF's centroids. Above it, the distributed
-    * propagation path runs instead.
+  /** Pair-count gate for the driver-side solve — the same "tiny result of a
+    * distributed stage lives on the driver" shape as IVF's centroids. Honest
+    * sizing: at the gate the collected edge array is ~40 MB, but the boxed
+    * union-find map and result tuples put the TRANSIENT JVM footprint at a
+    * few hundred MB — fine for this repo's 8 GiB local driver, but shrink
+    * the gate (it is a parameter) for small-driver deployments. Above it,
+    * the distributed propagation path runs instead.
     */
   val DriverSolveMaxPairs = 1L << 20
 

@@ -118,8 +118,11 @@ class StreamingSpec extends SparkSpec {
         input.addData((t("2024-01-01 10:01:00"), "a")) // dup: dropped by RocksDB state
         q.processAllAvailable()
         assert(spark.table("rocksdedup").count() == 2)
-        // the running query really is on the RocksDB provider
-        assert(q.lastProgress.stateOperators.length > 0)
+        // prove the state really lives in RocksDB: the provider exports
+        // rocksdb* custom metrics the HDFS-backed default does not
+        val custom = q.lastProgress.stateOperators(0).customMetrics.keySet()
+        assert(custom.stream().anyMatch(_.startsWith("rocksdb")),
+          s"no rocksdb metrics in $custom — query fell back to the default provider")
       } finally q.stop()
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
