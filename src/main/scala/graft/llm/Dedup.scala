@@ -226,20 +226,30 @@ object Dedup {
     * |A ∩ B| / |A ∪ B| over distinct shingle sets, exact integer arithmetic.
     */
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    // The candidate-pair plan is referenced three times below (pairs, the
-    // candidate-id set, and the join probe); localCheckpoint materializes it
-    // once instead of re-running the whole signature pipeline per reference.
+    // The candidate-pair plan is referenced three times in jaccardOver
+    // (pairs, the candidate-id set, and the join probe); localCheckpoint
+    // materializes it once instead of re-running the whole signature
+    // pipeline per reference.
     // NOTE localCheckpoint pins blocks to executor storage and is NOT
     // lost-executor resilient — on a real cluster swap for
     // persist(StorageLevel.DISK_ONLY) or a reliable checkpoint dir.
-    val pairs = dedupMinhash(spark, dir).localCheckpoint()
+    val docs = Tables.documents(spark, dir)
+    jaccardOver(docs, dedupMinhashOver(bandsOver(docs)).localCheckpoint())
+  }
+
+  /** Exact Jaccard scoring of a MATERIALIZED candidate-pair set over any
+    * (doc_id, text) frame — the verify stage as a seam, so stress/scale
+    * harnesses and the verified-clustering query share one definition.
+    * `pairs` must already be materialized (it is referenced three times).
+    */
+  def jaccardOver(docFrame: DataFrame, pairs: DataFrame): DataFrame = {
+    import docFrame.sparkSession.implicits._
     // Shingle sets are only materialized for candidate docs (semi-join
     // first): at scale the candidate set is orders of magnitude smaller
     // than the corpus.
     val candidates = pairs
       .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
-    val docs = Tables.documents(spark, dir)
+    val docs = docFrame
       .join(candidates, "doc_id", "left_semi")
       .withColumn("toks", split($"text", " "))
       .select($"doc_id", array_distinct(shinglesFromToks($"toks")).as("sh"))

@@ -71,33 +71,49 @@ object Stress {
       Dedup.dedupMinhashOver(Dedup.bandsOver(docs)).localCheckpoint()
     }
     val nPairs = pairs.count()
+    def intraOf(p: org.apache.spark.sql.DataFrame): Long =
+      p.filter(($"doc_a" / GroupSize).cast("long") ===
+        ($"doc_b" / GroupSize).cast("long")).count()
+    val intraRaw = intraOf(pairs)
+    println(s"[stress] raw pairs=$nPairs (intra-group=$intraRaw, " +
+      s"cross-group=${nPairs - intraRaw} — LSH false-positive floor, grows with N)")
+
+    // The verify stage is LOAD-BEARING at scale: raw-LSH pairs include
+    // band-collision noise that grows ~N²/buckets and transitively merges
+    // unrelated groups (at 500k docs raw clustering under-counts groups by
+    // ~25%). Exact Jaccard filters them before connectivity.
+    val verified = timed("jaccard verify stage") {
+      Dedup.jaccardOver(docs, pairs)
+        .filter($"jaccard" >= Cluster.VerifyThreshold)
+        .select($"doc_a", $"doc_b").localCheckpoint()
+    }
+    val nVerified = verified.count()
 
     // time BOTH solve paths: the hybrid gate (driver union-find at this pair
     // count) and the forced-distributed pointer-jumped propagation
     timed("connected components (forced distributed)") {
-      Cluster.componentsOver(pairs, driverSolveMaxPairs = 0L)
+      Cluster.componentsOver(verified, driverSolveMaxPairs = 0L)
         .write.format("noop").mode("overwrite").save()
     }
     val clusters = timed("connected components (hybrid gate)") {
-      Cluster.componentsOver(pairs).localCheckpoint()
+      Cluster.componentsOver(verified).localCheckpoint()
     }
     val nClustered = clusters.count()
     val nClusters = clusters.filter($"is_keeper").count()
 
-    // Recovery check: a pair is intra-group iff doc_a/GroupSize == doc_b/GroupSize.
-    val intra = pairs.filter(($"doc_a" / GroupSize).cast("long") ===
-      ($"doc_b" / GroupSize).cast("long")).count()
+    val intra = intraOf(verified)
     val expectedGroups = n / GroupSize
-    println(s"[stress] pairs=$nPairs (intra-group=$intra, cross-group=${nPairs - intra})")
+    println(s"[stress] verified pairs=$nVerified (intra-group=$intra, " +
+      s"cross-group=${nVerified - intra})")
     println(s"[stress] clustered_docs=$nClustered clusters=$nClusters " +
       s"(planted groups=$expectedGroups)")
     // Recovery needs LOWER bounds too — an upstream regression that zeroes
     // pair generation must fail loudly, not pass vacuously: nearly all docs
-    // clustered, cluster count within ±10% of planted groups, and ≥90% of
-    // pairs intra-group.
+    // clustered, cluster count within ±10% of planted groups, and ≥99% of
+    // verified pairs intra-group.
     val ok = nClustered * 100 >= n * 95 &&
       nClusters * 10 >= expectedGroups * 9 && nClusters * 10 <= expectedGroups * 11 &&
-      nPairs > 0 && intra * 10 >= nPairs * 9
+      nVerified > 0 && intra * 100 >= nVerified * 99
     println(s"[stress] structure recovered: ${if (ok) "YES" else "NO"}")
     spark.stop()
     if (!ok) sys.exit(1)
