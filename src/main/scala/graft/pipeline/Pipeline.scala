@@ -153,4 +153,24 @@ object Pipeline {
 
     PipelineResult(passed, results, root, readBack.count())
   }
+
+  /** Backfill — the Airflow operation the reference's users actually run:
+    * execute the pipeline once per date, oldest first. Each run overwrites
+    * only its own `ds` partition (writeRawZone is dynamic-overwrite), so a
+    * backfill is idempotent and safely re-runnable over any date window.
+    * The loop is over the DATE RANGE (config), never over data; failures
+    * don't stop later dates (each date's verdict is in its result, matching
+    * the one-DagRun-per-date model).
+    */
+  def backfill(
+      spark: SparkSession,
+      spec: PipelineSpec,
+      start: LocalDate,
+      endInclusive: LocalDate,
+      fetcher: Fetcher = HttpFetcher,
+      alertSink: AlertSink = LogAlertSink): Seq[(LocalDate, PipelineResult)] =
+    Iterator.iterate(start)(_.plusDays(1))
+      .takeWhile(!_.isAfter(endInclusive))
+      .map(d => d -> run(spark, spec, d, fetcher, alertSink))
+      .toSeq
 }

@@ -77,4 +77,23 @@ class PipelineRunSpec extends SparkSpec {
     assert(r.rows == 3) // not 6: the rerun replaced, not appended
     assert(spark.read.parquet(r.rawPath).count() == 6) // both ds partitions live
   }
+
+  test("backfill runs every date in the window; re-backfill is idempotent") {
+    import graft.dq._
+    val bucket = tmp()
+    val s = spec(Seq(MinRowCount(1)), bucket)
+    val fetcher = new StubFetcher(usersPayload)
+    val results = Pipeline.backfill(spark, s,
+      LocalDate.parse("2024-06-01"), LocalDate.parse("2024-06-03"),
+      fetcher, new RecordingAlerts)
+    assert(results.map(_._1.toString) == Seq("2024-06-01", "2024-06-02", "2024-06-03"))
+    assert(results.forall(_._2.passed))
+    val root = results.head._2.rawPath
+    assert(spark.read.parquet(root).count() == 9) // 3 rows × 3 ds partitions
+    // re-running the same window replaces each ds partition, no duplication
+    Pipeline.backfill(spark, s,
+      LocalDate.parse("2024-06-01"), LocalDate.parse("2024-06-03"),
+      fetcher, new RecordingAlerts)
+    assert(spark.read.parquet(root).count() == 9)
+  }
 }
