@@ -34,7 +34,11 @@ object AsOf {
     val payloadStruct: StructType = right.select(payload.map(col): _*).schema
     val leftStruct: StructType = StructType(left.schema.fields)
 
-    val taggedRight = right.select(
+    // A null right timestamp can never satisfy `right.ts <= left.ts` (SQL
+    // NULL comparison), but unfiltered it would sort FIRST in the window
+    // (asc = nulls first) and be carried forward as a spurious match —
+    // drop such rows up front to keep ASOF semantics.
+    val taggedRight = right.filter(col(tsCol).isNotNull).select(
       col(key).as("__k"), col(tsCol).as("__ts"), lit(0).as("__tag"),
       lit(null).cast(leftStruct).as("__l"),
       struct(payload.map(col): _*).as("__r"))

@@ -162,8 +162,9 @@ object Sessions {
         min($"ts_us").as("pmin"), max($"ts_us").as("pmax")),
       fin = Seq(sum($"pn").as("n_events"),
         (sum($"pc").cast("double") / 100.0).as("total_value"),
-        (max($"pmax") - min($"pmin")).as("span_us")))
-      .select(col("__k").as("user_id"), $"n_events", $"total_value", $"span_us")
+        (max($"pmax") - min($"pmin")).as("span_us")),
+      keyName = "user_id")
+      .select($"user_id", $"n_events", $"total_value", $"span_us")
       .orderBy($"user_id")
   }
 

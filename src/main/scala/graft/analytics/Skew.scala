@@ -13,7 +13,8 @@ object Skew {
   /** Two-phase (salted) aggregation: partial-aggregate on (key, salt) so one
     * hot key spreads over `saltBuckets` reducers, then final-aggregate on the
     * key. Use for algebraic aggregates (counts/sums): pass the partial and
-    * final expressions.
+    * final expressions. The result's key column is named `keyName` — no
+    * internal magic name leaks into the output schema.
     *
     * The salt is `pmod(hash(<distributor>), saltBuckets)` — deterministic,
     * no rand(), so declared queries stay replayable.
@@ -24,12 +25,14 @@ object Skew {
       distributor: Column,
       saltBuckets: Int,
       partial: Seq[Column],
-      fin: Seq[Column]): DataFrame =
+      fin: Seq[Column],
+      keyName: String = "key"): DataFrame =
     df.withColumn("__salt", pmod(hash(distributor), lit(saltBuckets)))
       .groupBy(key.as("__k"), col("__salt"))
       .agg(partial.head, partial.tail: _*)
       .groupBy(col("__k"))
       .agg(fin.head, fin.tail: _*)
+      .withColumnRenamed("__k", keyName)
 
   /** Salted join of a skewed left side against a small-ish right side:
     * left rows get a deterministic salt in [0, n); right rows are replicated

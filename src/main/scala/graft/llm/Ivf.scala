@@ -73,21 +73,32 @@ object Ivf {
     rows.toDF("cid", "centroid")
   }
 
-  /** (vec_id, cid): nearest centroid by cosine, deterministic tie-break. */
+  /** (vec_id, cid): nearest centroid by cosine, deterministic tie-break
+    * (lowest cid wins at equal similarity — `max_by` over (sim, -cid)).
+    *
+    * Argmax via hash aggregate, NOT a row_number window: a window over the
+    * crossJoin output would shuffle all N×nlist scored rows by vec_id —
+    * an nlist-fold amplification of the hottest exchange in the index. The
+    * aggregate form reduces map-side (each partition keeps one running best
+    * per vec_id), so the exchange carries one row per vector.
+    */
   def assign(spark: SparkSession, vectors: DataFrame, centroids: DataFrame): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cid".asc)
     vectors.crossJoin(broadcast(centroids))
       .withColumn("sim", cosineFast(spark, $"v", $"centroid"))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"vec_id", $"cid")
+      .groupBy($"vec_id")
+      .agg(max_by($"cid", struct($"sim", -$"cid")).as("cid"))
   }
 
   /** Top-k cosine neighbors per query, searching only nProbe inverted lists.
     * queries: (query_id, qv). Returns (query_id, neighbor_id, rnk, sim).
     * roundSim ≥ 0 rounds the cosine to that many decimals BEFORE ranking
     * (with -0.0 canonicalized) so an oracle's float fold ranks identically.
+    *
+    * `excludeSelf` drops neighbors with vec_id == query_id — correct ONLY
+    * when query ids live in the vector id space (as in ivfTopK, whose
+    * probes ARE vectors). Pass false for external query ids, or a vector
+    * that happens to share a number with a query id is silently unfindable.
     */
   def search(
       spark: SparkSession,
@@ -96,7 +107,8 @@ object Ivf {
       queries: DataFrame,
       k: Int,
       nProbe: Int,
-      roundSim: Int = -1): DataFrame = {
+      roundSim: Int = -1,
+      excludeSelf: Boolean = true): DataFrame = {
     import spark.implicits._
     val lists = assign(spark, vectors, centroids)
       .join(vectors, "vec_id")
@@ -112,8 +124,8 @@ object Ivf {
     val rawSim = cosineFast(spark, $"qv", $"nv")
     val simCol = if (roundSim >= 0) round(rawSim, roundSim) + lit(0.0) else rawSim
     val wTop = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id".asc)
-    probed.join(lists, "cid") // equi-join on the inverted-list id: the ANN win
-      .filter($"query_id" =!= $"neighbor_id")
+    val joined = probed.join(lists, "cid") // equi-join on the inverted-list id: the ANN win
+    (if (excludeSelf) joined.filter($"query_id" =!= $"neighbor_id") else joined)
       .withColumn("sim", simCol)
       .withColumn("rnk", row_number().over(wTop))
       .filter($"rnk" <= k)

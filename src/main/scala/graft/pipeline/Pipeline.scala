@@ -133,8 +133,12 @@ object Pipeline {
 
     // 2. Raw-zone write, date-partitioned, overwrite-on-conflict (O1's
     //    load_string(replace=True) + keyed path, api_to_s3.py:68-73).
+    //    The destination path is `{{ ds }}`-templated like the source
+    //    (api_to_s3.py:29 template_fields covers the S3 key) — an
+    //    unrendered token would write every date under one literal
+    //    '{{ ds }}' directory and break the glob on read-back.
     val RawZoneDest(bucket, pathTemplate) = spec.destination
-    val root = s"$bucket/${pathTemplate.stripSuffix("/")}"
+    val root = s"$bucket/${PipelineSpec.renderDs(pathTemplate, ds).stripSuffix("/")}"
     Ingest.writeRawZone(ingested, root, ds)
 
     // 3. Read back the written partition (the DQ operator re-reads from the

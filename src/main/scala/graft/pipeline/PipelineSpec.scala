@@ -2,7 +2,7 @@ package graft.pipeline
 
 import scala.jdk.CollectionConverters._
 
-import graft.dq.{Check, MinRowCount, RequiredColumns, SourceExists, UniqueColumn, UnknownCheck}
+import graft.dq.{Check, MinRowCount, NullRatio, RequiredColumns, SourceExists, UniqueColumn, UnknownCheck, ValueRange}
 
 /** Typed pipeline specification — the engine's "query language" for the
   * self-service path, mirroring the 4-section YAML of
@@ -50,10 +50,18 @@ object PipelineSpec {
   def renderDs(template: String, ds: String): String =
     template.replaceAll("""\{\{\s*ds\s*\}\}""", ds)
 
-  /** Parse a YAML pipeline spec (snakeyaml, shipped with Spark). */
+  /** Parse a YAML pipeline spec (snakeyaml, shipped with Spark).
+    * Null-safe throughout: a key present with an EMPTY value (`description:`
+    * on its own line — routine in hand-edited YAML) parses like an absent
+    * key, and an empty document parses like an empty spec, instead of
+    * NPE-ing. Config ERRORS (e.g. min_row_count without a threshold) throw
+    * IllegalArgumentException at parse time — a silently-defaulted
+    * threshold of 0 would make the check always pass.
+    */
   def fromYaml(yaml: String): PipelineSpec = {
-    val root = new org.yaml.snakeyaml.Yaml()
-      .load[java.util.Map[String, Object]](yaml).asScala
+    val root: Map[String, Object] =
+      Option(new org.yaml.snakeyaml.Yaml().load[java.util.Map[String, Object]](yaml))
+        .map(_.asScala.toMap).getOrElse(Map.empty)
 
     def section(name: String): Map[String, Object] =
       root.get(name) match {
@@ -62,7 +70,7 @@ object PipelineSpec {
         case _ => Map.empty
       }
     def str(m: Map[String, Object], k: String, default: String = ""): String =
-      m.get(k).map(_.toString).getOrElse(default)
+      m.get(k).flatMap(Option(_)).map(_.toString).getOrElse(default)
     def strMap(v: Object): Map[String, String] = v match {
       case m: java.util.Map[_, _] =>
         m.asScala.map { case (k, x) => k.toString -> String.valueOf(x) }.toMap
@@ -100,15 +108,31 @@ object PipelineSpec {
       case Some(l: java.util.List[_]) =>
         l.asScala.toSeq.collect { case m: java.util.Map[_, _] =>
           val c = m.asScala.map { case (k, v) => k.toString -> v }.toMap
-          c.get("check_type").map(_.toString) match {
+          def opt(k: String): Option[String] =
+            c.get(k).flatMap(Option(_)).map(_.toString)
+          def required(k: String, checkType: String): String =
+            opt(k).getOrElse(throw new IllegalArgumentException(
+              s"$checkType check requires '$k' — refusing a silent default"))
+          opt("check_type") match {
             case Some("min_row_count") =>
-              MinRowCount(c.get("threshold").map(_.toString.toLong).getOrElse(0L))
+              MinRowCount(required("threshold", "min_row_count").toLong)
             case Some("required_columns") =>
-              RequiredColumns(c.get("columns").map(v => strSeq(v.asInstanceOf[Object])).getOrElse(Nil))
+              RequiredColumns(c.get("columns").flatMap(Option(_))
+                .map(v => strSeq(v.asInstanceOf[Object])).getOrElse(Nil))
             case Some("unique_column") =>
-              UniqueColumn(c.get("column").map(_.toString).getOrElse(""))
+              UniqueColumn(required("column", "unique_column"))
             case Some("source_exists") =>
-              SourceExists(c.get("path").map(_.toString).getOrElse(""))
+              SourceExists(required("path", "source_exists"))
+            case Some("null_ratio") =>
+              // YAML carries a decimal max_ratio; the check compares in
+              // exact integer arithmetic at parts-per-million resolution.
+              val ratio = required("max_ratio", "null_ratio").toDouble
+              NullRatio(required("column", "null_ratio"),
+                math.round(ratio * 1000000L), 1000000L)
+            case Some("value_range") =>
+              ValueRange(required("column", "value_range"),
+                required("min", "value_range").toDouble,
+                required("max", "value_range").toDouble)
             case other =>
               UnknownCheck(other.getOrElse("<missing>"))
           }

@@ -19,8 +19,8 @@ class SkewSpec extends SparkSpec {
     val salted = Skew.twoPhaseAgg(
       skewed, $"key", $"id", saltBuckets = 8,
       partial = Seq(count(lit(1)).as("pn"), sum($"v").as("ps")),
-      fin = Seq(sum($"pn").as("n"), sum($"ps").as("s")))
-      .select($"__k".as("key"), $"n", $"s")
+      fin = Seq(sum($"pn").as("n"), sum($"ps").as("s")), keyName = "key")
+      .select($"key", $"n", $"s")
       .as[(Long, Long, Double)].collect().toSet
     assert(salted == plain)
   }

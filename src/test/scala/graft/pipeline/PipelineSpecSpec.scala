@@ -61,6 +61,46 @@ class PipelineSpecSpec extends AnyFunSuite {
     assert(PipelineSpec.renderDs("no macro", "2024-05-01") == "no macro")
   }
 
+  test("empty-valued keys and empty documents parse without NPE") {
+    val spec = PipelineSpec.fromYaml(
+      """pipeline_info:
+        |  name: p
+        |  description:
+        |source:
+        |  type: csv
+        |  path:
+        |""".stripMargin)
+    assert(spec.info.description == "")
+    assert(spec.source == FileSource("csv", "", Map.empty))
+    assert(PipelineSpec.fromYaml("") == PipelineSpec.fromYaml("# only a comment"))
+  }
+
+  test("min_row_count without a threshold is a config ERROR, not a 0 default") {
+    val e = intercept[IllegalArgumentException] {
+      PipelineSpec.fromYaml(
+        """data_quality_checks:
+          |  - check_type: min_row_count
+          |""".stripMargin)
+    }
+    assert(e.getMessage.contains("threshold"))
+  }
+
+  test("null_ratio and value_range checks parse to their typed forms") {
+    val spec = PipelineSpec.fromYaml(
+      """data_quality_checks:
+        |  - check_type: null_ratio
+        |    column: email
+        |    max_ratio: 0.01
+        |  - check_type: value_range
+        |    column: age
+        |    min: 0
+        |    max: 130
+        |""".stripMargin)
+    assert(spec.checks == Seq(
+      graft.dq.NullRatio("email", 10000L, 1000000L),
+      graft.dq.ValueRange("age", 0.0, 130.0)))
+  }
+
   test("file source parses as FileSource with options") {
     val spec = PipelineSpec.fromYaml(
       """source:
