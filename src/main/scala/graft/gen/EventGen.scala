@@ -35,6 +35,16 @@ object EventGen {
     element_at(typedlit(domain),
       (pmod(hash(id, lit(seed)), lit(domain.size)) + 1).cast("int"))
 
+  /** ISO-8601 UTC rendering with a TRUTHFUL 'Z': date_format renders in the
+    * session timezone, so a non-UTC session would produce local wall clock
+    * falsely labeled UTC. convert_timezone pins the wall clock to UTC first
+    * (identity when the session is already UTC, as every in-repo entry
+    * point is).
+    */
+  private def utcIso(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    date_format(convert_timezone(current_timezone(), lit("UTC"), ts),
+      "yyyy-MM-dd'T'HH:mm:ss'Z'")
+
   /** One definition of the user-id derivation, shared by the batch and
     * stream generators so they can never disagree on user assignment.
     */
@@ -57,8 +67,7 @@ object EventGen {
       userId(col("id"), seed).as("user_id"),
       pick(EventTypes, col("id"), seed + 1).as("event_type"),
       pick(Urls, col("id"), seed + 2).as("url"),
-      date_format(timestamp_seconds(lit(baseEpoch) + col("id")),
-        "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timestamp"),
+      utcIso(timestamp_seconds(lit(baseEpoch) + col("id"))).as("timestamp"),
       pick(UtmSources, col("id"), seed + 3).as("utm_source"))
   }
 
@@ -73,7 +82,7 @@ object EventGen {
         userId(col("value"), seed).as("user_id"),
         pick(EventTypes, col("value"), seed + 1).as("event_type"),
         pick(Urls, col("value"), seed + 2).as("url"),
-        date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timestamp"),
+        utcIso(col("timestamp")).as("timestamp"),
         pick(UtmSources, col("value"), seed + 3).as("utm_source"))
 
   /** O15 — the UTF-8 JSON envelope: every row becomes one JSON object. */
@@ -107,9 +116,15 @@ object EventGen {
     * so this is exercised only where the connector exists; the envelope and
     * replay logic above are the tested parts.
     */
-  def writeKafka(df: DataFrame, brokers: String, topic: String): Unit =
-    jsonEnvelope(df).write.format("kafka")
+  def writeKafka(df: DataFrame, brokers: String, topic: String): Unit = {
+    // An already-enveloped frame (single string `value` column — csvReplay's
+    // output shape) passes through untouched; enveloping again would wrap
+    // the JSON object in a JSON string and break topic consumers.
+    val payload =
+      if (df.columns.sameElements(Array("value"))) df else jsonEnvelope(df)
+    payload.write.format("kafka")
       .option("kafka.bootstrap.servers", brokers)
       .option("topic", topic)
       .save()
+  }
 }

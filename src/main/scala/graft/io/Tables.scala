@@ -16,7 +16,14 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Every named load — including `apply(_, _, "events")` — goes through the
+    * table's canonical loader, so no path hands out an inconsistent view of
+    * the ns-timestamp table.
+    */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir) else raw(spark, dir, name)
+
+  private def raw(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every harness table as a temp view so users can `spark.sql`
@@ -40,13 +47,20 @@ object Tables {
     * as a timestamp. Read nanos as long (`legacy.parquet.nanosAsLong`) and
     * truncate to microseconds with integer division — the same truncation
     * DuckDB applies when narrowing ns→µs, so oracle comparisons agree.
+    *
+    * NOTE the conf is deliberately SESSION-level (no per-read option
+    * exists): after the first events() call, other ns-timestamp parquet in
+    * the same session also reads as long instead of erroring. This library
+    * has exactly one ns table, and a long column is strictly more
+    * recoverable than Spark 4's refusal — but it is a session-wide effect,
+    * recorded here.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = apply(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    val r = raw(spark, dir, "events")
+    if (r.schema("ts").dataType == LongType)
+      r.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else r
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")

@@ -87,14 +87,17 @@ object Similarity {
       |FROM ranked WHERE rnk <= 10
       |ORDER BY query_id, rnk""".stripMargin
 
-  /** Random-hyperplane signbit bucket key: first `bits` dims' sign pattern.
-    * (With driver-fixed "hyperplanes" = coordinate axes, which is deterministic
-    * and oracle-expressible; a production deployment would use seeded Gaussian
-    * hyperplanes via the same expression shape.)
+  /** Random-hyperplane signbit bucket key: `bits` dims' sign pattern
+    * starting at `offset` — ONE definition of the oracle-sensitive bucket
+    * derivation, shared by simBucketed (offset 0) and dedupEmbed's
+    * multi-table variant. (With driver-fixed "hyperplanes" = coordinate
+    * axes, which is deterministic and oracle-expressible; a production
+    * deployment would use seeded Gaussian hyperplanes via the same
+    * expression shape.)
     */
-  def signBucket(v: Column, bits: Int): Column =
+  def signBucket(v: Column, bits: Int, offset: Int = 0): Column =
     concat((0 until bits).map(i =>
-      when(element_at(v, i + 1) >= 0.0, lit("1")).otherwise(lit("0"))): _*)
+      when(element_at(v, offset + i + 1) >= 0.0, lit("1")).otherwise(lit("0"))): _*)
 
   /** x_sim_bucketed — LSH-bucketed approximate neighbor candidates: pairs in
     * the same signbit bucket with cosine ≥ 0.2. Equi-join on the bucket key.
@@ -150,9 +153,7 @@ object Similarity {
       .select($"vec_id", asDouble($"embedding").as("v"))
     val tables = (0 until EmbedTables).map { t =>
       struct(lit(t).as("tbl"),
-        concat((0 until EmbedBits).map(i =>
-          when(element_at($"v", t * EmbedBits + i + 1) >= 0.0, lit("1"))
-            .otherwise(lit("0"))): _*).as("bucket"))
+        signBucket($"v", EmbedBits, offset = t * EmbedBits).as("bucket"))
     }
     val bands = e.select($"vec_id", $"v", explode(array(tables: _*)).as("x"))
       .select($"vec_id", $"v", $"x.tbl".as("tbl"), $"x.bucket".as("bucket"))

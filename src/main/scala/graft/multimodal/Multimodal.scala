@@ -85,8 +85,11 @@ object Multimodal {
   }
 
   /** Frame sampling: keep every `stride`-th frame (video temporal sampling). */
-  def sampleFrames(frames: Dataset[DecodedFrame], stride: Int): Dataset[DecodedFrame] =
+  def sampleFrames(frames: Dataset[DecodedFrame], stride: Int): Dataset[DecodedFrame] = {
+    // fail at plan-build time, not as a per-row ArithmeticException mid-stage
+    require(stride > 0, s"stride must be positive, got $stride")
     frames.filter(f => f.frame_idx % stride == 0)
+  }
 
   /** Resize: deterministic downscale stub — halves dimensions, subsamples
     * pseudo-pixels (a real impl swaps the body, signature/meta stay).
@@ -144,8 +147,8 @@ object Multimodal {
     * hard-coded checkout location; the oracle SQL interpolates the same
     * resolved path.
     */
-  val FixturePath: String =
-    new java.io.File("src/test/resources/graft/assets.parquet").getAbsolutePath
+  val FixturePath: String = sys.props.getOrElse("graft.assets.fixture",
+    new java.io.File("src/test/resources/graft/assets.parquet").getAbsolutePath)
 
   /** x_mm_catalog — the declared, oracle-gated face of multimodal columns:
     * read the committed parquet holding opaque binary payloads + typed
@@ -156,6 +159,9 @@ object Multimodal {
     */
   def mmCatalog(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    require(new java.io.File(FixturePath).exists(),
+      s"asset fixture not found at $FixturePath — run from the repo root or " +
+        "set -Dgraft.assets.fixture=/abs/path/to/assets.parquet")
     assetCatalog(spark.read.parquet(FixturePath).as[Asset]).orderBy(col("asset_id"))
   }
 
