@@ -53,7 +53,12 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // A failed query must POISON the headline number: excluding it would
+    // make a broken round bench FASTER than a working one for any consumer
+    // that only reads "value".
+    val total =
+      if (results.exists(_._2 < 0)) -1.0
+      else results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -22,12 +22,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A failed query must be VISIBLE to the gate, not just a stderr line: a
+    // missing result dir could read as "not declared" downstream. Record
+    // failures in failures.json and in the summary line.
+    val failures = scala.collection.mutable.Buffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -43,9 +48,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Only the attempted queries' oracles: the gate treats an oracle key
+    // with no result dir as a FAILURE, so a filtered dump must not carry
+    // the full map.
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/failures.json"),
+      failures.map(q).mkString("[", ",", "]"))
+    println(s"[verify] done: ${failures.size} failed" +
+      (if (failures.nonEmpty) s" (${failures.mkString(", ")})" else ""))
     spark.stop()
   }
 }

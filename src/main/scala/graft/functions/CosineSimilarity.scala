@@ -19,8 +19,10 @@ import org.apache.spark.sql.SparkSession
   * identical to the HOF fold, so results are bit-identical and oracle-safe.
   *
   * Null semantics: NULL on mismatched array lengths (matching zip_with's
-  * null padding poisoning the HOF fold) and NULL on a zero denominator —
-  * never NaN, never silent truncation. The zero-norm case deliberately takes
+  * null padding poisoning the HOF fold), NULL if EITHER array contains a
+  * null element (a null slot would otherwise read as 0.0 and produce a
+  * plausible-but-wrong score), and NULL on a zero denominator — never NaN,
+  * never silent truncation. The zero-norm case deliberately takes
   * `try_divide` semantics: under Spark 4's default ANSI mode the HOF's bare
   * Divide THROWS on a 0 divisor, which is wrong for a similarity measure
   * (one all-zero embedding would kill a whole corpus scan); a null sim is
@@ -58,6 +60,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i); val yi = y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
@@ -82,13 +85,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  boolean ${n}_hasNull = false;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${n}_hasNull = true; break; }
          |    double $xi = $a.getDouble($i);
          |    double $yi = $b.getDouble($i);
          |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |  }
          |  double $den = $na * $nb;
-         |  if ($den == 0.0) {
+         |  if (${n}_hasNull || $den == 0.0) {
          |    ${ev.isNull} = true;
          |  } else {
          |    ${ev.value} = $dot / java.lang.Math.sqrt($den);
@@ -112,16 +117,30 @@ object GraftFunctions {
     case _ => e // let checkInputDataTypes report the mismatch
   }
 
+  // Arity is validated here so a wrong-arg-count call surfaces as a clear
+  // analysis error naming the signature, not an IndexOutOfBoundsException
+  // from inside the builder.
+  private def arity(name: String, sig: String, n: Int)(children: Seq[Expression]): Unit =
+    if (children.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "INTERNAL_ERROR",
+        messageParameters = Map("message" ->
+          s"$name expects $n arguments: $name$sig, got ${children.length}"))
+
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[Expression]) =>
-        CosineSimilarity(toDoubleArray(children.head), toDoubleArray(children(1)))),
+      (children: Seq[Expression]) => {
+        arity("cosine_sim", "(a array<double>, b array<double>)", 2)(children)
+        CosineSimilarity(toDoubleArray(children.head), toDoubleArray(children(1)))
+      }),
     (new FunctionIdentifier("bin_counts"),
       new ExpressionInfo(classOf[BinCounts].getName, "bin_counts"),
-      (children: Seq[Expression]) =>
+      (children: Seq[Expression]) => {
+        arity("bin_counts", "(value double, lo double, hi double, nbins int)", 4)(children)
         BinCounts(Cast(children.head, DoubleType), Cast(children(1), DoubleType),
-          Cast(children(2), DoubleType), children(3)).toAggregateExpression()))
+          Cast(children(2), DoubleType), children(3)).toAggregateExpression()
+      }))
 
   /** Idempotent per-session registration (for sessions built without the
     * extensions hook — e.g. the driver's own SparkSession).

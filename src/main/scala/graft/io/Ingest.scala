@@ -16,10 +16,18 @@ object Ingest {
 
   /** Parse a raw JSON payload (array-of-records or NDJSON) into a DataFrame,
     * schema inferred — the reference's `pd.read_json` contract.
+    *
+    * NDJSON must be split into one dataset row per line: handed to the JSON
+    * reader as ONE row, only the first record parses and the rest are
+    * silently dropped. Array payloads (possibly pretty-printed across
+    * lines) stay a single row so multiline mode handles them.
     */
   def fromJsonPayload(spark: SparkSession, payload: String): DataFrame = {
     import spark.implicits._
-    spark.read.json(spark.createDataset(Seq(payload)))
+    val rows =
+      if (payload.trim.startsWith("[")) Seq(payload)
+      else payload.split("\n").toSeq.filter(_.trim.nonEmpty)
+    spark.read.json(spark.createDataset(rows))
   }
 
   /** Write a raw-zone date partition, overwrite-on-conflict — the reference's
@@ -28,11 +36,7 @@ object Ingest {
     * downstream.
     */
   def writeRawZone(df: DataFrame, root: String, ds: String): Unit =
-    df.withColumn("ds", lit(ds))
-      .write.mode("overwrite")
-      .partitionBy("ds")
-      .option("partitionOverwriteMode", "dynamic")
-      .parquet(root)
+    Writers.writeParquet(df.withColumn("ds", lit(ds)), root, Seq("ds"))
 
   /** ingest_json_raw — JSON scalar extraction from the events `props` payload:
     * the declared, oracle-checkable face of the JSON parse path.
@@ -79,9 +83,11 @@ object Ingest {
   }
 
   /** Oracle: the same envelope via string concatenation (DuckDB has no
-    * field-ordered struct→JSON with these exact formats). `\"` inside a
-    * single-quoted SQL literal is two characters — standard SQL strings do
-    * not process backslash escapes — matching Jackson's quote escaping.
+    * field-ordered struct→JSON with these exact formats). Escaping matches
+    * Jackson: BACKSLASH FIRST, then quotes — quote-only escaping would
+    * corrupt any props containing a backslash (`\"` inside a single-quoted
+    * SQL literal is two characters; standard SQL strings do not process
+    * backslash escapes).
     */
   val csvReplayLimitSql: String =
     """SELECT event_id,
@@ -90,7 +96,7 @@ object Ingest {
       | '","user_id":' || user_id ||
       | ',"event_type":"' || event_type ||
       | '","value_cents":' || CAST(round(value * 100) AS BIGINT) ||
-      | ',"props":"' || replace(props, '"', '\"') || '"}' AS value
+      | ',"props":"' || replace(replace(props, '\', '\\'), '"', '\"') || '"}' AS value
       |FROM events
       |ORDER BY event_id
       |LIMIT 100""".stripMargin

@@ -26,6 +26,9 @@ object Writers {
     if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
   }
 
+  def writeParquet(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit =
+    writer(df, partitionCols).parquet(path)
+
   def writeOrc(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit =
     writer(df, partitionCols).orc(path)
 

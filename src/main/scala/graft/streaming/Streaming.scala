@@ -95,7 +95,12 @@ object Streaming {
               s = UserSessionState(
                 s.nEvents + 1,
                 s.totalCents + math.round(e.value * 100),
-                e.ts.getTime,
+                // a LATE event (earlier than the watermark-high already seen
+                // in a previous batch) folds into the session but must not
+                // REWIND the clock — a rewound lastTs would make the next
+                // on-time event look gap-separated and split a phantom
+                // session.
+                math.max(s.lastTsMs, e.ts.getTime),
                 s.nSessions + (if (newSession) 1 else 0))
             }
             state.update(s)
@@ -116,12 +121,18 @@ object Streaming {
       events: DataFrame,
       payloadCol: String = "text",
       tsCol: String = "ts",
-      watermark: String = "10 minutes"): DataFrame =
-    events
-      .withColumn("dedup_key", md5(col(payloadCol)))
+      watermark: String = "10 minutes"): DataFrame = {
+    // NULL payloads bypass dedup entirely: md5(NULL) is NULL and
+    // dropDuplicates treats null keys as EQUAL, so without the split every
+    // null-payload record after the first would be silently dropped even
+    // though the events are distinct.
+    val withKey = events.withColumn("dedup_key", md5(col(payloadCol)))
+    val deduped = withKey.filter(col("dedup_key").isNotNull)
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("dedup_key")
+    deduped.union(withKey.filter(col("dedup_key").isNull))
       .drop("dedup_key")
+  }
 
   /** Stream-static dimension enrichment: each micro-batch left-joins the
     * (small, broadcast) static dimension — no streaming state at all, the
@@ -200,9 +211,6 @@ object Streaming {
     * directory; read back through [[readSink]] to get it as LONG again.
     */
   private[streaming] def writeBatch(batch: DataFrame, batchId: Long, outRoot: String): Unit =
-    batch.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .partitionBy("batch_id")
-      .option("partitionOverwriteMode", "dynamic")
-      .parquet(outRoot)
+    graft.io.Writers.writeParquet(
+      batch.withColumn("batch_id", lit(batchId)), outRoot, Seq("batch_id"))
 }

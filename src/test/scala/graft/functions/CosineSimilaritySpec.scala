@@ -49,6 +49,14 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("a null ELEMENT yields null, not a 0.0-substituted score") {
+    GraftFunctions.register(spark)
+    val df = Seq((Seq(Some(1.0), None), Seq(Some(1.0), Some(2.0))))
+      .toDF("a", "b")
+    val r = df.select(call_function("cosine_sim", $"a", $"b")).collect().head
+    assert(r.isNullAt(0))
+  }
+
   test("zero-norm input yields null (try_divide semantics), never NaN") {
     GraftFunctions.register(spark)
     val df = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0))).toDF("a", "b")

@@ -28,6 +28,13 @@ class IngestSpec extends SparkSpec {
     assert(df.filter($"username" === "ada").count() == 1)
   }
 
+  test("fromJsonPayload parses NDJSON with one record per line (no silent drop)") {
+    val ndjson = "{\"a\": 1}\n{\"a\": 2}\n\n{\"a\": 3}"
+    val df = Ingest.fromJsonPayload(spark, ndjson)
+    assert(df.count() == 3)
+    assert(df.select($"a").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("writeRawZone overwrites only the written date partition") {
     val root = java.nio.file.Files.createTempDirectory("rawzone").toString + "/raw"
     val day1 = Seq((1L, "a")).toDF("id", "v")

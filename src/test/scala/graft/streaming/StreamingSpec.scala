@@ -102,6 +102,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream: null payloads pass through instead of collapsing to one") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Option[String])]
+    val deduped = Streaming.dedupStream(input.toDF().toDF("ts", "text"))
+    val q = deduped.writeStream.format("memory").queryName("nulldedup")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      input.addData((t("2024-01-01 10:00:00"), None),
+        (t("2024-01-01 10:00:01"), None), (t("2024-01-01 10:00:02"), Some("x")))
+      q.processAllAvailable()
+      input.addData((t("2024-01-01 10:01:00"), Some("x"))) // real dup: dropped
+      q.processAllAvailable()
+      assert(spark.table("nulldedup").count() == 3) // 2 null rows + 1 "x"
+    } finally q.stop()
+  }
+
+  test("a late event folds into the session without rewinding its clock") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import Streaming.UserEvent
+    val input = MemoryStream[UserEvent]
+    def ev(sec: Long) = UserEvent(1L, new java.sql.Timestamp(sec * 1000), 1.0)
+    val out = Streaming.userSessionTracker(
+      input.toDS(), gapMs = 50000L, idleTimeoutMs = 0L)
+    val q = out.writeStream.format("memory").queryName("lateclock")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(100))
+      q.processAllAvailable()
+      // late ev(10) must NOT rewind lastTs to 10s: ev(130) is within the
+      // 50s gap of the session high-water (100s) and must not split.
+      input.addData(ev(10), ev(130))
+      q.processAllAvailable()
+      assert(spark.table("lateclock").count() == 0) // no session closed
+    } finally q.stop()
+  }
+
   test("stateful dedup runs on the RocksDB state store (large-state path)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")

@@ -48,6 +48,14 @@ def main():
 
     n_pass = n_fail = 0
     results = sorted(p.name for p in Path(out_dir).iterdir() if p.is_dir())
+    # A DECLARED query whose result dir is missing means Verify failed to
+    # produce it — that is a gate failure, not an absence. (Verify writes
+    # oracle_sql.json only for the queries it attempted, so this is exact
+    # for filtered runs too.)
+    for name in sorted(set(oracles) - set(results)):
+        print(f"[FAIL] {name}: declared oracle but no Spark result "
+              f"(Verify failed? see failures.json)")
+        n_fail += 1
     for name in results:
         spark_sql = f"SELECT * FROM '{out_dir}/{name}/*.parquet'"
         if name not in oracles:
