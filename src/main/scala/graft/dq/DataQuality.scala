@@ -67,8 +67,11 @@ object DataQuality {
       if (!df.columns.contains(column))
         Some(CheckResult("unique_column", passed = false, s"column $column absent"))
       else {
-        val dups = df.groupBy(col(column)).count()
-          .filter(col("count") > 1).count()
+        // aliased aggregate, not .count(): a checked column literally named
+        // "count" would otherwise make the filter reference ambiguous and
+        // throw mid-suite.
+        val dups = df.groupBy(col(column)).agg(count(lit(1)).as("__cnt"))
+          .filter(col("__cnt") > 1).count()
         Some(CheckResult("unique_column", dups == 0, s"dup_keys=$dups"))
       }
     case SourceExists(path) =>

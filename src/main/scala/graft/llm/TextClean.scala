@@ -61,12 +61,16 @@ object TextClean {
     */
   def textClean(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // canon bound to a named column ONCE: inlining the 3-regex chain into
+    // both canon_text and canon_hash would evaluate it twice per row (the
+    // measured inline-reference trap — see TextOps' house rule).
     Tables.documents(spark, dir)
       .orderBy($"doc_id")
+      .withColumn("canon_text", canonicalize(stripHtml($"text")))
       .select(
         $"doc_id",
-        canonicalize(stripHtml($"text")).as("canon_text"),
-        md5(canonicalize(stripHtml($"text"))).as("canon_hash"),
+        $"canon_text",
+        md5($"canon_text").as("canon_hash"),
         redactPii($"text").as("redacted"),
         regexp_count($"text", lit(EmailRe)).cast("long").as("n_emails"),
         regexp_count($"text", lit(Ipv4Re)).cast("long").as("n_ips"))

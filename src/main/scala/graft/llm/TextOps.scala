@@ -92,15 +92,20 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Oracle stopword list interpolated from [[Stopwords]] — a hardcoded
+    * literal here would silently desynchronize from the Scala definition.
+    */
+  private def stopwordListSql: String = Stopwords.map(w => s"'$w'").mkString(",")
+
   val qualityScoreSql: String =
-    """SELECT doc_id,
-      | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-      | CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','in'))) AS BIGINT) AS n_stopwords,
-      | CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','in'))) AS DOUBLE)
-      |   / len(string_split(text, ' ')) AS stopword_ratio,
-      | CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len
-      |FROM documents
-      |ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       | CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopwordListSql))) AS BIGINT) AS n_stopwords,
+       | CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopwordListSql))) AS DOUBLE)
+       |   / len(string_split(text, ' ')) AS stopword_ratio,
+       | CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
 
   /** ASCII-safe pre-tokenizer regex (GPT-2-style word/number/punct runs,
     * simplified to dodge unicode-class differences between regex engines).
@@ -129,21 +134,23 @@ object TextOps {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
-  /** x_fingerprint — md5 fingerprint of whitespace-normalized lowercase text
-    * (exact-dedup key; identical byte-for-byte in any engine).
+  /** x_fingerprint — md5 of the CANONICAL text form (exact-dedup key;
+    * identical byte-for-byte in any engine). The normalization is
+    * [[TextClean.canonicalize]] — ONE definition of "canonical text for
+    * dedup keys" across the repo, so this fingerprint and TextClean's
+    * canon_hash can never diverge on the same input.
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .select($"doc_id",
-        md5(regexp_replace(lower($"text"), "\\s+", " ")).as("fingerprint"))
+      .select($"doc_id", md5(TextClean.canonicalize($"text")).as("fingerprint"))
       .orderBy($"doc_id")
   }
 
   val fingerprintSql: String =
-    """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
-      |FROM documents
-      |ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id, md5(lower(trim(regexp_replace(text, '${TextClean.WsRe}', ' ', 'g')))) AS fingerprint
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_text_stats" -> (textStats _),

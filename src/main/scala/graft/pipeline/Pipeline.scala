@@ -16,7 +16,12 @@ trait Fetcher {
   def fetch(endpoint: String, params: Map[String, String]): String
 }
 
-/** java.net.http GET with query params (the reference's requests-equivalent). */
+/** java.net.http GET with query params (the reference's requests-equivalent).
+  * Bounded and status-checked: a 4xx/5xx error body must NOT flow onward as
+  * if it were data — run() writes the payload over the previous good raw
+  * partition before checks see it, so the fetch throws instead. Timeouts
+  * keep a hung endpoint from blocking a whole backfill window.
+  */
 object HttpFetcher extends Fetcher {
   def fetch(endpoint: String, params: Map[String, String]): String = {
     val qs =
@@ -24,10 +29,16 @@ object HttpFetcher extends Fetcher {
       else params.map { case (k, v) =>
         java.net.URLEncoder.encode(k, "UTF-8") + "=" + java.net.URLEncoder.encode(v, "UTF-8")
       }.mkString("?", "&", "")
-    val client = java.net.http.HttpClient.newHttpClient()
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
     val req = java.net.http.HttpRequest.newBuilder()
-      .uri(java.net.URI.create(endpoint + qs)).GET().build()
-    client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      .uri(java.net.URI.create(endpoint + qs))
+      .timeout(java.time.Duration.ofSeconds(60)).GET().build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() >= 300)
+      throw new java.io.IOException(
+        s"GET $endpoint returned HTTP ${resp.statusCode()} — refusing error body as payload")
+    resp.body()
   }
 }
 
@@ -139,15 +150,28 @@ object Pipeline {
     //    '{{ ds }}' directory and break the glob on read-back.
     val RawZoneDest(bucket, pathTemplate) = spec.destination
     val root = s"$bucket/${PipelineSpec.renderDs(pathTemplate, ds).stripSuffix("/")}"
-    Ingest.writeRawZone(ingested, root, ds)
-
-    // 3. Read back the written partition (the DQ operator re-reads from the
-    //    raw zone, data_quality_operator.py:63-69) — partition pruning makes
-    //    this a single-partition scan.
-    val readBack = spark.read.parquet(root).filter(col("ds") === ds).drop("ds")
+    // A zero-COLUMN ingest (e.g. the API returned '[]') cannot be written
+    // as parquet and must not crash the run: skip the write and hand the
+    // empty frame straight to the checks, so min_row_count FAILS as a
+    // verdict instead of the whole run dying on an unreadable raw zone.
+    val readBack =
+      if (ingested.schema.isEmpty) ingested
+      else {
+        Ingest.writeRawZone(ingested, root, ds)
+        // 3. Read back the written partition (the DQ operator re-reads from
+        //    the raw zone, data_quality_operator.py:63-69) — partition
+        //    pruning makes this a single-partition scan.
+        spark.read.parquet(root).filter(col("ds") === ds).drop("ds")
+      }
 
     // 4–5. Checks + verdict (run ALL, spec order; verdict is a value).
-    val results = DataQuality.runAll(readBack, spec.checks)
+    //    source_exists paths are {{ ds }}-templated like the reference's
+    //    check_for_key key.
+    val renderedChecks = spec.checks.map {
+      case graft.dq.SourceExists(p) => graft.dq.SourceExists(PipelineSpec.renderDs(p, ds))
+      case c => c
+    }
+    val results = DataQuality.runAll(readBack, renderedChecks)
     val passed = DataQuality.verdict(results)
 
     // 6. Branch: alert on failure, no-op on success (O9–O11).
@@ -162,9 +186,10 @@ object Pipeline {
     * execute the pipeline once per date, oldest first. Each run overwrites
     * only its own `ds` partition (writeRawZone is dynamic-overwrite), so a
     * backfill is idempotent and safely re-runnable over any date window.
-    * The loop is over the DATE RANGE (config), never over data; failures
-    * don't stop later dates (each date's verdict is in its result, matching
-    * the one-DagRun-per-date model).
+    * The loop is over the DATE RANGE (config), never over data; one date's
+    * failure — DQ verdict OR thrown error (fetch timeout, bad payload) —
+    * never stops later dates, matching the one-DagRun-per-date model; each
+    * date's outcome is its Try.
     */
   def backfill(
       spark: SparkSession,
@@ -172,9 +197,9 @@ object Pipeline {
       start: LocalDate,
       endInclusive: LocalDate,
       fetcher: Fetcher = HttpFetcher,
-      alertSink: AlertSink = LogAlertSink): Seq[(LocalDate, PipelineResult)] =
+      alertSink: AlertSink = LogAlertSink): Seq[(LocalDate, scala.util.Try[PipelineResult])] =
     Iterator.iterate(start)(_.plusDays(1))
       .takeWhile(!_.isAfter(endInclusive))
-      .map(d => d -> run(spark, spec, d, fetcher, alertSink))
+      .map(d => d -> scala.util.Try(run(spark, spec, d, fetcher, alertSink)))
       .toSeq
 }

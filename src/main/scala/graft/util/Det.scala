@@ -15,6 +15,15 @@ import org.apache.spark.sql.functions._
   * values, but its products exceed precision 18 and fall off Spark's Long
   * fast path into per-row BigDecimal — measured 1.75× slower on the sf0.1
   * top-k join.)
+  *
+  * RANGE BOUND: the long sum is exact up to Long.MaxValue ≈ 9.2e18. At
+  * TPC-H-like prices (revenue terms ~1e9) that is ~9e9 rows per aggregation
+  * GROUP — comfortably past any per-group cardinality here, but a single
+  * global sum over an extreme corpus can exceed it. Under Spark 4's
+  * default ANSI mode overflow is LOUD (ARITHMETIC_OVERFLOW), never a
+  * silent wrap; the escape hatch is summing into DECIMAL(38,0)
+  * (`sum(cents(c).cast(DecimalType(38,0)))` — same values, off the Long
+  * fast path).
   */
 object Det {
   /** Exact integer-cents view of a 2-decimal money column. */

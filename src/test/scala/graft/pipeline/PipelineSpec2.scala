@@ -87,8 +87,8 @@ class PipelineRunSpec extends SparkSpec {
       LocalDate.parse("2024-06-01"), LocalDate.parse("2024-06-03"),
       fetcher, new RecordingAlerts)
     assert(results.map(_._1.toString) == Seq("2024-06-01", "2024-06-02", "2024-06-03"))
-    assert(results.forall(_._2.passed))
-    val root = results.head._2.rawPath
+    assert(results.forall(_._2.get.passed))
+    val root = results.head._2.get.rawPath
     assert(spark.read.parquet(root).count() == 9) // 3 rows × 3 ds partitions
     // re-running the same window replaces each ds partition, no duplication
     Pipeline.backfill(spark, s,
