@@ -33,6 +33,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         failures += name
+        // a PREVIOUS run's result dir must not survive this failure — the
+        // gate would compare stale data and pass a broken query.
+        val dir = Paths.get(s"$outDir/$name")
+        if (Files.exists(dir))
+          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.delete(p))
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

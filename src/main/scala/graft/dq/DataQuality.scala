@@ -67,11 +67,13 @@ object DataQuality {
       if (!df.columns.contains(column))
         Some(CheckResult("unique_column", passed = false, s"column $column absent"))
       else {
-        // aliased aggregate, not .count(): a checked column literally named
-        // "count" would otherwise make the filter reference ambiguous and
-        // throw mid-suite.
-        val dups = df.groupBy(col(column)).agg(count(lit(1)).as("__cnt"))
-          .filter(col("__cnt") > 1).count()
+        // project the checked column to a fresh name FIRST: whatever the
+        // user's column is called ("count", "__cnt", ...), the grouped frame
+        // has exactly one column before the aggregate, so no name the data
+        // brings can collide with the count alias and throw mid-suite.
+        val dups = df.select(col(column).as("__dq_key"))
+          .groupBy(col("__dq_key")).agg(count(lit(1)).as("__dq_cnt"))
+          .filter(col("__dq_cnt") > 1).count()
         Some(CheckResult("unique_column", dups == 0, s"dup_keys=$dups"))
       }
     case SourceExists(path) =>

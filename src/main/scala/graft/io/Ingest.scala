@@ -19,14 +19,17 @@ object Ingest {
     *
     * NDJSON must be split into one dataset row per line: handed to the JSON
     * reader as ONE row, only the first record parses and the rest are
-    * silently dropped. Array payloads (possibly pretty-printed across
-    * lines) stay a single row so multiline mode handles them.
+    * silently dropped. The payload is NDJSON only when EVERY non-empty line
+    * is a complete object — arrays AND pretty-printed single objects (whose
+    * first line is a bare '{') stay one row, which the reader parses whole.
     */
   def fromJsonPayload(spark: SparkSession, payload: String): DataFrame = {
     import spark.implicits._
+    val lines = payload.split("\n").map(_.trim).filter(_.nonEmpty)
     val rows =
-      if (payload.trim.startsWith("[")) Seq(payload)
-      else payload.split("\n").toSeq.filter(_.trim.nonEmpty)
+      if (lines.length > 1 && lines.forall(l => l.startsWith("{") && l.endsWith("}")))
+        lines.toSeq
+      else Seq(payload)
     spark.read.json(spark.createDataset(rows))
   }
 

@@ -30,7 +30,10 @@ object HttpFetcher extends Fetcher {
         java.net.URLEncoder.encode(k, "UTF-8") + "=" + java.net.URLEncoder.encode(v, "UTF-8")
       }.mkString("?", "&", "")
     val client = java.net.http.HttpClient.newBuilder()
-      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+      .connectTimeout(java.time.Duration.ofSeconds(10))
+      // follow routine redirects (http→https upgrades); the >=300 guard
+      // below then only fires on real errors, not on 301/302 hops
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL).build()
     val req = java.net.http.HttpRequest.newBuilder()
       .uri(java.net.URI.create(endpoint + qs))
       .timeout(java.time.Duration.ofSeconds(60)).GET().build()
@@ -154,14 +157,17 @@ object Pipeline {
     // as parquet and must not crash the run: skip the write and hand the
     // empty frame straight to the checks, so min_row_count FAILS as a
     // verdict instead of the whole run dying on an unreadable raw zone.
-    val readBack =
-      if (ingested.schema.isEmpty) ingested
+    // `written` tells the result whether rawPath holds THIS run's data —
+    // on the skip path rawPath is empty so a consumer cannot mistake a
+    // stale or nonexistent directory for this run's output.
+    val (readBack, written) =
+      if (ingested.schema.isEmpty) (ingested, false)
       else {
         Ingest.writeRawZone(ingested, root, ds)
         // 3. Read back the written partition (the DQ operator re-reads from
         //    the raw zone, data_quality_operator.py:63-69) — partition
         //    pruning makes this a single-partition scan.
-        spark.read.parquet(root).filter(col("ds") === ds).drop("ds")
+        (spark.read.parquet(root).filter(col("ds") === ds).drop("ds"), true)
       }
 
     // 4–5. Checks + verdict (run ALL, spec order; verdict is a value).
@@ -179,7 +185,7 @@ object Pipeline {
       alertSink.alert(spec.info.name, results.filterNot(_.passed).map(r =>
         s"${r.checkName}: ${r.detail}"))
 
-    PipelineResult(passed, results, root, readBack.count())
+    PipelineResult(passed, results, if (written) root else "", readBack.count())
   }
 
   /** Backfill — the Airflow operation the reference's users actually run:
