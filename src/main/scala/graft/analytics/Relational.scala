@@ -478,7 +478,7 @@ object Relational {
       |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
       | FROM orders GROUP BY 1)
       |SELECT day,
-      | sum(n_orders) OVER w AS n_7d,
+      | CAST(sum(n_orders) OVER w AS BIGINT) AS n_7d,
       | CAST(sum(cents) OVER w AS DOUBLE) / 100.0 AS revenue_7d
       |FROM daily
       |WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
@@ -714,7 +714,7 @@ object Relational {
 
   val sampleHashSql: String =
     """SELECT count(*) AS n_sampled,
-      | sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+      | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
       | count(DISTINCT l_orderkey) AS n_orders
       |FROM lineitem
       |WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)), 1, 1) = '0'""".stripMargin

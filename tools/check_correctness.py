@@ -33,9 +33,11 @@ def canon(v):
 def table_rows(con, sql):
     cur = con.sql(sql)
     cols = [c.lower() for c in cur.columns]
+    types = [str(t) for t in cur.types]
     rows = cur.fetchall()
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return [cols[i] for i in order], [tuple(canon(r[i]) for i in order) for r in rows]
+    return ([cols[i] for i in order], [types[i] for i in order],
+            [tuple(canon(r[i]) for i in order) for r in rows])
 
 
 def main():
@@ -63,14 +65,23 @@ def main():
             print(f"[rows-only] {name}: nonempty={n}")
             continue
         try:
-            scols, srows = table_rows(con, spark_sql)
-            ocols, orows = table_rows(con, oracles[name])
+            scols, stypes, srows = table_rows(con, spark_sql)
+            ocols, otypes, orows = table_rows(con, oracles[name])
         except Exception as e:
             print(f"[ERROR] {name}: {e}")
             n_fail += 1
             continue
         if scols != ocols:
             print(f"[FAIL] {name}: columns {scols} vs oracle {ocols}")
+            n_fail += 1
+            continue
+        # Dtype drift (e.g. DuckDB sum(BIGINT) -> HUGEINT vs Spark's long)
+        # hashes differently in the driver even when Python values compare
+        # equal — treat any type mismatch as a failure.
+        if stypes != otypes:
+            diffs = [f"{c}: {a} vs {b}"
+                     for c, a, b in zip(scols, stypes, otypes) if a != b]
+            print(f"[FAIL] {name}: column types differ ({'; '.join(diffs)})")
             n_fail += 1
             continue
         if len(srows) != len(orows):
