@@ -2,10 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{AsOf, Relational, Sessions, Upsert}
+import graft.analytics.{AsOf, Relational, Sessions, Sketch, Upsert, Warehouse}
 import graft.dq.DataQuality
 import graft.io.Ingest
-import graft.llm.{Cluster, CorpusFilter, Dedup, Ivf, LangId, SimHash, Similarity, TextClean, TextOps}
+import graft.llm.{Cluster, CorpusFilter, Dedup, Ivf, LangId, SimHash, Similarity, Terms, TextClean, TextOps}
 import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -25,12 +25,15 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++
       Upsert.queries ++
+      Warehouse.queries ++
+      Sketch.queries ++
       Sessions.queries ++
       AsOf.queries ++
       DataQuality.queries ++
       Ingest.queries ++
       TextOps.queries ++
       TextClean.queries ++
+      Terms.queries ++
       Dedup.queries ++
       Cluster.queries ++
       CorpusFilter.queries ++
@@ -46,12 +49,15 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++
       Upsert.oracles ++
+      Warehouse.oracles ++
+      Sketch.oracles ++
       Sessions.oracles ++
       AsOf.oracles ++
       DataQuality.oracles ++
       Ingest.oracles ++
       TextOps.oracles ++
       TextClean.oracles ++
+      Terms.oracles ++
       Dedup.oracles ++
       Cluster.oracles ++
       CorpusFilter.oracles ++

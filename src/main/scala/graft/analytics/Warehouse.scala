@@ -1,0 +1,276 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.io.Tables
+import graft.util.Det
+
+/** Warehouse-maintenance operators — the table-lifecycle query family a
+  * self-service ETL platform grows into once landed data must be SERVED:
+  * slowly-changing-dimension history, incremental materialized-view
+  * maintenance, statistical outlier screens, reproducible stratified
+  * samples, and interval-overlap (concurrency) analysis. The reference's
+  * merge-into-serving-table job family (SURVEY.md §2.3, kafka_stream.pyc @
+  * 91-95 launching the Postgres-bound session job) implies exactly these;
+  * none need anything beyond declarative DataFrame plans.
+  *
+  * Scale notes, per query:
+  *  - q_scd2: one shuffle on user_id; both windows share the partitioning so
+  *    Catalyst plans a single Exchange + two Window ops, no second shuffle.
+  *  - q_incr_agg: the merge re-aggregates PARTIAL aggregates (count/sum are
+  *    algebraic), so refreshing a 100 TB view touches only the delta
+  *    partition plus the (tiny, pre-aggregated) MV — never the raw history.
+  *  - q_outliers: per-group moments in one map-side-combined aggregate; the
+  *    5-row stats frame broadcasts back. All arithmetic is exact 128-bit
+  *    (Spark DECIMAL(38,0) / DuckDB HUGEINT) — no float variance drift, and
+  *    z>2 is an integer-exact comparison: (n·x−s)² > 4·(n·q−s²)·n.
+  *  - q_sample_stratified: md5-order sampling is reproducible under ANY
+  *    partitioning (unlike rand()); the hash-prefix pre-filter cuts the
+  *    window input ~4× before the per-stratum top-k, and at 100 TB the
+  *    prefix bound tightens to ~k/N so the sort sees O(k) rows per stratum.
+  *  - q_concurrency: sweep-line with ±1 deltas partitioned BY DAY, so the
+  *    running sum parallelizes over days instead of one global ordering —
+  *    the scalable form of interval-overlap counting.
+  */
+object Warehouse {
+
+  /** q_scd2 — type-2 slowly-changing-dimension build: collapse each user's
+    * event stream into [valid_from, valid_to) validity intervals, one row
+    * per run of equal event_type, open interval (valid_to NULL, is_current)
+    * on the last run. Change detection = lag; interval close = lead over the
+    * change rows only. Timestamps surface as epoch MICROS (exact integers)
+    * rather than engine-formatted timestamps.
+    */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val changes = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        unix_micros($"ts".cast("timestamp")).as("ts_us"))
+      .withColumn("prev_type", lag($"event_type", 1).over(byUser))
+      .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+    changes.select(
+        $"user_id", $"event_id", $"event_type",
+        $"ts_us".as("valid_from_us"),
+        lead($"ts_us", 1).over(byUser).as("valid_to_us"),
+        lead($"ts_us", 1).over(byUser).isNull.as("is_current"))
+      .orderBy($"user_id", $"valid_from_us", $"event_id")
+  }
+
+  val scd2Sql: String =
+    """WITH marked AS (
+      | SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+      |  lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+      | FROM events),
+      |starts AS (
+      | SELECT user_id, event_id, event_type, ts_us
+      | FROM marked WHERE prev_type IS NULL OR prev_type <> event_type)
+      |SELECT user_id, event_id, event_type,
+      | ts_us AS valid_from_us,
+      | lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us,
+      | (lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL) AS is_current
+      |FROM starts
+      |ORDER BY user_id, valid_from_us, event_id""".stripMargin
+
+  /** The partial daily aggregate both the "materialized" and "delta" sides
+    * of q_incr_agg share: count + exact cents sum per day.
+    */
+  private def dailyPartial(orders: DataFrame, pred: Column): DataFrame =
+    orders.filter(pred)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"), sum(Det.cents(col("o_totalprice"))).as("cents"))
+
+  /** q_incr_agg — incremental materialized-view maintenance: merge a
+    * pre-aggregated history ("the MV", orders before the cutoff) with a
+    * fresh delta (orders at/after it) by RE-AGGREGATING PARTIALS — count and
+    * sum are algebraic, so merged = full recompute, proven by the oracle
+    * computing the same from scratch-shaped SQL. avg derives from the merged
+    * sums (never averaged averages).
+    */
+  def incrAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val cutoff = to_date(lit("1997-01-01"))
+    val mv = dailyPartial(orders, to_date($"o_orderdate") < cutoff)
+    val delta = dailyPartial(orders, to_date($"o_orderdate") >= cutoff)
+    mv.unionByName(delta)
+      .groupBy($"day")
+      .agg(sum($"n").as("n_orders"), sum($"cents").as("merged_cents"))
+      .select(
+        $"day",
+        $"n_orders",
+        ($"merged_cents".cast("double") / 100.0).as("revenue"),
+        ($"merged_cents".cast("double") / 100.0 / $"n_orders").as("avg_price"))
+      .orderBy($"day")
+  }
+
+  val incrAggSql: String =
+    """WITH mv AS (
+      | SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n,
+      |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      | FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01' GROUP BY 1),
+      |delta AS (
+      | SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n,
+      |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      | FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01' GROUP BY 1),
+      |merged AS (
+      | SELECT day, CAST(sum(n) AS BIGINT) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS merged_cents
+      | FROM (SELECT * FROM mv UNION ALL SELECT * FROM delta) u GROUP BY day)
+      |SELECT day, n_orders,
+      | CAST(merged_cents AS DOUBLE) / 100.0 AS revenue,
+      | CAST(merged_cents AS DOUBLE) / 100.0 / n_orders AS avg_price
+      |FROM merged
+      |ORDER BY day""".stripMargin
+
+  /** q_outliers — per-market-segment account-balance outliers at |z| > 1.5,
+    * decided in EXACT 128-bit integer arithmetic: with n rows, cents sum s,
+    * squares sum q, the z>1.5 test ((x−s/n)² > 2.25·var) cross-multiplies to
+    * 4·(n·x − s)² > 9·(n·q − s²) (both sides scaled by n², which cancels) —
+    * no float mean/variance, no sqrt, so the
+    * kept set is bit-identical in any engine and under any fold order.
+    * (Threshold 1.5, not the textbook 2: a bounded-uniform column's |z|
+    * never exceeds √3 ≈ 1.73, so 2 would be unfalsifiably empty on this
+    * data while 1.5 exercises both kept and dropped rows.) Spark side uses
+    * DECIMAL(38,0) (ANSI mode makes overflow loud); the oracle uses
+    * HUGEINT. Stats per segment are 5 rows → broadcast join.
+    */
+  def outliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def d(c: Column): Column = c.cast(DecimalType(38, 0))
+    val c = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal",
+        Det.cents($"c_acctbal").as("cents"))
+    val stats = c.groupBy($"c_mktsegment".as("seg"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"cents").as("s"),
+        sum(d($"cents") * d($"cents")).as("q"))
+    val dev = d($"n") * d($"cents") - d($"s")
+    c.join(broadcast(stats), $"c_mktsegment" === $"seg")
+      .filter(d(lit(4)) * dev * dev > d(lit(9)) * (d($"n") * d($"q") - d($"s") * d($"s")))
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+      .orderBy($"c_mktsegment", $"c_custkey")
+  }
+
+  val outliersSql: String =
+    """WITH c AS (
+      | SELECT c_custkey, c_mktsegment, c_acctbal,
+      |  CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      | FROM customer),
+      |st AS (
+      | SELECT c_mktsegment AS seg, count(*) AS n,
+      |  sum(CAST(cents AS HUGEINT)) AS s,
+      |  sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS q
+      | FROM c GROUP BY 1)
+      |SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal
+      |FROM c JOIN st ON c.c_mktsegment = st.seg
+      |WHERE 4 * (CAST(st.n AS HUGEINT) * c.cents - st.s) * (CAST(st.n AS HUGEINT) * c.cents - st.s)
+      |      > 9 * (CAST(st.n AS HUGEINT) * st.q - st.s * st.s)
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
+
+  /** q_sample_stratified — k=20 orders per priority stratum, selected by
+    * smallest md5(o_orderkey): reproducible under any partition layout and
+    * any engine. The `substr(h,1,1) <= '3'` pre-filter keeps only the
+    * smallest quarter of the hash space — a superset of any feasible top-20
+    * here — so the per-stratum sort ranks ~25% of rows instead of all of
+    * them; at production scale the bound tightens toward k/N and the window
+    * input is O(k).
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"h", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("h", md5($"o_orderkey".cast("string")))
+      .filter(substring($"h", 1, 1) <= "3")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 20)
+      .select($"o_orderpriority", $"rn".cast("long").as("rn"),
+        $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_orderpriority", $"rn")
+  }
+
+  val sampleStratifiedSql: String =
+    """WITH h AS (
+      | SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |  md5(CAST(o_orderkey AS VARCHAR)) AS h
+      | FROM orders
+      | WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) <= '3'),
+      |ranked AS (
+      | SELECT *, row_number() OVER (PARTITION BY o_orderpriority ORDER BY h, o_orderkey) AS rn
+      | FROM h)
+      |SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
+      |FROM ranked WHERE rn <= 20
+      |ORDER BY o_orderpriority, rn""".stripMargin
+
+  /** Each event opens a 5-minute interval; within-day concurrency caps the
+    * interval at midnight so the sweep stays day-local.
+    */
+  val IntervalMicros: Long = 5L * 60 * 1000000
+  val DayMicros: Long = 86400L * 1000000
+
+  /** q_concurrency — peak concurrent 5-minute event intervals per day, by
+    * sweep-line: every interval contributes (+1 at start, −1 at end), the
+    * running sum over (t, delta, event_id) is the live count, and its max is
+    * the answer. Half-open intervals: at equal t the −1 sorts first, so a
+    * session ending exactly when another starts never double-counts. The
+    * window partitions BY DAY — the global-ordering trap a naive sweep hits
+    * at scale is split into independent per-day sorts.
+    */
+  def concurrency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", unix_micros($"ts".cast("timestamp")).as("ts_us"),
+        to_date($"ts").as("day"))
+      .withColumn("day_end_us", unix_micros($"day".cast("timestamp")) + DayMicros)
+    val pts = ev.select($"day", $"ts_us".as("t_us"), lit(1L).as("delta"), $"event_id")
+      .unionByName(ev.select($"day",
+        least($"ts_us" + IntervalMicros, $"day_end_us").as("t_us"),
+        lit(-1L).as("delta"), $"event_id"))
+    val w = Window.partitionBy($"day").orderBy($"t_us", $"delta", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.withColumn("live", sum($"delta").over(w))
+      .groupBy($"day")
+      .agg(
+        max($"live").as("max_concurrent"),
+        sum(when($"delta" === 1L, 1L).otherwise(0L)).as("n_intervals"))
+      .orderBy($"day")
+  }
+
+  val concurrencySql: String =
+    """WITH ev AS (
+      | SELECT event_id, epoch_us(ts) AS ts_us, CAST(ts AS DATE) AS day,
+      |  epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP)) + 86400000000 AS day_end_us
+      | FROM events),
+      |pts AS (
+      | SELECT day, ts_us AS t_us, 1 AS delta, event_id FROM ev
+      | UNION ALL
+      | SELECT day, least(ts_us + 300000000, day_end_us) AS t_us, -1 AS delta, event_id FROM ev),
+      |run AS (
+      | SELECT day, delta,
+      |  sum(delta) OVER (PARTITION BY day ORDER BY t_us, delta, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+      | FROM pts)
+      |SELECT day, CAST(max(live) AS BIGINT) AS max_concurrent,
+      | CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_intervals
+      |FROM run
+      |GROUP BY day
+      |ORDER BY day""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2" -> (scd2 _),
+    "q_incr_agg" -> (incrAgg _),
+    "q_outliers" -> (outliers _),
+    "q_sample_stratified" -> (sampleStratified _),
+    "q_concurrency" -> (concurrency _))
+
+  val oracles: Map[String, String] = Map(
+    "q_scd2" -> scd2Sql,
+    "q_incr_agg" -> incrAggSql,
+    "q_outliers" -> outliersSql,
+    "q_sample_stratified" -> sampleStratifiedSql,
+    "q_concurrency" -> concurrencySql)
+}

@@ -229,15 +229,83 @@ object Similarity {
       |GROUP BY label, i
       |ORDER BY label, dim""".stripMargin
 
+  /** int8 scalar quantization: q_i = clamp(⌊x_i·127 + 0.5⌋, −127, 127).
+    * `floor(x+0.5)` instead of `round` sidesteps any engine disagreement on
+    * half-way ties for arbitrary floats (round(x*100) on 2-decimal money is
+    * exact; x·127 on arbitrary floats is not).
+    */
+  private def quantize8(emb: Column): Column =
+    transform(emb, x =>
+      greatest(lit(-127L), least(lit(127L), floor(x.cast("double") * 127.0 + 0.5))))
+
+  /** x_sim_int8 — brute-force cosine top-10 over int8-QUANTIZED vectors: the
+    * memory-bound scale path (4 bytes/dim → 1 byte/dim, so 4× more vectors
+    * per executor and 4× less shuffle). Integer dot products and squared
+    * norms are EXACT (no fold-order drift, unlike float dots), and the final
+    * sqrt/divide are single IEEE-exact ops — so unlike the float pipeline,
+    * no defensive rounding is needed for the oracle to agree bit-for-bit.
+    * Same probe/top-k shape as x_sim_topk for direct recall comparison.
+    */
+  def simInt8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def sq(v: Column): Column =
+      aggregate(transform(v, x => x * x), lit(0L), (acc, x) => acc + x)
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", quantize8($"embedding").as("q"))
+      .withColumn("nsq", sq($"q"))
+      .filter($"nsq" > 0L)
+    val probes = e.select($"vec_id".as("query_id"), $"q".as("qa"), $"nsq".as("na"))
+      .filter($"query_id" < 5)
+    val sims = broadcast(probes)
+      .crossJoin(e.select($"vec_id".as("neighbor_id"), $"q".as("qb"), $"nsq".as("nb")))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("sim",
+        aggregate(zip_with($"qa", $"qb", (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+          .cast("double") / (sqrt($"na".cast("double")) * sqrt($"nb".cast("double"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id".asc)
+    sims.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 10)
+      .select($"query_id", $"neighbor_id", $"rnk", $"sim")
+      .orderBy($"query_id", $"rnk")
+  }
+
+  val simInt8Sql: String =
+    """WITH e AS (
+      | SELECT vec_id,
+      |  list_transform(embedding, x ->
+      |   CAST(greatest(-127, least(127, floor(CAST(x AS DOUBLE) * 127.0 + 0.5))) AS BIGINT)) AS q
+      | FROM embeddings),
+      |n AS (
+      | SELECT vec_id, q,
+      |  CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nsq
+      | FROM e),
+      |nz AS (SELECT * FROM n WHERE nsq > 0),
+      |pairs AS (
+      | SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |  CAST(CAST(list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+      |    / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS sim
+      | FROM nz a, nz b
+      | WHERE a.vec_id < 5 AND a.vec_id != b.vec_id),
+      |ranked AS (
+      | SELECT query_id, neighbor_id, sim,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rnk
+      | FROM pairs)
+      |SELECT query_id, neighbor_id, rnk, sim
+      |FROM ranked WHERE rnk <= 10
+      |ORDER BY query_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_sim_topk" -> (simTopK _),
     "x_sim_bucketed" -> (simBucketed _),
+    "x_sim_int8" -> (simInt8 _),
     "x_dedup_embed" -> (dedupEmbed _),
     "x_embed_centroid" -> (embedCentroid _))
 
   val oracles: Map[String, String] = Map(
     "x_sim_topk" -> simTopKSql,
     "x_sim_bucketed" -> simBucketedSql,
+    "x_sim_int8" -> simInt8Sql,
     "x_dedup_embed" -> dedupEmbedSql,
     "x_embed_centroid" -> embedCentroidSql)
 }

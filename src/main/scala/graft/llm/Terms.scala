@@ -1,0 +1,111 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Term-weighting and n-gram operators — the vocabulary-analysis tier of a
+  * training-data pipeline (source characterization, boilerplate spotting,
+  * domain mixing decisions).
+  *
+  * Determinism note: textbook tf-idf weights by ln(N/df), but libm `log`
+  * is not guaranteed correctly-rounded and differs across engines in the
+  * last ulp. The score here is the RATIO form tf·N/df — integer products
+  * (exact below 2^53) and one IEEE-exact division — which preserves the
+  * tf-idf ORDERING within a fixed corpus (monotone in tf and in N/df) while
+  * hashing identically everywhere.
+  *
+  * Scale notes: both queries are explode → hash-aggregate with map-side
+  * combine; the shuffle carries (token, partial counts), never raw text.
+  * The per-source top-k window sees one row per (source, token) — the
+  * aggregated vocabulary, not the corpus. Bigram extraction is a map-only
+  * array zip before the aggregate.
+  */
+object Terms {
+
+  /** x_tfidf — top-10 distinctive tokens per source by ratio-form tf-idf.
+    * tf = in-source count, df = number of sources containing the token,
+    * N = number of sources; score = tf·N/df.
+    */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"source", explode(split(lower($"text"), " ")).as("token"))
+    val tf = toks.groupBy($"source", $"token").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy($"token").agg(countDistinct($"source").as("df"))
+    val nSrc = Tables.documents(spark, dir)
+      .agg(countDistinct($"source").as("n_sources"))
+    val w = Window.partitionBy($"source").orderBy($"score".desc, $"token")
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(nSrc))
+      .withColumn("score",
+        ($"tf" * $"n_sources").cast("double") / $"df".cast("double"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 10)
+      .select($"source", $"rk".cast("long").as("rk"), $"token", $"tf", $"df", $"score")
+      .orderBy($"source", $"rk")
+  }
+
+  val tfidfSql: String =
+    """WITH toks AS (
+      | SELECT source, unnest(string_split(lower(text), ' ')) AS token
+      | FROM documents),
+      |tf AS (SELECT source, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT token, count(DISTINCT source) AS df FROM toks GROUP BY 1),
+      |n AS (SELECT count(DISTINCT source) AS n_sources FROM documents),
+      |scored AS (
+      | SELECT tf.source, tf.token, tf.tf, df.df,
+      |  CAST(tf.tf * n.n_sources AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+      | FROM tf JOIN df ON tf.token = df.token, n),
+      |ranked AS (
+      | SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, token) AS rk
+      | FROM scored)
+      |SELECT source, CAST(rk AS BIGINT) AS rk, token, tf, df, score
+      |FROM ranked WHERE rk <= 10
+      |ORDER BY source, rk""".stripMargin
+
+  /** x_ngrams — top-50 corpus bigrams with document frequency. Bigrams come
+    * from zipping the token array against its own tail — map-only, no
+    * self-join — and ties break alphabetically so the cut is deterministic.
+    */
+  def ngrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", split(lower($"text"), " ").as("toks"))
+      .filter(size($"toks") >= 2)
+    docs.select($"doc_id",
+        explode(zip_with(
+          slice($"toks", lit(1), size($"toks") - 1),
+          slice($"toks", lit(2), size($"toks") - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      .groupBy($"bigram")
+      .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("n_docs"))
+      .orderBy($"n".desc, $"bigram")
+      .limit(50)
+  }
+
+  val ngramsSql: String =
+    """WITH toks AS (
+      | SELECT doc_id, string_split(lower(text), ' ') AS t
+      | FROM documents WHERE len(string_split(lower(text), ' ')) >= 2),
+      |bg AS (
+      | SELECT doc_id,
+      |  unnest(list_transform(list_zip(t[1:len(t)-1], t[2:len(t)]),
+      |                        p -> p[1] || ' ' || p[2])) AS bigram
+      | FROM toks)
+      |SELECT bigram, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+      |FROM bg
+      |GROUP BY bigram
+      |ORDER BY n DESC, bigram
+      |LIMIT 50""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_tfidf" -> (tfidf _),
+    "x_ngrams" -> (ngrams _))
+
+  val oracles: Map[String, String] = Map(
+    "x_tfidf" -> tfidfSql,
+    "x_ngrams" -> ngramsSql)
+}

@@ -55,4 +55,30 @@ class SimilaritySpec extends SparkSpec {
       .select($"neighbor_id").as[Long].head()
     assert(top == 10L)
   }
+
+  test("simInt8 recall vs exact float top-10 stays high on the real fixture") {
+    val dir = "/root/testdata/sf0.001"
+    def tops(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = tops(Similarity.simTopK(spark, dir))
+    val quant = tops(Similarity.simInt8(spark, dir))
+    assert(quant.keySet == exact.keySet)
+    val recalls = exact.map { case (q, ex) => (quant(q) intersect ex).size.toDouble / ex.size }
+    val mean = recalls.sum / recalls.size
+    // 64-dim int8 quantization perturbs cosine by ~1e-2; top-10 membership
+    // should survive for the large majority of neighbors.
+    assert(mean >= 0.7, s"mean recall@10 = $mean")
+  }
+
+  test("simInt8 sims approximate the float cosine within quantization error") {
+    val dir = "/root/testdata/sf0.001"
+    val q8 = Similarity.simInt8(spark, dir)
+      .select($"query_id", $"neighbor_id", $"sim".as("sim8"))
+    val joined = Similarity.simTopK(spark, dir)
+      .join(q8, Seq("query_id", "neighbor_id"))
+      .select(abs($"sim" - $"sim8").as("d")).as[Double].collect()
+    assert(joined.nonEmpty)
+    assert(joined.max < 0.05, s"max |float cos - int8 cos| = ${joined.max}")
+  }
 }
