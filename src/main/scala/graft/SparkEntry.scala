@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{AsOf, Relational, Sessions, Sketch, Upsert, Warehouse}
+import graft.analytics.{AsOf, Diff, PageRank, Relational, Sessions, Sketch, Upsert, Warehouse}
 import graft.dq.DataQuality
 import graft.io.Ingest
 import graft.llm.{Cluster, CorpusFilter, Dedup, Ivf, LangId, SimHash, Similarity, Terms, TextClean, TextOps}
@@ -26,6 +26,8 @@ object SparkEntry {
     Relational.queries ++
       Upsert.queries ++
       Warehouse.queries ++
+      Diff.queries ++
+      PageRank.queries ++
       Sketch.queries ++
       Sessions.queries ++
       AsOf.queries ++
@@ -50,6 +52,8 @@ object SparkEntry {
     Relational.oracles ++
       Upsert.oracles ++
       Warehouse.oracles ++
+      Diff.oracles ++
+      PageRank.oracles ++
       Sketch.oracles ++
       Sessions.oracles ++
       AsOf.oracles ++
