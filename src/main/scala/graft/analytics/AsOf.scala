@@ -82,9 +82,42 @@ object AsOf {
       |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
       |ORDER BY purchase_id""".stripMargin
 
+  val ToleranceMicros: Long = 24L * 3600 * 1000000
+
+  /** q_asof_tolerance — the bounded-staleness as-of (pandas `merge_asof`'s
+    * `tolerance=`): the most recent view counts only within 24 h of the
+    * purchase; staler matches null out. Composes over [[asofJoin]] — the
+    * tolerance is a post-window predicate on the matched timestamp, so the
+    * plan cost is identical to the unbounded as-of (one shuffle, no join
+    * amplification).
+    */
+  def viewWithinDay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+    val views = e.filter($"event_type" === "view").select($"user_id", $"ts")
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    asofJoin(purchases, views, key = "user_id", tsCol = "ts", payload = Seq("ts"))
+      .select(
+        $"event_id".as("purchase_id"), $"user_id",
+        when(unix_micros($"ts") - unix_micros($"asof_ts") <= ToleranceMicros, $"asof_ts")
+          .as("last_view_ts"))
+      .orderBy($"purchase_id")
+  }
+
+  val viewWithinDaySql: String =
+    """WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+      |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id AS purchase_id, p.user_id,
+      | CASE WHEN epoch_us(p.ts) - epoch_us(v.ts) <= 86400000000 THEN v.ts END AS last_view_ts
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+      |ORDER BY purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_asof_join" -> (viewBeforePurchase _))
+    "q_asof_join" -> (viewBeforePurchase _),
+    "q_asof_tolerance" -> (viewWithinDay _))
 
   val oracles: Map[String, String] = Map(
-    "q_asof_join" -> viewBeforePurchaseSql)
+    "q_asof_join" -> viewBeforePurchaseSql,
+    "q_asof_tolerance" -> viewWithinDaySql)
 }

@@ -435,6 +435,36 @@ object Relational {
       |GROUP BY 1
       |ORDER BY y""".stripMargin
 
+  /** q_unpivot — the inverse reshaping (melt / UNPIVOT): the wide per-year
+    * status counts back to long (y, status, n) rows through Spark's native
+    * `Dataset.unpivot`. Wide→long is what normalizes a spreadsheet-shaped
+    * source for aggregation; the oracle states the portable stacked-UNION
+    * form. Map-only over the (tiny) pivoted frame.
+    */
+  def unpivotStatus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pivotStatus(spark, dir).drop("n_total")
+      .unpivot(Array($"y"), Array($"n_f", $"n_o", $"n_p"), "status", "n")
+      .withColumn("status",
+        when($"status" === "n_f", "F")
+          .when($"status" === "n_o", "O")
+          .otherwise("P"))
+      .orderBy($"y", $"status")
+  }
+
+  val unpivotStatusSql: String =
+    """WITH wide AS (
+      | SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+      |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+      |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+      |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+      | FROM orders GROUP BY 1)
+      |SELECT y, status, n FROM (
+      | SELECT y, 'F' AS status, n_f AS n FROM wide
+      | UNION ALL SELECT y, 'O', n_o FROM wide
+      | UNION ALL SELECT y, 'P', n_p FROM wide) u
+      |ORDER BY y, status""".stripMargin
+
   /** q_cube — CUBE(status, priority): all four grouping-set combinations,
     * NULLS FIRST pinned on both engines.
     */
@@ -926,6 +956,7 @@ object Relational {
     "q_rollup_ym" -> (rollupYearMonth _),
     "q_join_range" -> (joinRange _),
     "q_pivot_status" -> (pivotStatus _),
+    "q_unpivot" -> (unpivotStatus _),
     "q_cube" -> (cubeStatusPriority _),
     "q_grouping_sets" -> (groupingSetsQ _),
     "q_lag_lead" -> (lagLead _),
@@ -964,6 +995,7 @@ object Relational {
     "q_rollup_ym" -> rollupYearMonthSql,
     "q_join_range" -> joinRangeSql,
     "q_pivot_status" -> pivotStatusSql,
+    "q_unpivot" -> unpivotStatusSql,
     "q_cube" -> cubeStatusPrioritySql,
     "q_grouping_sets" -> groupingSetsSql,
     "q_lag_lead" -> lagLeadSql,

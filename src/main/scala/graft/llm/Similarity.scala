@@ -229,14 +229,17 @@ object Similarity {
       |GROUP BY label, i
       |ORDER BY label, dim""".stripMargin
 
-  /** int8 scalar quantization: q_i = clamp(⌊x_i·127 + 0.5⌋, −127, 127).
-    * `floor(x+0.5)` instead of `round` sidesteps any engine disagreement on
-    * half-way ties for arbitrary floats (round(x*100) on 2-decimal money is
-    * exact; x·127 on arbitrary floats is not).
+  /** int8 scalar quantization: q_i = clamp(⌊x_i·127 + 0.5⌋, −127, 127),
+    * materialized as a REAL array<tinyint> — the stored form is 1 byte/dim,
+    * so the 4× memory/shuffle claim is the column's actual width, not an
+    * aspiration. `floor(x+0.5)` instead of `round` sidesteps any engine
+    * disagreement on half-way ties for arbitrary floats (round(x*100) on
+    * 2-decimal money is exact; x·127 on arbitrary floats is not).
     */
-  private def quantize8(emb: Column): Column =
+  def quantize8(emb: Column): Column =
     transform(emb, x =>
-      greatest(lit(-127L), least(lit(127L), floor(x.cast("double") * 127.0 + 0.5))))
+      greatest(lit(-127L), least(lit(127L), floor(x.cast("double") * 127.0 + 0.5)))
+        .cast("byte"))
 
   /** x_sim_int8 — brute-force cosine top-10 over int8-QUANTIZED vectors: the
     * memory-bound scale path (4 bytes/dim → 1 byte/dim, so 4× more vectors
@@ -248,8 +251,11 @@ object Similarity {
     */
   def simInt8(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // tinyint elements widen to long BEFORE multiplying: under ANSI mode a
+    // byte*byte product (up to 16129) overflows TINYINT loudly.
     def sq(v: Column): Column =
-      aggregate(transform(v, x => x * x), lit(0L), (acc, x) => acc + x)
+      aggregate(transform(v, x => x.cast("long") * x.cast("long")),
+        lit(0L), (acc, x) => acc + x)
     val e = Tables.embeddings(spark, dir)
       .select($"vec_id", quantize8($"embedding").as("q"))
       .withColumn("nsq", sq($"q"))
@@ -260,7 +266,8 @@ object Similarity {
       .crossJoin(e.select($"vec_id".as("neighbor_id"), $"q".as("qb"), $"nsq".as("nb")))
       .filter($"query_id" =!= $"neighbor_id")
       .withColumn("sim",
-        aggregate(zip_with($"qa", $"qb", (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+        aggregate(zip_with($"qa", $"qb", (x, y) => x.cast("long") * y.cast("long")),
+          lit(0L), (acc, v) => acc + v)
           .cast("double") / (sqrt($"na".cast("double")) * sqrt($"nb".cast("double"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id".asc)
