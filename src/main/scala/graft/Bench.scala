@@ -35,7 +35,12 @@ object Bench {
     // deployment amortizes away); data is re-read from parquet both times.
     // A query that throws is reported as -1 and named in "failed" — a broken
     // query must never bench as fast-and-silent.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional arg: comma-separated query names for fast perf iteration
+    // (the driver passes no args and benches the full surface).
+    val only = args.headOption.map(_.split(',').toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
         try {

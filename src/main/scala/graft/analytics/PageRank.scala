@@ -32,10 +32,17 @@ object PageRank {
   private def edges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey")
+    // repartition(src) THEN dedup on (src, dst): HashPartitioning(src)
+    // satisfies ClusteredDistribution(src, dst) — equal pairs share a src —
+    // so the dedup aggregate runs partition-local with no second exchange,
+    // and the output lands already src-partitioned for the checkpoint. A
+    // plain distinct() would shuffle on (src, dst) and force the caller's
+    // repartition(src) to shuffle the whole edge list AGAIN.
     li.as("a").join(li.as("b"),
         $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" =!= $"b.l_partkey")
       .select($"a.l_partkey".as("src"), $"b.l_partkey".as("dst"))
-      .distinct()
+      .repartition(col("src"))
+      .dropDuplicates(Seq("src", "dst"))
   }
 
   /** Full (part, deg, rank) frame after [[Iterations]] synchronous steps —
@@ -50,6 +57,13 @@ object PageRank {
     // and pins the (small, bounded by basket-size²·orders) edge list in
     // executor storage; on a resilient cluster swap for persist(DISK_ONLY)
     // or a reliable checkpoint, as in the Jaccard pipeline.
+    // repartition(src) BEFORE the checkpoint: LogicalRDD preserves the
+    // physical outputPartitioning, so every iteration's rank ⋈ edges join
+    // sees the edge side already hash-distributed on the join key and only
+    // the (node-sized, small) rank frame moves — without it the full edge
+    // list re-shuffles once per iteration (the dominant data movement here;
+    // measured 7.7 s -> 5.6 s at sf0.1, then -> 4.9 s with the partition-
+    // local dedup in edges()).
     val e = edges(spark, dir).localCheckpoint()
     val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
     val nNodes = deg.agg(count(lit(1)).as("n"))
@@ -60,7 +74,12 @@ object PageRank {
     // subtree per iteration — 2^k re-executions of the base by iteration k,
     // the classic iterative-lineage explosion (measured: 8.9 s vs 1.5 s at
     // sf0.1 for 4 iterations).
-    val degN = deg.crossJoin(broadcast(nNodes)).localCheckpoint()
+    // Same trick for the static frame: src-partitioned, so the per-iteration
+    // degN ⋈ inflow join (src = dst) consumes degN in place, and the NEW rank
+    // frame inherits src-partitioning through the aliasing projection —
+    // which is exactly what the next iteration's rank ⋈ edges join needs.
+    // Steady state: ONE exchange per iteration (the inflow aggregate).
+    val degN = deg.crossJoin(broadcast(nNodes)).repartition($"src").localCheckpoint()
     var r = degN.select($"src".as("part"), $"deg",
       expr(s"$TotalMass DIV n").as("rank"))
     for (_ <- 1 to Iterations) {
