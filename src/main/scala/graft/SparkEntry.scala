@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{AsOf, Diff, PageRank, Relational, Sessions, Sketch, Upsert, Warehouse}
+import graft.analytics.{AsOf, BloomJoin, Diff, PageRank, Relational, Sessions, Sketch, Upsert, Warehouse}
 import graft.dq.DataQuality
 import graft.io.Ingest
 import graft.llm.{Cluster, CorpusFilter, Dedup, Ivf, LangId, SimHash, Similarity, Terms, TextClean, TextOps}
@@ -24,6 +24,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++
+      BloomJoin.queries ++
       Upsert.queries ++
       Warehouse.queries ++
       Diff.queries ++
@@ -50,6 +51,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++
+      BloomJoin.oracles ++
       Upsert.oracles ++
       Warehouse.oracles ++
       Diff.oracles ++

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 import org.apache.spark.sql.SparkSession
 
 /** Native Catalyst expression: cosine similarity of two array<double> columns.
@@ -140,6 +140,20 @@ object GraftFunctions {
         arity("bin_counts", "(value double, lo double, hi double, nbins int)", 4)(children)
         BinCounts(Cast(children.head, DoubleType), Cast(children(1), DoubleType),
           Cast(children(2), DoubleType), children(3)).toAggregateExpression()
+      }),
+    // Spark's own codegen'd Bloom probe (what InjectRuntimeFilter plants),
+    // exposed by name so explicit semi-join reduction (analytics.BloomJoin)
+    // can use it with a sketch built elsewhere. INTEGRAL keys only: the
+    // sketch stores longs, so the value child is cast to long — a fractional
+    // or string key would probe a different value than was inserted.
+    (new FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (children: Seq[Expression]) => {
+        arity("might_contain", "(filter binary, key long)", 2)(children)
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, Cast(children(1), LongType))
       }))
 
   /** Idempotent per-session registration (for sessions built without the
