@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.{AsOf, BloomJoin, Diff, PageRank, Relational, Sessions, Sketch, Upsert, Warehouse}
 import graft.dq.DataQuality
 import graft.io.Ingest
-import graft.llm.{Cluster, CorpusFilter, Dedup, Ivf, LangId, SimHash, Similarity, Terms, TextClean, TextOps}
+import graft.llm.{Cluster, CorpusFilter, Dedup, Ivf, LangId, SimHash, SimJoin, Similarity, Terms, TextClean, TextOps}
 import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -41,6 +41,7 @@ object SparkEntry {
       Cluster.queries ++
       CorpusFilter.queries ++
       SimHash.queries ++
+      SimJoin.queries ++
       LangId.queries ++
       Similarity.queries ++
       Ivf.queries ++
@@ -68,6 +69,7 @@ object SparkEntry {
       Cluster.oracles ++
       CorpusFilter.oracles ++
       SimHash.oracles ++
+      SimJoin.oracles ++
       LangId.oracles ++
       Similarity.oracles ++
       Ivf.oracles ++
