@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{AsOf, BloomJoin, Diff, PageRank, Relational, Sessions, Sketch, Upsert, Warehouse}
+import graft.analytics.{AsOf, BloomJoin, Diff, PageRank, Relational, Sessions, Sketch, Triangles, Upsert, Warehouse}
 import graft.dq.DataQuality
 import graft.io.Ingest
 import graft.llm.{Cluster, CorpusFilter, Dedup, Ivf, LangId, SimHash, SimJoin, Similarity, Terms, TextClean, TextOps}
@@ -29,6 +29,7 @@ object SparkEntry {
       Warehouse.queries ++
       Diff.queries ++
       PageRank.queries ++
+      Triangles.queries ++
       Sketch.queries ++
       Sessions.queries ++
       AsOf.queries ++
@@ -57,6 +58,7 @@ object SparkEntry {
       Warehouse.oracles ++
       Diff.oracles ++
       PageRank.oracles ++
+      Triangles.oracles ++
       Sketch.oracles ++
       Sessions.oracles ++
       AsOf.oracles ++
