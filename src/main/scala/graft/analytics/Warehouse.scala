@@ -260,17 +260,69 @@ object Warehouse {
       |GROUP BY day
       |ORDER BY day""".stripMargin
 
+  /** q_range_count — for every order, the GLOBAL number of line items
+    * shipped inside its 30-day window [o_orderdate, o_orderdate + 30]. The
+    * naive form is a range join with no equi key (a nested-loop disaster at
+    * scale: |orders| × |window|); the decomposition is the prefix-sum
+    * trick — aggregate shipments per day, build a dense calendar spine,
+    * take a running cumulative, and answer each order with TWO O(1)
+    * lookups: cum(end) − cum(start−1). Costs: one daily aggregate, one
+    * window over the GENERATED calendar (O(days) rows — bounded by the date
+    * domain, independent of fact volume, so the single-partition window is
+    * safe), and two broadcast lookups. This is how a range-aggregate join
+    * over 100 TB becomes a map-only pass.
+    */
+  def rangeCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ships = Tables.lineitem(spark, dir)
+      .groupBy(to_date($"l_shipdate").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val orders = Tables.orders(spark, dir)
+      .select($"o_orderkey", to_date($"o_orderdate").as("s"))
+    // The spine spans every lookup date (order start − 1 .. order end + 30,
+    // plus the ship-day domain), so both cum lookups are exact equi-joins.
+    val bounds = ships.select($"day")
+      .union(orders.select(date_add($"s", -1).as("day")))
+      .union(orders.select(date_add($"s", 30).as("day")))
+      .agg(min($"day").as("mn"), max($"day").as("mx"))
+    val spine = bounds
+      .select(explode(sequence($"mn", $"mx", expr("interval 1 day"))).as("day"))
+    val cum = spine.join(ships, Seq("day"), "left")
+      .select($"day",
+        sum(coalesce($"n", lit(0L)))
+          .over(Window.orderBy($"day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("c"))
+    orders
+      .join(broadcast(cum.select($"day".as("e_day"), $"c".as("c_end"))),
+        date_add($"s", 30) === $"e_day")
+      .join(broadcast(cum.select($"day".as("s_day"), $"c".as("c_start"))),
+        date_add($"s", -1) === $"s_day")
+      .select($"o_orderkey", ($"c_end" - $"c_start").as("n_window"))
+      .orderBy($"o_orderkey")
+  }
+
+  val rangeCountSql: String =
+    """SELECT o_orderkey, count(l_orderkey) AS n_window
+      |FROM orders LEFT JOIN lineitem
+      |  ON CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)
+      | AND CAST(l_shipdate AS DATE) <= CAST(o_orderdate AS DATE) + INTERVAL 30 DAY
+      |GROUP BY o_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scd2" -> (scd2 _),
     "q_incr_agg" -> (incrAgg _),
     "q_outliers" -> (outliers _),
     "q_sample_stratified" -> (sampleStratified _),
-    "q_concurrency" -> (concurrency _))
+    "q_concurrency" -> (concurrency _),
+    "q_range_count" -> (rangeCount _))
 
   val oracles: Map[String, String] = Map(
     "q_scd2" -> scd2Sql,
     "q_incr_agg" -> incrAggSql,
     "q_outliers" -> outliersSql,
     "q_sample_stratified" -> sampleStratifiedSql,
-    "q_concurrency" -> concurrencySql)
+    "q_concurrency" -> concurrencySql,
+    "q_range_count" -> rangeCountSql)
 }

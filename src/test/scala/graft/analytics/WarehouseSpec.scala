@@ -100,4 +100,19 @@ class WarehouseSpec extends SparkSpec {
     }
     assert(got == expected)
   }
+
+  test("q_range_count prefix-sum route equals the direct range join") {
+    val viaPrefix = Warehouse.rangeCount(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    val o = graft.io.Tables.orders(spark, dir)
+      .select($"o_orderkey", to_date($"o_orderdate").as("s"))
+    val l = graft.io.Tables.lineitem(spark, dir)
+      .select(to_date($"l_shipdate").as("ship"))
+    val direct = o.join(l,
+        $"ship" >= $"s" && $"ship" <= date_add($"s", 30), "left")
+      .groupBy($"o_orderkey").agg(count($"ship").as("n"))
+      .orderBy($"o_orderkey")
+      .as[(Long, Long)].collect().toSeq
+    assert(viaPrefix == direct)
+  }
 }
