@@ -240,7 +240,44 @@ object Sessions {
       |GROUP BY cohort_day, d - cohort_day
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** q_sliding_distinct — 7-day trailing distinct users per day (the
+    * rolling-DAU metric). COUNT DISTINCT does not decompose over a sliding
+    * window, so the naive form is a range join (every report day scanning
+    * its 7-day slice — |days| passes over the facts). The scalable form
+    * inverts it: each ACTIVE (user, day) contributes itself to exactly the
+    * 7 report days it can appear in — a bounded sequence+explode (×7, the
+    * window length) — and ONE distinct aggregate per report day finishes
+    * the job. Report days cover the event span; leading partial windows
+    * are included (same as the range-join form).
+    */
+  def slidingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val active = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+    val span = active.agg(min($"d").as("mn"), max($"d").as("mx"))
+    active.crossJoin(broadcast(span))
+      .select($"user_id",
+        explode(sequence($"d",
+          least(date_add($"d", 6), $"mx"), expr("interval 1 day"))).as("day"))
+      .groupBy($"day")
+      .agg(countDistinct($"user_id").as("n_users_7d"))
+      .orderBy($"day")
+  }
+
+  val slidingDistinctSql: String =
+    """WITH days AS (
+      | SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |b AS (SELECT min(d) AS mn, max(d) AS mx FROM days),
+      |spine AS (
+      | SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day FROM b)
+      |SELECT day, count(DISTINCT user_id) AS n_users_7d
+      |FROM spine JOIN days
+      |  ON days.d <= spine.day AND days.d >= spine.day - INTERVAL 6 DAY
+      |GROUP BY day
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sliding_distinct" -> (slidingDistinct _),
     "q_sessionize" -> (sessionize _),
     "q_session_stats" -> (sessionStats _),
     "q_funnel" -> (funnel _),
@@ -251,6 +288,7 @@ object Sessions {
     "q_cohort_retention" -> (cohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "q_sliding_distinct" -> slidingDistinctSql,
     "q_sessionize" -> sessionizeSql,
     "q_session_stats" -> sessionStatsSql,
     "q_funnel" -> funnelSql,

@@ -229,6 +229,58 @@ object Similarity {
       |GROUP BY label, i
       |ORDER BY label, dim""".stripMargin
 
+  /** Output dimensionality of the random projection. */
+  val ProjDims = 16
+
+  /** x_rand_proj — random projection (Johnson–Lindenstrauss with a ±1
+    * Achlioptas matrix) from 64 to [[ProjDims]] dims: the standard cheap
+    * dimensionality reduction in front of ANN / clustering at scale (4×
+    * fewer bytes per vector before IVF or LSH). The "random" matrix is
+    * DETERMINISTIC — sign(i,j) = parity of the first hex digit of
+    * md5("rp:i_j") — and inputs are micro-quantized, so every projected
+    * coordinate is an exact integer both engines compute identically.
+    *
+    * Shape: posexplode + broadcast-join the (generated, d_in × d_out) sign
+    * table + one hash aggregate — all codegen'd, one shuffle on
+    * (vec_id, j), linear in vectors × dims. No per-row HOF folds.
+    */
+  def randProj(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val signs = spark.range(64).select($"id".cast("int").as("i"))
+      .crossJoin(spark.range(ProjDims).select($"id".cast("int").as("j")))
+      .select($"i", $"j",
+        when(conv(substring(md5(concat(lit("rp:"), $"i".cast("string"),
+            lit("_"), $"j".cast("string"))), 1, 1), 16, 10).cast("long") % 2 === 0,
+          1L).otherwise(-1L).as("s"))
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", posexplode($"embedding").as(Seq("i", "x")))
+      .select($"vec_id", $"i".cast("int").as("i"),
+        round($"x".cast("double") * 1e6).cast("long").as("qx"))
+      .join(broadcast(signs), "i")
+      .groupBy($"vec_id", $"j")
+      .agg(sum($"qx" * $"s").as("value"))
+      .select($"vec_id", $"j".cast("long").as("dim"), $"value")
+      .orderBy($"vec_id", $"dim")
+  }
+
+  val randProjSql: String =
+    s"""WITH signs AS (
+       | SELECT i.i, j.j,
+       |  CASE WHEN CAST('0x' || substr(md5('rp:' || CAST(i.i AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)), 1, 1) AS BIGINT) % 2 = 0
+       |   THEN 1 ELSE -1 END AS s
+       | FROM (SELECT unnest(range(0, 64)) AS i) i,
+       |      (SELECT unnest(range(0, $ProjDims)) AS j) j),
+       |q AS (
+       | SELECT vec_id, i - 1 AS i,
+       |  CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS qx
+       | FROM embeddings, generate_series(1, 4096) AS t(i)
+       | WHERE i <= len(embedding))
+       |SELECT q.vec_id, CAST(signs.j AS BIGINT) AS dim,
+       | CAST(sum(q.qx * signs.s) AS BIGINT) AS value
+       |FROM q JOIN signs ON signs.i = q.i
+       |GROUP BY q.vec_id, signs.j
+       |ORDER BY q.vec_id, dim""".stripMargin
+
   /** int8 scalar quantization: q_i = clamp(⌊x_i·127 + 0.5⌋, −127, 127),
     * materialized as a REAL array<tinyint> — the stored form is 1 byte/dim,
     * so the 4× memory/shuffle claim is the column's actual width, not an
@@ -307,12 +359,14 @@ object Similarity {
     "x_sim_bucketed" -> (simBucketed _),
     "x_sim_int8" -> (simInt8 _),
     "x_dedup_embed" -> (dedupEmbed _),
-    "x_embed_centroid" -> (embedCentroid _))
+    "x_embed_centroid" -> (embedCentroid _),
+    "x_rand_proj" -> (randProj _))
 
   val oracles: Map[String, String] = Map(
     "x_sim_topk" -> simTopKSql,
     "x_sim_bucketed" -> simBucketedSql,
     "x_sim_int8" -> simInt8Sql,
     "x_dedup_embed" -> dedupEmbedSql,
-    "x_embed_centroid" -> embedCentroidSql)
+    "x_embed_centroid" -> embedCentroidSql,
+    "x_rand_proj" -> randProjSql)
 }
