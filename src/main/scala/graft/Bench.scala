@@ -41,6 +41,14 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
+      // Between queries (outside any measured window): drop dead
+      // localCheckpoint blocks. Several queries pin lineage-truncation
+      // blocks in executor storage; they are freed by the ContextCleaner
+      // only after the owning RDD is GC'd, so without this nudge the
+      // storage pressure of earlier queries bleeds into later ones'
+      // measurements (observed: x_pagerank 4.9 s isolated vs 11 s late in
+      // the suite).
+      System.gc()
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
