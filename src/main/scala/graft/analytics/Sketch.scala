@@ -69,9 +69,88 @@ object Sketch {
        | (estimate - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
        |FROM est""".stripMargin
 
+  /** CMS geometry: d independent hash rows × w buckets. ε ≈ e/w ≈ 1%,
+    * δ ≈ e^−d ≈ 2%. Hashes are md5 with a per-row salt — identical in any
+    * engine, so the sketch (and its collisions) is fully deterministic.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  /** x_cms_freq — Count-Min-Sketch frequency estimates for the 20 most
+    * frequent tokens, exact counts alongside. The sketch is the d×w bucket
+    * table — ONE hash aggregate over the token stream whose state is
+    * d·w counters regardless of vocabulary size (the property that matters
+    * when the vocabulary won't fit memory: heavy-hitter frequencies from
+    * fixed O(d·w) space). Estimate(t) = min over rows of t's bucket count;
+    * the one-sided error guarantee (estimate ≥ truth, ≤ truth + εN with
+    * prob 1−δ) is visible in the output as over_count ≥ 0.
+    *
+    * Probing joins the (tiny, d·w-row) bucket table to the probe set —
+    * broadcast, map-side. The exact counts emitted for comparison are the
+    * full-shuffle path the sketch avoids at scale.
+    */
+  def cmsFreq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.documents(spark, dir)
+      .select(explode(split(lower($"text"), " ")).as("token"))
+    def bucket(row: Int, t: org.apache.spark.sql.Column) =
+      pmod(conv(substring(md5(concat(lit(s"cms$row:"), t)), 1, 13), 16, 10)
+        .cast("long"), lit(CmsWidth.toLong))
+    // The sketch: one explode over rows 0..d-1 per token instance, then a
+    // hash aggregate on (row, bucket) — map-side combine shrinks each
+    // partition's contribution to ≤ d·w rows before the shuffle.
+    val sketch = tok
+      .select(explode(array((0 until CmsDepth).map(r =>
+        struct(lit(r).as("row"), bucket(r, $"token").as("bucket"))): _*)).as("rb"))
+      .groupBy($"rb.row".as("row"), $"rb.bucket".as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val top = tok.groupBy($"token").agg(count(lit(1)).as("n_true"))
+      .orderBy($"n_true".desc, $"token").limit(20)
+    val probes = top.select($"token", $"n_true",
+      explode(array((0 until CmsDepth).map(r =>
+        struct(lit(r).as("row"), bucket(r, $"token").as("bucket"))): _*)).as("rb"))
+      .select($"token", $"n_true", $"rb.row".as("row"), $"rb.bucket".as("bucket"))
+    probes.join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy($"token")
+      .agg(first($"n_true").as("n_true"), min($"c").as("estimate"))
+      .select($"token", $"n_true", $"estimate",
+        ($"estimate" - $"n_true").as("over_count"))
+      .orderBy($"n_true".desc, $"token")
+  }
+
+  val cmsFreqSql: String = {
+    val rows = (0 until CmsDepth)
+      .map(r => s"SELECT $r AS row, 'cms$r:' AS salt").mkString(" UNION ALL ")
+    s"""WITH tok AS (
+       | SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+       |rows AS ($rows),
+       |hashed AS (
+       | SELECT rows.row AS row,
+       |  CAST(CAST('0x' || substr(md5(rows.salt || tok.token), 1, 13) AS BIGINT) % $CmsWidth AS BIGINT) AS bucket,
+       |  tok.token AS token
+       | FROM tok, rows),
+       |sketch AS (
+       | SELECT row, bucket, count(*) AS c FROM hashed GROUP BY row, bucket),
+       |top AS (
+       | SELECT token, count(*) AS n_true FROM tok GROUP BY token
+       | ORDER BY n_true DESC, token LIMIT 20),
+       |probes AS (
+       | SELECT top.token, top.n_true, rows.row AS row,
+       |  CAST(CAST('0x' || substr(md5(rows.salt || top.token), 1, 13) AS BIGINT) % $CmsWidth AS BIGINT) AS bucket
+       | FROM top, rows)
+       |SELECT p.token AS token, p.n_true AS n_true,
+       | min(s.c) AS estimate,
+       | CAST(min(s.c) - p.n_true AS BIGINT) AS over_count
+       |FROM probes p JOIN sketch s ON s.row = p.row AND s.bucket = p.bucket
+       |GROUP BY p.token, p.n_true
+       |ORDER BY n_true DESC, token""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x_kmv_distinct" -> (kmvDistinct _))
+    "x_kmv_distinct" -> (kmvDistinct _),
+    "x_cms_freq" -> (cmsFreq _))
 
   val oracles: Map[String, String] = Map(
-    "x_kmv_distinct" -> kmvDistinctSql)
+    "x_kmv_distinct" -> kmvDistinctSql,
+    "x_cms_freq" -> cmsFreqSql)
 }

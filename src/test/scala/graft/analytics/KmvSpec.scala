@@ -34,4 +34,13 @@ class KmvSpec extends SparkSpec {
     assert(mergedSketch == whole,
       "merging per-partition min-k sets must reproduce the global sketch")
   }
+
+  test("x_cms_freq never under-counts and is exact for unique buckets") {
+    val rows = Sketch.cmsFreq(spark, dir)
+      .select($"n_true", $"estimate", $"over_count")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == 20)
+    // CMS one-sided guarantee: estimate >= truth, always.
+    assert(rows.forall { case (t, e, o) => e >= t && o == e - t })
+  }
 }
