@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.{AsOf, BloomJoin, Diff, PageRank, Relational, Sessions, Sketch, Triangles, Upsert, Warehouse}
 import graft.dq.DataQuality
 import graft.io.Ingest
-import graft.llm.{Cluster, CorpusFilter, Dedup, Ivf, LangId, SimHash, SimJoin, Similarity, Terms, TextClean, TextOps}
+import graft.llm.{Cluster, CorpusFilter, Dedup, Ivf, LangId, Pack, SimHash, SimJoin, Similarity, Terms, TextClean, TextOps}
 import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -39,6 +39,7 @@ object SparkEntry {
       TextClean.queries ++
       Terms.queries ++
       Dedup.queries ++
+      Pack.queries ++
       Cluster.queries ++
       CorpusFilter.queries ++
       SimHash.queries ++
@@ -68,6 +69,7 @@ object SparkEntry {
       TextClean.oracles ++
       Terms.oracles ++
       Dedup.oracles ++
+      Pack.oracles ++
       Cluster.oracles ++
       CorpusFilter.oracles ++
       SimHash.oracles ++

@@ -1,0 +1,195 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Training-batch assembly operators — the last mile of an LLM data
+  * pipeline, where a cleaned corpus becomes model-ready token streams:
+  * sequence packing (where does each document land in the fixed-length
+  * training sequences?), epoch-weighted dataset mixing (up/down-sample
+  * sources to a target mixture, with repetition for weights > 1), and
+  * benchmark-contamination screening (which training docs share long
+  * n-grams with a held-out eval set?).
+  *
+  * Determinism: token counts are whitespace-split sizes (integers), packing
+  * offsets are integer prefix sums, mixing uses md5-prefix thresholds
+  * (16ths, single hex-char compares — reproducible under any partition
+  * layout, unlike rand()), and contamination counts distinct exact 8-gram
+  * matches. No floats anywhere.
+  */
+object Pack {
+
+  /** Fixed training-sequence length for [[seqPack]]. 512 stands in for the
+    * usual 2k–8k; the arithmetic is length-independent.
+    */
+  val SeqLen = 512
+
+  /** x_seq_pack — GPT-style sequence packing offsets. Documents are
+    * concatenated per source in doc_id order and chunked into
+    * [[SeqLen]]-token training sequences (documents MAY cross sequence
+    * boundaries); each doc's placement is fully determined by the running
+    * token offset: start_tok (prefix sum of earlier docs' token counts),
+    * seq_id = start/512, tok_offset = start%512, and n_seqs_spanned.
+    *
+    * Scale: the prefix sum is windowed PER SOURCE — the shuffle is a hash
+    * partition on source and each stream's cumsum is independent. At 100 TB
+    * a single source would itself be sharded (pack per (source, shard) with
+    * shard = the ingest file/bucket id — the layout training loaders
+    * actually consume); the per-source form here is that plan with one
+    * shard per source. No global sort exists anywhere.
+    */
+  def seqPack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select($"source", $"doc_id",
+        size(split($"text", " ")).cast("long").as("n_toks"))
+      .withColumn("start_tok", coalesce(sum($"n_toks").over(w), lit(0L)))
+      .select($"source", $"doc_id", $"n_toks", $"start_tok",
+        expr(s"start_tok div $SeqLen").as("seq_id"),
+        ($"start_tok" % SeqLen).as("tok_offset"),
+        (expr(s"(start_tok + n_toks - 1) div $SeqLen")
+          - expr(s"start_tok div $SeqLen") + lit(1L)).as("n_seqs_spanned"))
+      .orderBy($"source", $"doc_id")
+  }
+
+  val seqPackSql: String =
+    s"""WITH d AS (
+       | SELECT source, doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       | FROM documents),
+       |off AS (
+       | SELECT source, doc_id, n_toks,
+       |  CAST(coalesce(sum(n_toks) OVER (
+       |    PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS start_tok
+       | FROM d)
+       |SELECT source, doc_id, n_toks, start_tok,
+       | start_tok // $SeqLen AS seq_id,
+       | start_tok % $SeqLen AS tok_offset,
+       | (start_tok + n_toks - 1) // $SeqLen - start_tok // $SeqLen + 1
+       |   AS n_seqs_spanned
+       |FROM off
+       |ORDER BY source, doc_id""".stripMargin
+
+  /** x_dataset_mix — epoch-weighted source mixing with repetition. Each
+    * source gets a mixture weight from its stream number mod 4
+    * (0→0.25×, 1→1×, 2→2.5×, 3→3×): integer part = guaranteed copies,
+    * fractional part = per-doc md5 threshold (16ths → one hex-char
+    * compare). Weights > 1 model multi-epoch upsampling (wiki-style),
+    * < 1 model crawl downsampling; output is one row per (doc, copy).
+    *
+    * Scale: map-only — weight lookup is arithmetic on the source name,
+    * the copy fan-out is a bounded explode (≤3), and no shuffle exists at
+    * all. The md5 threshold keeps the kept-set stable under repartitioning,
+    * which is what makes a 100 TB mix resumable.
+    */
+  def datasetMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grp = substring($"source", 4, 10).cast("int") % 4
+    val h = substring(md5(concat($"doc_id".cast("string"), lit(":mix"))), 1, 1)
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        (when(grp === 0, 0L).when(grp === 1, 1L).when(grp === 2, 2L)
+          .otherwise(3L)
+          + when(grp === 0 && h < "4", 1L)
+            .when(grp === 2 && h < "8", 1L)
+            .otherwise(0L)).as("n_copies"))
+      // sequence(1, 0) in Spark is the DESCENDING [1, 0], not empty —
+      // zero-copy docs must be filtered out before the explode.
+      .filter($"n_copies" >= 1)
+      .withColumn("copy_id", explode(sequence(lit(1L), $"n_copies")))
+      .select($"doc_id", $"source", $"copy_id", $"n_copies")
+      .orderBy($"doc_id", $"copy_id")
+  }
+
+  val datasetMixSql: String =
+    """WITH wt AS (
+      | SELECT doc_id, source,
+      |  CAST(substr(source, 4) AS INTEGER) % 4 AS grp,
+      |  substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 1) AS h
+      | FROM documents),
+      |nc AS (
+      | SELECT doc_id, source,
+      |  CAST(CASE grp WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 3 END
+      |   + CASE WHEN grp = 0 AND h < '4' THEN 1
+      |          WHEN grp = 2 AND h < '8' THEN 1 ELSE 0 END AS BIGINT)
+      |   AS n_copies
+      | FROM wt)
+      |SELECT doc_id, source, g AS copy_id, n_copies
+      |FROM nc CROSS JOIN generate_series(1, 3) gs(g)
+      |WHERE g <= n_copies
+      |ORDER BY doc_id, copy_id""".stripMargin
+
+  /** Word 8-grams of a token-array column — long enough that on this
+    * corpus (and any natural one) a shared 8-gram means real shared text,
+    * not vocabulary coincidence.
+    */
+  private def grams8(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(sequence(lit(1), greatest(size(toks) - 7, lit(0))),
+      i => concat_ws(" ", slice(toks, i, lit(8))))
+
+  /** x_contamination — benchmark-contamination screen. A held-out "eval
+    * set" (md5(doc_id) prefix '0' — a deterministic 1/16 slice standing in
+    * for a real benchmark) is checked against every remaining training doc
+    * for shared word 8-grams; a hit means the training corpus contains
+    * eval text and would inflate measured model quality. Output: each
+    * contaminated doc with its distinct-ngram and distinct-eval-doc hit
+    * counts.
+    *
+    * Scale: the eval side is a benchmark — thousands of docs, not
+    * billions — so its distinct n-gram set is explicitly `broadcast()`:
+    * the screen is a MAP-ONLY semi-join over the 100 TB training side
+    * (explode → hash-probe → partial count), with the only shuffle being
+    * the final per-doc count aggregation on already-matched rows.
+    */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("toks"),
+        substring(md5($"doc_id".cast("string")), 1, 1).as("h"))
+    val evalGrams = docs.filter($"h" === "0")
+      .select($"doc_id".as("eval_doc_id"), explode(grams8($"toks")).as("g"))
+      .distinct()
+    val trainGrams = docs.filter($"h" =!= "0")
+      .select($"doc_id", explode(grams8($"toks")).as("g")).distinct()
+    trainGrams.join(broadcast(evalGrams), Seq("g"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shared_ngrams"),
+        countDistinct($"eval_doc_id").as("n_eval_docs"))
+      .orderBy($"doc_id")
+  }
+
+  val contaminationSql: String =
+    """WITH toks AS (
+      | SELECT doc_id, string_split(text, ' ') AS t,
+      |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+      | FROM documents),
+      |grams AS (
+      | SELECT doc_id, h,
+      |  unnest(list_transform(generate_series(1, greatest(len(t) - 7, 0)),
+      |                        i -> array_to_string(t[i:i+7], ' '))) AS g
+      | FROM toks),
+      |ev AS (SELECT DISTINCT doc_id AS eval_doc_id, g FROM grams WHERE h = '0'),
+      |tr AS (SELECT DISTINCT doc_id, g FROM grams WHERE h <> '0')
+      |SELECT tr.doc_id, count(*) AS n_shared_ngrams,
+      | count(DISTINCT ev.eval_doc_id) AS n_eval_docs
+      |FROM tr JOIN ev ON tr.g = ev.g
+      |GROUP BY tr.doc_id
+      |ORDER BY tr.doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_seq_pack" -> (seqPack _),
+    "x_dataset_mix" -> (datasetMix _),
+    "x_contamination" -> (contamination _))
+
+  val oracles: Map[String, String] = Map(
+    "x_seq_pack" -> seqPackSql,
+    "x_dataset_mix" -> datasetMixSql,
+    "x_contamination" -> contaminationSql)
+}

@@ -1,0 +1,84 @@
+package graft.llm
+
+import graft.SparkSpec
+
+/** Batch-assembly operators ([[Pack]]) on the sf0.001 fixtures: packing
+  * offsets must tile each source stream exactly, mixing must honor the
+  * per-source weight arithmetic, and contamination hits must be real
+  * shared 8-grams against the eval slice.
+  */
+class PackSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("seqPack offsets tile each source stream with no gaps or overlaps") {
+    val rows = Pack.seqPack(spark, dir)
+      .select("source", "doc_id", "n_toks", "start_tok", "seq_id",
+        "tok_offset", "n_seqs_spanned")
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      val sorted = docs.sortBy(_._2)
+      // first doc starts at 0; every next doc starts where the previous ended
+      assert(sorted.head._4 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 == a._4 + a._3)
+        case _ =>
+      }
+      sorted.foreach { case (_, _, nToks, start, seqId, off, span) =>
+        assert(seqId == start / Pack.SeqLen)
+        assert(off == start % Pack.SeqLen)
+        assert(span == (start + nToks - 1) / Pack.SeqLen - start / Pack.SeqLen + 1)
+      }
+    }
+  }
+
+  test("datasetMix emits exactly n_copies rows per doc, weights by stream mod 4") {
+    val rows = Pack.datasetMix(spark, dir)
+      .as[(Long, String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, copies) =>
+      val n = copies.head._4
+      assert(copies.length == n)
+      assert(copies.map(_._3).sorted.sameElements(1L to n))
+      val grp = copies.head._2.drop(3).toInt % 4
+      val (lo, hi) = grp match {
+        case 0 => (0L, 1L); case 1 => (1L, 1L)
+        case 2 => (2L, 3L); case _ => (3L, 3L)
+      }
+      assert(n >= lo && n <= hi)
+    }
+    // group-1 sources pass through 1:1 — every doc present exactly once
+    val g1Docs = graft.io.Tables.documents(spark, dir)
+      .filter($"source".substr(4, 10).cast("int") % 4 === 1).count()
+    assert(rows.count(_._2.drop(3).toInt % 4 == 1) == g1Docs)
+  }
+
+  test("contamination hits are real shared 8-grams with the eval slice") {
+    def grams(text: String): Set[String] =
+      text.split(" ").sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSet
+    val docs = graft.io.Tables.documents(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    def isEval(id: Long): Boolean =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.startsWith("0")
+    val evalGrams = docs.collect { case (id, t) if isEval(id) => grams(t) }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val flagged = Pack.contamination(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    flagged.foreach { case (id, nShared, nEval) =>
+      assert(!isEval(id), s"eval doc $id must not appear as a training hit")
+      val shared = grams(docs(id)).intersect(evalGrams)
+      assert(shared.size == nShared, s"doc $id")
+      assert(nEval >= 1)
+    }
+    // completeness: every training doc sharing an 8-gram IS flagged
+    val expected = docs.collect {
+      case (id, t) if !isEval(id) && grams(t).intersect(evalGrams).nonEmpty => id
+    }.toSet
+    assert(flagged.map(_._1).toSet == expected)
+  }
+}
