@@ -141,6 +141,13 @@ object GraftFunctions {
         BinCounts(Cast(children.head, DoubleType), Cast(children(1), DoubleType),
           Cast(children(2), DoubleType), children(3)).toAggregateExpression()
       }),
+    (new FunctionIdentifier("top_k_rows"),
+      new ExpressionInfo(classOf[TopKRows].getName, "top_k_rows"),
+      (children: Seq[Expression]) => {
+        arity("top_k_rows", "(ord long, tag long, k int)", 3)(children)
+        TopKRows(Cast(children.head, LongType), Cast(children(1), LongType),
+          children(2)).toAggregateExpression()
+      }),
     // Spark's own codegen'd Bloom probe (what InjectRuntimeFilter plants),
     // exposed by name so explicit semi-join reduction (analytics.BloomJoin)
     // can use it with a sketch built elsewhere. INTEGRAL keys only: the

@@ -152,17 +152,49 @@ object TextOps {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  /** x_topk_agg — top-3 longest docs per source through the native
+    * `top_k_rows` bounded aggregate ([[graft.functions.TopKRows]]) instead
+    * of a window rank. The window plan shuffles and sorts EVERY row; the
+    * aggregate's partial phase folds each map partition to ≤3 pairs per
+    * source before the exchange, so the shuffle carries O(sources × 3)
+    * rows — the per-group top-k plan that survives a 100 TB scan. The
+    * oracle is the window-rank SQL, proving the two forms equivalent.
+    */
+  def topkAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .groupBy($"source")
+      .agg(call_function("top_k_rows", $"n_chars", $"doc_id", lit(3)).as("top"))
+      .select($"source", posexplode($"top"))
+      .select($"source", ($"pos" + 1).cast("long").as("rk"),
+        $"col.tag".as("doc_id"), $"col.ord".as("n_chars"))
+      .orderBy($"source", $"rk")
+  }
+
+  val topkAggSql: String =
+    """WITH ranked AS (
+      | SELECT source, doc_id, n_chars,
+      |  row_number() OVER (PARTITION BY source
+      |                     ORDER BY n_chars DESC, doc_id) AS rk
+      | FROM documents)
+      |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, n_chars
+      |FROM ranked WHERE rk <= 3
+      |ORDER BY source, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_text_stats" -> (textStats _),
     "x_lang_stats" -> (langStats _),
     "x_quality_score" -> (qualityScore _),
     "x_token_bpe" -> (tokenBpe _),
-    "x_fingerprint" -> (fingerprint _))
+    "x_fingerprint" -> (fingerprint _),
+    "x_topk_agg" -> (topkAgg _))
 
   val oracles: Map[String, String] = Map(
     "x_text_stats" -> textStatsSql,
     "x_lang_stats" -> langStatsSql,
     "x_quality_score" -> qualityScoreSql,
     "x_token_bpe" -> tokenBpeSql,
-    "x_fingerprint" -> fingerprintSql)
+    "x_fingerprint" -> fingerprintSql,
+    "x_topk_agg" -> topkAggSql)
 }
