@@ -409,6 +409,43 @@ object Relational {
       |GROUP BY o_orderkey
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q_range_auto — a PURE range join (no equi key), written naively and
+    * upgraded by the [[graft.plans.RangeJoinRewrite]] optimizer rule. Each
+    * calendar ship-day d defines the window [d, d+6]; the join counts every
+    * shipment landing in each window. Without the rule Spark must plan a
+    * nested-loop product (2.4k intervals × every lineitem row); the rule
+    * turns it into a bucketed equi join — both sides hash-partitioned on
+    * `day div 8`, the exact BETWEEN kept as refinement — which is the plan
+    * that survives when both sides are 100 TB facts. The oracle runs the
+    * same naive BETWEEN join in DuckDB.
+    */
+  def rangeAuto(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.RangeJoinRewrite.install(spark)
+    val pts = Tables.lineitem(spark, dir)
+      .select(datediff(to_date($"l_shipdate"), lit("1990-01-01")).cast("long")
+          .as("ship_day"),
+        $"l_quantity")
+    val ivs = pts.select($"ship_day".as("d_day")).distinct()
+      .select($"d_day", $"d_day".as("lo"), ($"d_day" + 6L).as("hi"))
+    ivs.join(pts, pts("ship_day") >= ivs("lo") && pts("ship_day") <= ivs("hi"))
+      .groupBy($"d_day")
+      .agg(count(lit(1)).as("n_ship"), sum(Det.cents($"l_quantity")).as("qty_cents"))
+      .orderBy($"d_day")
+  }
+
+  val rangeAutoSql: String =
+    """WITH pts AS (
+      | SELECT CAST(datediff('day', DATE '1990-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_day,
+      |        l_quantity
+      | FROM lineitem),
+      |ivs AS (SELECT DISTINCT ship_day AS d_day FROM pts)
+      |SELECT d_day, count(*) AS n_ship,
+      | CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+      |FROM ivs JOIN pts ON ship_day >= d_day AND ship_day <= d_day + 6
+      |GROUP BY d_day
+      |ORDER BY d_day""".stripMargin
+
   /** q_pivot_status — conditional-aggregation pivot (portable PIVOT form):
     * order counts per year spread across status columns.
     */
@@ -999,6 +1036,7 @@ object Relational {
     "q_rollup_daily" -> (rollupDaily _),
     "q_rollup_ym" -> (rollupYearMonth _),
     "q_join_range" -> (joinRange _),
+    "q_range_auto" -> (rangeAuto _),
     "q_pivot_status" -> (pivotStatus _),
     "q_unpivot" -> (unpivotStatus _),
     "q_cube" -> (cubeStatusPriority _),
@@ -1039,6 +1077,7 @@ object Relational {
     "q_rollup_daily" -> rollupDailySql,
     "q_rollup_ym" -> rollupYearMonthSql,
     "q_join_range" -> joinRangeSql,
+    "q_range_auto" -> rangeAutoSql,
     "q_pivot_status" -> pivotStatusSql,
     "q_unpivot" -> unpivotStatusSql,
     "q_cube" -> cubeStatusPrioritySql,

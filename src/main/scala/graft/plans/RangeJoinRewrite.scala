@@ -1,0 +1,101 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.LongType
+
+/** Optimizer rule: bucketed rewrite of PURE range joins (SURVEY.md §7.3's
+  * custom-Catalyst tier — a `Rule[LogicalPlan]` where built-in planning is
+  * genuinely wrong at scale).
+  *
+  * A join whose ONLY predicate is `pt >= lo AND pt <= hi` has no equi key,
+  * so Spark must plan BroadcastNestedLoopJoin / CartesianProduct — O(N·M)
+  * comparisons, infeasible when both sides are large. But a range predicate
+  * IS an equi join in disguise: on a grid of width W, a point falls in
+  * exactly one bucket `pt div W` and an interval covers buckets
+  * `lo div W .. hi div W`; `bucket(pt) = covered_bucket(interval)` is a
+  * NECESSARY condition for a match. The rewrite replicates each interval
+  * row per covered bucket (a bounded explode — (hi-lo)/W + 1 copies),
+  * equi-joins on the bucket, and keeps the original range predicate as the
+  * exact refinement — same rows, no duplicates (one bucket per point), but
+  * now a SHUFFLE HASH/SORT-MERGE join that partitions both 100 TB sides by
+  * bucket instead of materializing N·M pairs.
+  *
+  * Scope guards (deliberately narrow — a rewrite that must never be wrong):
+  * inner join, exactly the two-conjunct range shape, all three operands
+  * LongType, point side and interval side each entirely from one child, and
+  * non-negative domains (`div` truncates toward zero, so bucket ids are
+  * floor only for values >= 0 — epoch days/seconds, ids, offsets).
+  * Everything else keeps Spark's plan.
+  *
+  * Installed via `spark.experimental.extraOptimizations` ([[install]]) —
+  * the user writes the naive BETWEEN join and the optimizer upgrades it,
+  * exactly like Catalyst's own join-strategy selection.
+  */
+object RangeJoinRewrite extends Rule[LogicalPlan] {
+
+  /** Bucket width in point-domain units. On day-grids (this repo's declared
+    * query) 8 days ≈ the interval length keeps replication ≤ 2 copies per
+    * interval; a production install would size W from interval-length stats.
+    */
+  val BucketWidth = 8L
+
+  private def refsOnly(e: Expression, p: LogicalPlan): Boolean =
+    e.references.nonEmpty && e.references.subsetOf(p.outputSet)
+
+  private def allLong(es: Expression*): Boolean = es.forall(_.dataType == LongType)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case j @ Join(left, right, Inner,
+        Some(And(GreaterThanOrEqual(pt1, lo), LessThanOrEqual(pt2, hi))), hint)
+        if pt1.semanticEquals(pt2) && allLong(pt1, lo, hi) &&
+          !pt1.foldable && !lo.foldable && !hi.foldable =>
+      if (refsOnly(pt1, left) && refsOnly(lo, right) && refsOnly(hi, right))
+        rewrite(j, left, right, pt1, lo, hi, pointOnLeft = true, hint)
+      else if (refsOnly(pt1, right) && refsOnly(lo, left) && refsOnly(hi, left))
+        rewrite(j, right, left, pt1, lo, hi, pointOnLeft = false, hint)
+      else j
+  }
+
+  private def bucketOf(e: Expression): Expression =
+    IntegralDivide(e, Literal(BucketWidth))
+
+  private def rewrite(
+      j: Join,
+      pointSide: LogicalPlan,
+      intervalSide: LogicalPlan,
+      pt: Expression,
+      lo: Expression,
+      hi: Expression,
+      pointOnLeft: Boolean,
+      hint: JoinHint): LogicalPlan = {
+    val ptBucket = Alias(bucketOf(pt), "__graft_pt_bucket")()
+    val pointB = Project(pointSide.output :+ ptBucket, pointSide)
+
+    val ivBucket = AttributeReference("__graft_iv_bucket", LongType, nullable = true)()
+    // Sequence is TimeZoneAwareExpression: without an explicit timeZoneId it
+    // reports unresolved and fails optimizer plan validation, even on longs.
+    val gen = Explode(Sequence(bucketOf(lo), bucketOf(hi), Some(Literal(1L)),
+      Some(conf.sessionLocalTimeZone)))
+    val intervalB = Generate(gen, unrequiredChildIndex = Nil, outer = false,
+      qualifier = None, generatorOutput = Seq(ivBucket), child = intervalSide)
+
+    val cond = And(EqualTo(ptBucket.toAttribute, ivBucket),
+      And(GreaterThanOrEqual(pt, lo), LessThanOrEqual(pt, hi)))
+    val (newLeft, newRight) =
+      if (pointOnLeft) (pointB, intervalB) else (intervalB, pointB)
+    Project(j.output, Join(newLeft, newRight, Inner, Some(cond), hint))
+  }
+
+  /** Idempotent session install through `experimental.extraOptimizations`
+    * (the runtime equivalent of injecting via SparkSessionExtensions).
+    */
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(this))
+      spark.experimental.extraOptimizations = cur :+ this
+  }
+}
