@@ -446,6 +446,75 @@ object Relational {
       |GROUP BY d_day
       |ORDER BY d_day""".stripMargin
 
+  /** q_ntile — decile assignment WITHIN each order priority (ntile window
+    * coverage): per (priority, decile), order count and price bounds in
+    * exact cents. The window partitions by o_orderpriority, so deciles
+    * compute in parallel per partition — no single-partition global sort
+    * (an ungrouped exact ntile needs one; the grouped form is what scales,
+    * and the global-cut analogue is q_quantiles' boundary pick).
+    */
+  def ntileDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .select($"o_orderpriority", $"o_totalprice", $"o_orderkey")
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy($"o_orderpriority", $"decile")
+      .agg(count(lit(1)).as("n_orders"),
+        min(Det.cents($"o_totalprice")).as("min_cents"),
+        max(Det.cents($"o_totalprice")).as("max_cents"))
+      .orderBy($"o_orderpriority", $"decile")
+  }
+
+  val ntileDecilesSql: String =
+    """WITH d AS (
+      | SELECT o_orderpriority, o_totalprice,
+      |  CAST(ntile(10) OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+      |    AS decile
+      | FROM orders)
+      |SELECT o_orderpriority, decile, count(*) AS n_orders,
+      | min(CAST(round(o_totalprice * 100) AS BIGINT)) AS min_cents,
+      | max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents
+      |FROM d
+      |GROUP BY o_orderpriority, decile
+      |ORDER BY o_orderpriority, decile""".stripMargin
+
+  /** q_mode — per-nation modal market segment (argmax with a pinned
+    * tie-break). Two hash aggregates plus a struct-min argmax — the
+    * shuffle never carries more than (nation × segment) rows, and `min`
+    * over (neg_count, segment) partial-aggregates map-side; the oracle's
+    * window form exists only because DuckDB lacks the struct-min idiom.
+    */
+  def modeSegment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy($"n_name", $"c_mktsegment")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"n_name")
+      .agg(min(struct((-$"cnt").as("neg"), $"c_mktsegment".as("seg"),
+        $"cnt".as("cnt"))).as("best"))
+      .select($"n_name", $"best.seg".as("mode_segment"),
+        $"best.cnt".as("n_customers"))
+      .orderBy($"n_name")
+  }
+
+  val modeSegmentSql: String =
+    """WITH counts AS (
+      | SELECT n_name, c_mktsegment, count(*) AS cnt
+      | FROM customer JOIN nation ON c_nationkey = n_nationkey
+      | GROUP BY 1, 2),
+      |r AS (
+      | SELECT *, row_number() OVER (PARTITION BY n_name
+      |                              ORDER BY cnt DESC, c_mktsegment) AS rk
+      | FROM counts)
+      |SELECT n_name, c_mktsegment AS mode_segment, cnt AS n_customers
+      |FROM r WHERE rk = 1
+      |ORDER BY n_name""".stripMargin
+
   /** q_pivot_status — conditional-aggregation pivot (portable PIVOT form):
     * order counts per year spread across status columns.
     */
@@ -1037,6 +1106,8 @@ object Relational {
     "q_rollup_ym" -> (rollupYearMonth _),
     "q_join_range" -> (joinRange _),
     "q_range_auto" -> (rangeAuto _),
+    "q_ntile" -> (ntileDeciles _),
+    "q_mode" -> (modeSegment _),
     "q_pivot_status" -> (pivotStatus _),
     "q_unpivot" -> (unpivotStatus _),
     "q_cube" -> (cubeStatusPriority _),
@@ -1078,6 +1149,8 @@ object Relational {
     "q_rollup_ym" -> rollupYearMonthSql,
     "q_join_range" -> joinRangeSql,
     "q_range_auto" -> rangeAutoSql,
+    "q_ntile" -> ntileDecilesSql,
+    "q_mode" -> modeSegmentSql,
     "q_pivot_status" -> pivotStatusSql,
     "q_unpivot" -> unpivotStatusSql,
     "q_cube" -> cubeStatusPrioritySql,

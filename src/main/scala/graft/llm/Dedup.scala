@@ -288,13 +288,58 @@ object Dedup {
        |FROM pairs JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** x_cross_dedup — source-priority keeper selection: among exact
+    * duplicates (same canonical fingerprint), keep the copy from the most
+    * trusted source tier (stream number mod 3 — curated 0 beats mirror 1
+    * beats crawl 2), ties by lowest doc_id. This is the crawl-pipeline rule
+    * "prefer the curated copy over the scraped one", one step past
+    * x_dedup_exact's keep-any-min.
+    *
+    * Scale: ONE hash-aggregate shuffle on the fingerprint, with `min` over
+    * a (priority, doc_id, source) struct — lexicographic struct min is the
+    * argmin, and it partial-aggregates map-side, so no window/sort over the
+    * corpus exists (the oracle's row_number form is DuckDB-only).
+    */
+  def crossDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        md5(TextClean.canonicalize($"text")).as("fp"),
+        (substring($"source", 4, 10).cast("int") % 3).cast("long").as("priority"))
+      .groupBy($"fp")
+      .agg(min(struct($"priority", $"doc_id", $"source")).as("best"),
+        count(lit(1)).as("n_copies"))
+      .select($"fp", $"best.doc_id".as("kept_doc_id"),
+        $"best.priority".as("kept_priority"),
+        $"best.source".as("kept_source"), $"n_copies")
+      .orderBy($"fp")
+  }
+
+  val crossDedupSql: String =
+    s"""WITH d AS (
+       | SELECT doc_id, source,
+       |  md5(lower(trim(regexp_replace(text, '${TextClean.WsRe}', ' ', 'g')))) AS fp,
+       |  CAST(CAST(substr(source, 4) AS INTEGER) % 3 AS BIGINT) AS priority
+       | FROM documents),
+       |r AS (
+       | SELECT *,
+       |  row_number() OVER (PARTITION BY fp ORDER BY priority, doc_id) AS rk,
+       |  count(*) OVER (PARTITION BY fp) AS n_copies
+       | FROM d)
+       |SELECT fp, doc_id AS kept_doc_id, priority AS kept_priority,
+       | source AS kept_source, n_copies
+       |FROM r WHERE rk = 1
+       |ORDER BY fp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_dedup_exact" -> (dedupExact _),
     "x_dedup_minhash" -> (dedupMinhash _),
-    "x_dedup_jaccard" -> (dedupJaccard _))
+    "x_dedup_jaccard" -> (dedupJaccard _),
+    "x_cross_dedup" -> (crossDedup _))
 
   val oracles: Map[String, String] = Map(
     "x_dedup_exact" -> dedupExactSql,
     "x_dedup_minhash" -> dedupMinhashSql,
-    "x_dedup_jaccard" -> dedupJaccardSql)
+    "x_dedup_jaccard" -> dedupJaccardSql,
+    "x_cross_dedup" -> crossDedupSql)
 }

@@ -183,13 +183,60 @@ object Pack {
       |GROUP BY tr.doc_id
       |ORDER BY tr.doc_id""".stripMargin
 
+  /** Chunk geometry for [[docSplit]]: 64-token windows every 48 tokens
+    * (16-token overlap) — the RAG/embedding-index chunking shape.
+    */
+  val ChunkLen = 64
+  val ChunkStride = 48
+
+  /** x_doc_split — overlapping-window document chunking: every doc becomes
+    * ceil(n_toks/48) chunks of ≤64 tokens starting at 1, 49, 97, …, each
+    * carrying its reconstructed text. Map-only (explode bounded by doc
+    * length over stride) — the embarrassingly parallel shape that feeds an
+    * embedding or indexing stage at any corpus size.
+    */
+  def docSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("n_toks", size($"toks").cast("long"))
+      .select($"doc_id", $"toks", $"n_toks",
+        posexplode(sequence(lit(1L), $"n_toks", lit(ChunkStride.toLong))))
+      .select($"doc_id",
+        ($"pos" + 1).cast("long").as("chunk_id"),
+        $"col".as("start_tok"),
+        least(lit(ChunkLen.toLong), $"n_toks" - $"col" + 1L).as("chunk_len"),
+        concat_ws(" ", slice($"toks", $"col", lit(ChunkLen))).as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  val docSplitSql: String =
+    s"""WITH d AS (
+       | SELECT doc_id, string_split(text, ' ') AS t,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       | FROM documents),
+       |starts AS (
+       | SELECT doc_id, t, n_toks,
+       |  unnest(generate_series(1, n_toks, $ChunkStride)) AS start_tok
+       | FROM d)
+       |SELECT doc_id,
+       | (start_tok - 1) // $ChunkStride + 1 AS chunk_id,
+       | CAST(start_tok AS BIGINT) AS start_tok,
+       | least($ChunkLen, n_toks - start_tok + 1) AS chunk_len,
+       | array_to_string(t[start_tok:start_tok + ${ChunkLen - 1}], ' ')
+       |   AS chunk_text
+       |FROM starts
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_seq_pack" -> (seqPack _),
     "x_dataset_mix" -> (datasetMix _),
-    "x_contamination" -> (contamination _))
+    "x_contamination" -> (contamination _),
+    "x_doc_split" -> (docSplit _))
 
   val oracles: Map[String, String] = Map(
     "x_seq_pack" -> seqPackSql,
     "x_dataset_mix" -> datasetMixSql,
-    "x_contamination" -> contaminationSql)
+    "x_contamination" -> contaminationSql,
+    "x_doc_split" -> docSplitSql)
 }

@@ -67,6 +67,24 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set((2L, 2L), (9L, 1L)))
   }
 
+  test("crossDedup keeps the lowest-priority-tier copy, ties by doc_id") {
+    // same canonical text planted across source tiers: src3 (3%3=0 curated),
+    // src4 (1), src5 (2); plus a whitespace variant proving canonicalization
+    val dir = java.nio.file.Files.createTempDirectory("xdedup").toString
+    Seq(
+      (10L, "the exact same text", "src5"),
+      (11L, "the exact  same \t text", "src4"), // canonicalizes equal
+      (12L, "the exact same text", "src3"),
+      (13L, "the exact same text", "src3"), // tie within tier -> doc_id
+      (20L, "unique content", "src5"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val kept = Dedup.crossDedup(spark, dir)
+      .select($"kept_doc_id", $"kept_source", $"n_copies")
+      .as[(Long, String, Long)].collect().toSet
+    assert(kept == Set((12L, "src3", 4L), (20L, "src5", 1L)))
+  }
+
   test("signatures are deterministic across runs") {
     val dir = writeDocs(1L -> "alpha beta gamma delta epsilon zeta")
     val s1 = Dedup.signatures(spark, dir).collect().toSeq

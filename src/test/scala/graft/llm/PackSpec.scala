@@ -56,6 +56,30 @@ class PackSpec extends SparkSpec {
     assert(rows.count(_._2.drop(3).toInt % 4 == 1) == g1Docs)
   }
 
+  test("docSplit chunks reconstruct every document exactly") {
+    val texts = graft.io.Tables.documents(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val chunks = Pack.docSplit(spark, dir)
+      .select("doc_id", "chunk_id", "start_tok", "chunk_len", "chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val toks = texts(id).split(" ", -1)
+      val sorted = cs.sortBy(_._2)
+      // chunk count and geometry
+      assert(sorted.length == (toks.length + Pack.ChunkStride - 1) / Pack.ChunkStride)
+      sorted.foreach { case (_, cid, start, len, text) =>
+        assert(start == 1 + (cid - 1) * Pack.ChunkStride)
+        assert(len == math.min(Pack.ChunkLen, toks.length - start + 1))
+        assert(text == toks.slice(start.toInt - 1, start.toInt - 1 + Pack.ChunkLen)
+          .mkString(" "))
+      }
+      // dropping each chunk's overlap tail reconstructs the original tokens
+      val rebuilt = sorted.map(c => c._5.split(" ", -1).take(Pack.ChunkStride))
+        .reduce(_ ++ _)
+      assert(rebuilt.take(toks.length).sameElements(toks))
+    }
+  }
+
   test("contamination hits are real shared 8-grams with the eval slice") {
     def grams(text: String): Set[String] =
       text.split(" ").sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSet
