@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{AsOf, BloomJoin, Diff, PageRank, Relational, Sessions, Sketch, Triangles, Upsert, Warehouse}
+import graft.analytics.{AsOf, Bfs, BloomJoin, Diff, PageRank, Relational, Sessions, Sketch, Triangles, Upsert, Warehouse}
 import graft.dq.DataQuality
 import graft.io.Ingest
 import graft.llm.{Cluster, CorpusFilter, Dedup, Ivf, LangId, Pack, SimHash, SimJoin, Similarity, Terms, TextClean, TextOps}
@@ -29,6 +29,7 @@ object SparkEntry {
       Warehouse.queries ++
       Diff.queries ++
       PageRank.queries ++
+      Bfs.queries ++
       Triangles.queries ++
       Sketch.queries ++
       Sessions.queries ++
@@ -59,6 +60,7 @@ object SparkEntry {
       Warehouse.oracles ++
       Diff.oracles ++
       PageRank.oracles ++
+      Bfs.oracles ++
       Triangles.oracles ++
       Sketch.oracles ++
       Sessions.oracles ++

@@ -28,8 +28,10 @@ object PageRank {
   val TotalMass = 1000000000000L
   val Iterations = 4
 
-  /** Distinct directed co-purchase edges (both directions of each pair). */
-  private def edges(spark: SparkSession, dir: String): DataFrame = {
+  /** Distinct directed co-purchase edges (both directions of each pair).
+    * Shared with [[Bfs]] — one definition of the co-purchase graph.
+    */
+  private[analytics] def edges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey")
     // repartition(src) THEN dedup on (src, dst): HashPartitioning(src)

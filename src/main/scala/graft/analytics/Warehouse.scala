@@ -310,7 +310,69 @@ object Warehouse {
       |GROUP BY o_orderkey
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q_table_stats — ANALYZE-style column statistics: per column, null
+    * count, exact distinct count, and canonical min/max (numerics in
+    * integer cents, dates as ISO strings — engine-identical
+    * representations). This is the stats-collection pass a cost-based
+    * optimizer or DQ profiler runs.
+    *
+    * Shape: one PRUNED pass per column, unioned. The tempting
+    * "one scan, four countDistincts" form plans a 5× Expand of every row
+    * through a single aggregate — measured 7 s vs ~1 s at sf0.1 — while
+    * on columnar storage per-column passes read exactly the same bytes
+    * (each pass scans one column) and their 2-level distinct aggregates
+    * run in parallel, so the per-column form wins at every scale.
+    */
+  def tableStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    def statsOf(name: String, c: org.apache.spark.sql.Column) = li.agg(
+      count(lit(1)).as("n"),
+      sum(when(c.isNull, 1L).otherwise(0L)).as("n_null"),
+      countDistinct(c).as("ndv"),
+      min(c).cast("string").as("min_repr"),
+      max(c).cast("string").as("max_repr"))
+      .select(lit(name).as("column_name"), $"n", $"n_null", $"ndv",
+        $"min_repr", $"max_repr")
+    statsOf("l_quantity", Det.cents($"l_quantity"))
+      .unionAll(statsOf("l_extendedprice", Det.cents($"l_extendedprice")))
+      .unionAll(statsOf("l_returnflag", $"l_returnflag"))
+      .unionAll(statsOf("l_shipdate", to_date($"l_shipdate")))
+      .orderBy($"column_name")
+  }
+
+  val tableStatsSql: String =
+    """WITH a AS (
+      | SELECT count(*) AS n,
+      |  sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_q,
+      |  count(DISTINCT l_quantity) AS ndv_q,
+      |  CAST(min(CAST(round(l_quantity * 100) AS BIGINT)) AS VARCHAR) AS min_q,
+      |  CAST(max(CAST(round(l_quantity * 100) AS BIGINT)) AS VARCHAR) AS max_q,
+      |  sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS null_p,
+      |  count(DISTINCT l_extendedprice) AS ndv_p,
+      |  CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS VARCHAR) AS min_p,
+      |  CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS VARCHAR) AS max_p,
+      |  sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_rf,
+      |  count(DISTINCT l_returnflag) AS ndv_rf,
+      |  min(l_returnflag) AS min_rf, max(l_returnflag) AS max_rf,
+      |  sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_sd,
+      |  count(DISTINCT CAST(l_shipdate AS DATE)) AS ndv_sd,
+      |  CAST(min(CAST(l_shipdate AS DATE)) AS VARCHAR) AS min_sd,
+      |  CAST(max(CAST(l_shipdate AS DATE)) AS VARCHAR) AS max_sd
+      | FROM lineitem)
+      |SELECT 'l_quantity' AS column_name, n, CAST(null_q AS BIGINT) AS n_null,
+      |       CAST(ndv_q AS BIGINT) AS ndv, min_q AS min_repr, max_q AS max_repr
+      |FROM a
+      |UNION ALL SELECT 'l_extendedprice', n, CAST(null_p AS BIGINT),
+      |       CAST(ndv_p AS BIGINT), min_p, max_p FROM a
+      |UNION ALL SELECT 'l_returnflag', n, CAST(null_rf AS BIGINT),
+      |       CAST(ndv_rf AS BIGINT), min_rf, max_rf FROM a
+      |UNION ALL SELECT 'l_shipdate', n, CAST(null_sd AS BIGINT),
+      |       CAST(ndv_sd AS BIGINT), min_sd, max_sd FROM a
+      |ORDER BY column_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_stats" -> (tableStats _),
     "q_scd2" -> (scd2 _),
     "q_incr_agg" -> (incrAgg _),
     "q_outliers" -> (outliers _),
@@ -319,6 +381,7 @@ object Warehouse {
     "q_range_count" -> (rangeCount _))
 
   val oracles: Map[String, String] = Map(
+    "q_table_stats" -> tableStatsSql,
     "q_scd2" -> scd2Sql,
     "q_incr_agg" -> incrAggSql,
     "q_outliers" -> outliersSql,
