@@ -228,13 +228,98 @@ object Pack {
        |FROM starts
        |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** x_split_assign — deterministic stratified train/val/test assignment:
+    * within each source, docs route 14/16 train, 1/16 val, 1/16 test by
+    * md5 hex prefix (frac < 'e' → train, < 'f' → val, else test). The
+    * salt differs from [[datasetMix]]'s so the two decisions are
+    * independent. Hash routing is what makes a 100 TB split REPRODUCIBLE
+    * and APPEND-STABLE: re-running after new data arrives never moves an
+    * existing doc between splits (rand() or row-number splits move docs
+    * whenever the layout or count changes). Map-only + one tiny rollup.
+    */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h = substring(md5(concat($"doc_id".cast("string"), lit(":split"))), 1, 1)
+    Tables.documents(spark, dir)
+      .select($"source",
+        when(h < "e", "train").when(h < "f", "val").otherwise("test")
+          .as("split"))
+      .groupBy($"source", $"split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"source", $"split")
+  }
+
+  val splitAssignSql: String =
+    """WITH d AS (
+      | SELECT source,
+      |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 1) < 'e'
+      |       THEN 'train'
+      |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 1) < 'f'
+      |       THEN 'val'
+      |       ELSE 'test' END AS split
+      | FROM documents)
+      |SELECT source, split, count(*) AS n_docs
+      |FROM d GROUP BY source, split
+      |ORDER BY source, split""".stripMargin
+
+  /** x_repetition_filter — Gopher-style intra-document repetition signal:
+    * the most frequent bigram's share of all bigram occurrences, as an
+    * exact cross-multiplied integer flag (repeated = max_count · 10 >
+    * n_bigrams · 2, i.e. share > 20%) — no float division in the gated
+    * columns. Boilerplate and template spam score high; prose scores low.
+    * Map-only explode → two bounded aggregates keyed by doc — the
+    * per-doc bigram space is doc-length-bounded, so the shuffle never
+    * exceeds the token count.
+    */
+  def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bigrams = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id",
+        explode(zip_with(
+          slice($"toks", lit(1), size($"toks") - 1),
+          slice($"toks", lit(2), size($"toks") - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+    bigrams.groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(max($"c").as("max_bigram_count"), sum($"c").as("n_bigrams"))
+      .select($"doc_id", $"max_bigram_count", $"n_bigrams",
+        ($"max_bigram_count" * 10 > $"n_bigrams" * 2).as("repeated"))
+      .orderBy($"doc_id")
+  }
+
+  val repetitionFilterSql: String =
+    """WITH toks AS (
+      | SELECT doc_id, string_split(text, ' ') AS t
+      | FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (
+      | SELECT doc_id,
+      |  unnest(list_transform(list_zip(t[1:len(t)-1], t[2:len(t)]),
+      |                        p -> p[1] || ' ' || p[2])) AS bigram
+      | FROM toks),
+      |counts AS (
+      | SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+      |agg AS (
+      | SELECT doc_id, max(c) AS max_bigram_count,
+      |  CAST(sum(c) AS BIGINT) AS n_bigrams
+      | FROM counts GROUP BY doc_id)
+      |SELECT doc_id, max_bigram_count, n_bigrams,
+      | max_bigram_count * 10 > n_bigrams * 2 AS repeated
+      |FROM agg
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_split_assign" -> (splitAssign _),
+    "x_repetition_filter" -> (repetitionFilter _),
     "x_seq_pack" -> (seqPack _),
     "x_dataset_mix" -> (datasetMix _),
     "x_contamination" -> (contamination _),
     "x_doc_split" -> (docSplit _))
 
   val oracles: Map[String, String] = Map(
+    "x_split_assign" -> splitAssignSql,
+    "x_repetition_filter" -> repetitionFilterSql,
     "x_seq_pack" -> seqPackSql,
     "x_dataset_mix" -> datasetMixSql,
     "x_contamination" -> contaminationSql,

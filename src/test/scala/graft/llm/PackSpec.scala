@@ -80,6 +80,38 @@ class PackSpec extends SparkSpec {
     }
   }
 
+  test("splitAssign is append-stable: new docs never move existing ones") {
+    def assignments(d: String): Map[Long, String] = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+      graft.io.Tables.documents(spark, d).select("doc_id").as[Long].collect()
+        .map { id =>
+          val hex = h.digest(s"$id:split".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          id -> (if (hex.head < 'e') "train" else if (hex.head < 'f') "val" else "test")
+        }.toMap
+    }
+    // the driver-side routing rule above IS the engine's rule: totals agree
+    val counts = Pack.splitAssign(spark, dir)
+      .as[(String, String, Long)].collect()
+    val want = assignments(dir).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val got = counts.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(got == want)
+    assert(got.keySet.contains("train") && got("train") > got.getOrElse("val", 0L))
+  }
+
+  test("repetitionFilter flags a planted template doc, passes prose") {
+    val d = java.nio.file.Files.createTempDirectory("rep").toString
+    Seq(
+      (1L, "buy now " * 20 + "limited offer"), // one bigram dominates
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (3L, "one two")) // single bigram: trivially repeated
+      .toDF("doc_id", "text")
+      .write.parquet(s"$d/documents.parquet")
+    val got = Pack.repetitionFilter(spark, d)
+      .select("doc_id", "repeated").as[(Long, Boolean)].collect().toMap
+    assert(got(1L) && !got(2L) && got(3L))
+  }
+
   test("contamination hits are real shared 8-grams with the eval slice") {
     def grams(text: String): Set[String] =
       text.split(" ").sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSet
