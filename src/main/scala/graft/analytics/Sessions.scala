@@ -276,7 +276,43 @@ object Sessions {
       |GROUP BY day
       |ORDER BY day""".stripMargin
 
+  /** q_ohlc — per-day/type OHLC downsampling (the time-series compaction
+    * every metrics store runs): open/close via `min_by`/`max_by` over a
+    * (ts, event_id) struct — a hash aggregate with map-side partials, NOT
+    * a first_value window (which would sort every event); high/low/count
+    * ride the same aggregate. Values in exact cents; tie-break pinned by
+    * event_id so the result hashes identically under any partitioning.
+    */
+  def ohlc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = graft.util.Det.cents($"value")
+    Tables.events(spark, dir)
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(
+        min_by(cents, struct($"ts", $"event_id")).as("open_cents"),
+        max_by(cents, struct($"ts", $"event_id")).as("close_cents"),
+        max(cents).as("high_cents"),
+        min(cents).as("low_cents"),
+        count(lit(1)).as("n_events"))
+      .withColumn("day", $"day".cast("string"))
+      .orderBy($"day", $"event_type")
+  }
+
+  val ohlcSql: String =
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+      | first(CAST(round(value * 100) AS BIGINT) ORDER BY ts, event_id)
+      |   AS open_cents,
+      | last(CAST(round(value * 100) AS BIGINT) ORDER BY ts, event_id)
+      |   AS close_cents,
+      | max(CAST(round(value * 100) AS BIGINT)) AS high_cents,
+      | min(CAST(round(value * 100) AS BIGINT)) AS low_cents,
+      | count(*) AS n_events
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY day, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ohlc" -> (ohlc _),
     "q_sliding_distinct" -> (slidingDistinct _),
     "q_sessionize" -> (sessionize _),
     "q_session_stats" -> (sessionStats _),
@@ -288,6 +324,7 @@ object Sessions {
     "q_cohort_retention" -> (cohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "q_ohlc" -> ohlcSql,
     "q_sliding_distinct" -> slidingDistinctSql,
     "q_sessionize" -> sessionizeSql,
     "q_session_stats" -> sessionStatsSql,

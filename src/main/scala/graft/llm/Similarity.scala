@@ -354,7 +354,44 @@ object Similarity {
       |FROM ranked WHERE rnk <= 10
       |ORDER BY query_id, rnk""".stripMargin
 
+  /** x_sql_cosine — the SQL face of the native expression: the registered
+    * `cosine_sim` called from `spark.sql` text over the temp-view catalog
+    * (what a SQL-only user of the library writes). Rounded to 6 decimals
+    * with -0.0 canonicalized, top-20 by similarity to probe vector 0.
+    * Same map-only scan + TakeOrderedAndProject as the DataFrame form —
+    * the SQL path plans identically.
+    */
+  def sqlCosine(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    graft.io.Tables.registerViews(spark, dir)
+    spark.sql(
+      """SELECT e.vec_id,
+        |  round(cosine_sim(transform(e.embedding, x -> CAST(x AS DOUBLE)),
+        |                   transform(p.embedding, x -> CAST(x AS DOUBLE))), 6)
+        |    + 0.0d AS sim
+        |FROM embeddings e CROSS JOIN
+        |  (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+        |WHERE e.vec_id != 0
+        |ORDER BY sim DESC, e.vec_id
+        |LIMIT 20""".stripMargin)
+  }
+
+  val sqlCosineSql: String =
+    """SELECT e.vec_id,
+      | round(
+      |  list_sum(list_transform(list_zip(e.v, p.v), t -> t[1] * t[2])) /
+      |  sqrt(list_sum(list_transform(e.v, x -> x * x)) *
+      |       list_sum(list_transform(p.v, x -> x * x))), 6) + 0.0 AS sim
+      |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |      FROM embeddings) e
+      |CROSS JOIN (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |            FROM embeddings WHERE vec_id = 0) p
+      |WHERE e.vec_id != 0
+      |ORDER BY sim DESC, e.vec_id
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_sql_cosine" -> (sqlCosine _),
     "x_sim_topk" -> (simTopK _),
     "x_sim_bucketed" -> (simBucketed _),
     "x_sim_int8" -> (simInt8 _),
@@ -363,6 +400,7 @@ object Similarity {
     "x_rand_proj" -> (randProj _))
 
   val oracles: Map[String, String] = Map(
+    "x_sql_cosine" -> sqlCosineSql,
     "x_sim_topk" -> simTopKSql,
     "x_sim_bucketed" -> simBucketedSql,
     "x_sim_int8" -> simInt8Sql,
