@@ -156,11 +156,15 @@ object Pack {
     val evalGrams = docs.filter($"h" === "0")
       .select($"doc_id".as("eval_doc_id"), explode(grams8($"toks")).as("g"))
       .distinct()
+    // No distinct on the training side: that would shuffle every n-gram of
+    // the 100 TB corpus. The broadcast join filters map-side first, so only
+    // MATCHED rows reach the aggregate, where countDistinct dedups both the
+    // repeated grams within a doc and multi-eval-doc hits of one gram.
     val trainGrams = docs.filter($"h" =!= "0")
-      .select($"doc_id", explode(grams8($"toks")).as("g")).distinct()
+      .select($"doc_id", explode(grams8($"toks")).as("g"))
     trainGrams.join(broadcast(evalGrams), Seq("g"))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_shared_ngrams"),
+      .agg(countDistinct($"g").as("n_shared_ngrams"),
         countDistinct($"eval_doc_id").as("n_eval_docs"))
       .orderBy($"doc_id")
   }
@@ -176,8 +180,8 @@ object Pack {
       |                        i -> array_to_string(t[i:i+7], ' '))) AS g
       | FROM toks),
       |ev AS (SELECT DISTINCT doc_id AS eval_doc_id, g FROM grams WHERE h = '0'),
-      |tr AS (SELECT DISTINCT doc_id, g FROM grams WHERE h <> '0')
-      |SELECT tr.doc_id, count(*) AS n_shared_ngrams,
+      |tr AS (SELECT doc_id, g FROM grams WHERE h <> '0')
+      |SELECT tr.doc_id, count(DISTINCT tr.g) AS n_shared_ngrams,
       | count(DISTINCT ev.eval_doc_id) AS n_eval_docs
       |FROM tr JOIN ev ON tr.g = ev.g
       |GROUP BY tr.doc_id

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{ArrayType, LongType}
 
 /** Optimizer rule: bucketed rewrite of PURE range joins (SURVEY.md §7.3's
   * custom-Catalyst tier — a `Rule[LogicalPlan]` where built-in planning is
@@ -78,8 +78,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     val ivBucket = AttributeReference("__graft_iv_bucket", LongType, nullable = true)()
     // Sequence is TimeZoneAwareExpression: without an explicit timeZoneId it
     // reports unresolved and fails optimizer plan validation, even on longs.
-    val gen = Explode(Sequence(bucketOf(lo), bucketOf(hi), Some(Literal(1L)),
-      Some(conf.sessionLocalTimeZone)))
+    // An inverted interval (lo > hi) matches nothing in the naive join, but
+    // Sequence THROWS on descending bounds with step 1 — guard to an empty
+    // array so the explode drops the row instead of crashing the job.
+    val loB = bucketOf(lo)
+    val hiB = bucketOf(hi)
+    val seq = Sequence(loB, hiB, Some(Literal(1L)), Some(conf.sessionLocalTimeZone))
+    val emptyArr = Literal.create(Array.emptyLongArray, ArrayType(LongType, containsNull = false))
+    val gen = Explode(If(LessThanOrEqual(loB, hiB), seq, emptyArr))
     val intervalB = Generate(gen, unrequiredChildIndex = Nil, outer = false,
       qualifier = None, generatorOutput = Seq(ivBucket), child = intervalSide)
 

@@ -137,4 +137,34 @@ class PackSpec extends SparkSpec {
     }.toSet
     assert(flagged.map(_._1).toSet == expected)
   }
+
+  test("contamination counts distinct grams even when one gram hits two eval docs") {
+    // doc_id 7 and 12 hash to an md5 starting with '0' at these values? No —
+    // plant ids whose md5 prefix we compute driver-side instead.
+    def isEval(id: Long): Boolean =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.startsWith("0")
+    val evalIds = (0L until 200L).filter(isEval).take(2)
+    val trainId = (0L until 200L).find(i => !isEval(i)).get
+    val shared = "a b c d e f g h" // one 8-gram
+    val d = java.nio.file.Files.createTempDirectory("contam").toString
+    Seq(
+      (evalIds(0), shared + " tail one"),
+      (evalIds(1), shared + " tail two"), // same 8-gram in BOTH eval docs
+      (trainId, shared + " " + shared))   // and twice in the training doc
+      .toDF("doc_id", "text")
+      .write.parquet(s"$d/documents.parquet")
+    val got = Pack.contamination(spark, d)
+      .as[(Long, Long, Long)].collect()
+    val row = got.find(_._1 == trainId).get
+    // n_shared_ngrams counts DISTINCT grams: the repeated window overlap
+    // produces several distinct 8-grams, but "a b c d e f g h" counts once
+    // however many eval docs contain it; n_eval_docs sees both eval docs.
+    val trainGrams = (shared + " " + shared).split(" ").sliding(8).map(_.mkString(" ")).toSet
+    val evalGrams = Seq(shared + " tail one", shared + " tail two")
+      .flatMap(_.split(" ").sliding(8).map(_.mkString(" "))).toSet
+    assert(row._2 == trainGrams.intersect(evalGrams).size)
+    assert(row._3 == 2L)
+  }
 }

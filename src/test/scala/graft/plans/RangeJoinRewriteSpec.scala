@@ -47,6 +47,18 @@ class RangeJoinRewriteSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = before
   }
 
+  test("inverted intervals (lo > hi) yield no rows instead of crashing") {
+    val before = spark.experimental.extraOptimizations
+    try {
+      RangeJoinRewrite.install(spark)
+      val p = spark.range(0, 20).select($"id".as("pt"))
+      val i = Seq((5L, 15L), (12L, 3L)).toDF("lo", "hi") // second is inverted
+      val got = p.join(i, p("pt") >= i("lo") && p("pt") <= i("hi"))
+        .select($"pt", $"lo").as[(Long, Long)].collect().toSet
+      assert(got == (5L to 15L).map(x => (x, 5L)).toSet)
+    } finally spark.experimental.extraOptimizations = before
+  }
+
   test("guards: equi-keyed, non-long, and outer joins are left alone") {
     val before = spark.experimental.extraOptimizations
     try {
