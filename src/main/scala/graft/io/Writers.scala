@@ -51,4 +51,16 @@ object Writers {
 
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** Read a parquet table whose files span SCHEMA VERSIONS (columns added
+    * over time): footer schemas are merged, rows from older files carry
+    * NULL in the added columns. This is the additive-evolution contract a
+    * long-lived 100 TB table needs — new ingest code adds columns, old
+    * files stay valid, no rewrite. mergeSchema is opt-in because it reads
+    * every file's footer (a metadata pass, worth it only on evolved
+    * tables); renames/retypes are NOT evolution and must go through a
+    * rewrite.
+    */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 }

@@ -331,13 +331,58 @@ object Dedup {
        |FROM r WHERE rk = 1
        |ORDER BY fp""".stripMargin
 
+  /** x_dedup_incr — incremental dedup: the arriving batch (doc_id ≥ 250,
+    * standing in for today's crawl) is checked against the HISTORICAL
+    * fingerprint store (doc_id < 250) — the production shape where dedup
+    * runs per-ingest against an index, not corpus × corpus. Each batch doc
+    * reports whether its canonical fingerprint is already indexed and
+    * whether it duplicates an earlier doc WITHIN the batch (first
+    * occurrence by doc_id wins) — the two verdicts a crawl pipeline routes
+    * on (skip vs index-and-keep).
+    *
+    * Scale: the history side reduces to DISTINCT fingerprints (one narrow
+    * column — the store a real pipeline keeps pre-built); the check is one
+    * equi join on fp plus one in-batch min-window, both partitioned by fp.
+    * Nothing rescans history text.
+    */
+  def dedupIncr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", md5(TextClean.canonicalize($"text")).as("fp"))
+    val history = docs.filter($"doc_id" < 250).select($"fp").distinct()
+    val batch = docs.filter($"doc_id" >= 250)
+    val wFirst = org.apache.spark.sql.expressions.Window.partitionBy($"fp")
+    batch
+      .join(history.withColumn("in_history", lit(true)), Seq("fp"), "left")
+      .withColumn("in_history", coalesce($"in_history", lit(false)))
+      .withColumn("first_in_batch", min($"doc_id").over(wFirst))
+      .select($"doc_id", $"fp", $"in_history",
+        ($"doc_id" =!= $"first_in_batch").as("dup_in_batch"))
+      .orderBy($"doc_id")
+  }
+
+  val dedupIncrSql: String =
+    s"""WITH d AS (
+       | SELECT doc_id,
+       |  md5(lower(trim(regexp_replace(text, '${TextClean.WsRe}', ' ', 'g')))) AS fp
+       | FROM documents),
+       |hist AS (SELECT DISTINCT fp FROM d WHERE doc_id < 250),
+       |batch AS (SELECT doc_id, fp FROM d WHERE doc_id >= 250)
+       |SELECT b.doc_id, b.fp,
+       | (hist.fp IS NOT NULL) AS in_history,
+       | (b.doc_id <> min(b.doc_id) OVER (PARTITION BY b.fp)) AS dup_in_batch
+       |FROM batch b LEFT JOIN hist ON b.fp = hist.fp
+       |ORDER BY b.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_dedup_incr" -> (dedupIncr _),
     "x_dedup_exact" -> (dedupExact _),
     "x_dedup_minhash" -> (dedupMinhash _),
     "x_dedup_jaccard" -> (dedupJaccard _),
     "x_cross_dedup" -> (crossDedup _))
 
   val oracles: Map[String, String] = Map(
+    "x_dedup_incr" -> dedupIncrSql,
     "x_dedup_exact" -> dedupExactSql,
     "x_dedup_minhash" -> dedupMinhashSql,
     "x_dedup_jaccard" -> dedupJaccardSql,

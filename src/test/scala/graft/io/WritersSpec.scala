@@ -43,6 +43,20 @@ class WritersSpec extends SparkSpec {
     assert(back.collect().sorted.toSeq == rows.sorted)
   }
 
+  test("readEvolved merges added columns across schema versions, nulls backfill") {
+    val path = tmp("evolve")
+    // v1 files: (id, name); later ingest code adds a quality column
+    Seq((1L, "old")).toDF("id", "name")
+      .write.mode("append").parquet(path)
+    Seq((2L, "new", 0.9)).toDF("id", "name", "quality")
+      .write.mode("append").parquet(path)
+    val back = Writers.readEvolved(spark, path)
+    assert(back.columns.sorted.toSeq == Seq("id", "name", "quality"))
+    val rows = back.select($"id", $"name", $"quality")
+      .as[(Long, String, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "old", None), (2L, "new", Some(0.9))))
+  }
+
   test("dynamic overwrite replaces only the rewritten partition") {
     val path = tmp("dyn")
     Writers.writeOrc(df, path, Seq("ds"))

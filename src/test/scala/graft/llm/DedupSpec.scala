@@ -85,6 +85,26 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set((12L, "src3", 4L), (20L, "src5", 1L)))
   }
 
+  test("dedupIncr separates history hits from in-batch dups") {
+    val dir = java.nio.file.Files.createTempDirectory("incr").toString
+    Seq(
+      (10L, "indexed doc", "src0"),       // history
+      (250L, "indexed doc", "src1"),      // batch: dup of history
+      (251L, "fresh doc", "src1"),        // batch: new, first occurrence
+      (252L, "fresh doc", "src2"),        // batch: dup WITHIN batch only
+      (253L, "another new", "src3"))      // batch: unique
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Dedup.dedupIncr(spark, dir)
+      .select($"doc_id", $"in_history", $"dup_in_batch")
+      .as[(Long, Boolean, Boolean)].collect().toSet
+    assert(got == Set(
+      (250L, true, false),
+      (251L, false, false),
+      (252L, false, true),
+      (253L, false, false)))
+  }
+
   test("signatures are deterministic across runs") {
     val dir = writeDocs(1L -> "alpha beta gamma delta epsilon zeta")
     val s1 = Dedup.signatures(spark, dir).collect().toSeq
