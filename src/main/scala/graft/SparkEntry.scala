@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{AsOf, Bfs, BloomJoin, Diff, PageRank, Relational, Sessions, Sketch, Triangles, Upsert, Warehouse}
+import graft.analytics.{AsOf, Bfs, BloomJoin, Diff, PageRank, PrefixSum, Relational, Sessions, Sketch, Triangles, Upsert, Warehouse}
 import graft.dq.DataQuality
 import graft.io.Ingest
 import graft.llm.{Cluster, CorpusFilter, Dedup, Ivf, LangId, Pack, SimHash, SimJoin, Similarity, Terms, TextClean, TextOps}
@@ -30,6 +30,7 @@ object SparkEntry {
       Diff.queries ++
       PageRank.queries ++
       Bfs.queries ++
+      PrefixSum.queries ++
       Triangles.queries ++
       Sketch.queries ++
       Sessions.queries ++
@@ -61,6 +62,7 @@ object SparkEntry {
       Diff.oracles ++
       PageRank.oracles ++
       Bfs.oracles ++
+      PrefixSum.oracles ++
       Triangles.oracles ++
       Sketch.oracles ++
       Sessions.oracles ++

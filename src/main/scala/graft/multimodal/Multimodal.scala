@@ -172,9 +172,36 @@ object Multimodal {
        |FROM read_parquet('$FixturePath/*.parquet')
        |ORDER BY asset_id""".stripMargin
 
+  /** x_mm_bytes — byte-exact payload verification across engines: the full
+    * hex dump of every binary payload plus its length. Where x_mm_catalog
+    * gates the METADATA round-trip, this gates the PAYLOAD bytes
+    * themselves — DuckDB hex-dumps the same parquet, so a single flipped
+    * bit anywhere in the binary column fails the hash gate. (The fixture
+    * payloads are 80 bytes; on a real asset table this query shape would
+    * hex a bounded prefix, not whole videos.)
+    */
+  def mmBytes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    require(new java.io.File(FixturePath).exists(),
+      s"asset fixture not found at $FixturePath")
+    spark.read.parquet(FixturePath).as[Asset]
+      .select(col("asset_id"), col("kind"),
+        length(col("data")).as("payload_bytes"),
+        hex(col("data")).as("payload_hex"))
+      .orderBy(col("asset_id"))
+  }
+
+  val mmBytesSql: String =
+    s"""SELECT asset_id, kind, CAST(octet_length(data) AS INTEGER) AS payload_bytes,
+       | hex(data) AS payload_hex
+       |FROM read_parquet('$FixturePath/*.parquet')
+       |ORDER BY asset_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x_mm_catalog" -> (mmCatalog _))
+    "x_mm_catalog" -> (mmCatalog _),
+    "x_mm_bytes" -> (mmBytes _))
 
   val oracles: Map[String, String] = Map(
-    "x_mm_catalog" -> mmCatalogSql)
+    "x_mm_catalog" -> mmCatalogSql,
+    "x_mm_bytes" -> mmBytesSql)
 }

@@ -1,0 +1,36 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The distributed global prefix sum must equal the naive global window
+  * under any parallelism, without planning a SinglePartition exchange.
+  */
+class PrefixSumSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("globalRunningSum equals the naive global window, any layout") {
+    val rows = (1L to 500L).map(k => (k * 7 % 501, k % 13)) // unique keys, unordered
+    val want = rows.sortBy(_._1)
+      .scanLeft((0L, 0L)) { case ((_, acc), (k, v)) => (k, acc + v) }
+      .drop(1).toMap
+    Seq(1, 2, 7).foreach { parts =>
+      val df = spark.createDataset(rows).toDF("k", "v").repartition(parts)
+      val got = PrefixSum.globalRunningSum(spark, df, $"k", $"v")
+        .select($"k", $"running").as[(Long, Long)].collect().toMap
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
+  test("the running-sum plan has no SinglePartition exchange") {
+    val df = spark.range(0, 1000).select($"id".as("k"), ($"id" % 5).as("v"))
+    val plan = PrefixSum.globalRunningSum(spark, df, $"k", $"v")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"found SinglePartition in:\n$plan")
+    // while the naive ungrouped window DOES collapse to one partition
+    val naive = df.withColumn("running",
+      sum($"v").over(org.apache.spark.sql.expressions.Window.orderBy($"k")))
+    assert(naive.queryExecution.executedPlan.toString.contains("SinglePartition"))
+  }
+}
