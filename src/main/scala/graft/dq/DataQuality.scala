@@ -44,6 +44,12 @@ final case class ValueRange(column: String, lo: Double, hi: Double) extends Chec
   * column (left-anti join — one shuffle, no driver-side key set).
   */
 final case class FkIntegrity(column: String, parent: DataFrame, parentColumn: String) extends Check
+/** Data freshness: the newest value in a timestamp column must be at or
+  * after `asOf` minus `maxAgeDays`. `asOf` is an EXPLICIT parameter — a
+  * check that reads the wall clock is untestable and non-reproducible; the
+  * caller passes its scheduling date (the reference pipeline's `{{ ds }}`).
+  */
+final case class Freshness(column: String, asOf: java.sql.Date, maxAgeDays: Int) extends Check
 /** Unrecognized check_type — retained so the skip semantics are explicit. */
 final case class UnknownCheck(checkType: String) extends Check
 
@@ -117,6 +123,17 @@ object DataQuality {
           .join(parent.select(parent(parentColumn).as(column)), Seq(column), "left_anti")
           .count()
         Some(CheckResult("fk_integrity", orphans == 0, s"orphans=$orphans"))
+      }
+    case Freshness(column, asOf, maxAgeDays) =>
+      if (!df.columns.contains(column))
+        Some(CheckResult("freshness", passed = false, s"column $column absent"))
+      else {
+        // one pruned max() — the newest watermark is the only scalar needed
+        val newest = df.agg(max(to_date(col(column))).as("newest")).head().getDate(0)
+        val cutoff = java.sql.Date.valueOf(asOf.toLocalDate.minusDays(maxAgeDays.toLong))
+        val passed = newest != null && !newest.before(cutoff)
+        Some(CheckResult("freshness", passed,
+          s"newest=$newest cutoff=$cutoff as_of=$asOf max_age_days=$maxAgeDays"))
       }
     case UnknownCheck(t) =>
       // Reference behavior: warn + skip, never fail (data_quality_operator.py:116-117).
@@ -281,7 +298,27 @@ object DataQuality {
       |WHERE o.o_custkey IS NOT NULL
       |  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)""".stripMargin
 
+  /** dq_freshness — events must have data within 7 days of the (pinned)
+    * scheduling date 2024-02-05. One pruned `max(ts)` scan; the reference
+    * date is explicit so the check is reproducible (a wall-clock check
+    * can never be oracle-gated — or trusted in a backfill).
+    */
+  def freshnessQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .agg(max(to_date($"ts")).cast("string").as("newest_day"))
+      .select(lit("freshness").as("check_name"),
+        ($"newest_day" >= "2024-01-29").as("passed"), $"newest_day")
+  }
+
+  val freshnessSql: String =
+    """SELECT 'freshness' AS check_name,
+      | CAST(max(CAST(ts AS DATE)) AS VARCHAR) >= '2024-01-29' AS passed,
+      | CAST(max(CAST(ts AS DATE)) AS VARCHAR) AS newest_day
+      |FROM events""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_freshness" -> (freshnessQuery _),
     "dq_min_row_count" -> (minRowCountQuery _),
     "dq_required_columns" -> (requiredColumnsQuery _),
     "dq_unique_column" -> (uniqueColumnQuery _),
@@ -291,6 +328,7 @@ object DataQuality {
     "dq_verdict" -> (verdictQuery _))
 
   val oracles: Map[String, String] = Map(
+    "dq_freshness" -> freshnessSql,
     "dq_min_row_count" -> minRowCountSql,
     "dq_required_columns" -> requiredColumnsSql,
     "dq_unique_column" -> uniqueColumnSql,

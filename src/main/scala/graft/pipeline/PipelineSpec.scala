@@ -133,6 +133,19 @@ object PipelineSpec {
               ValueRange(required("column", "value_range"),
                 required("min", "value_range").toDouble,
                 required("max", "value_range").toDouble)
+            case Some("freshness") =>
+              // as_of comes from the spec's scheduling context ({{ ds }}
+              // templating upstream), never the wall clock. snakeyaml
+              // auto-parses an unquoted ISO date to java.util.Date; a
+              // quoted/templated one arrives as a string — accept both.
+              val asOf = c.get("as_of").flatMap(Option(_)) match {
+                case Some(d: java.util.Date) => new java.sql.Date(d.getTime)
+                case Some(s) => java.sql.Date.valueOf(s.toString)
+                case None => throw new IllegalArgumentException(
+                  "freshness check requires 'as_of' — refusing a silent default")
+              }
+              graft.dq.Freshness(required("column", "freshness"), asOf,
+                required("max_age_days", "freshness").toInt)
             case other =>
               UnknownCheck(other.getOrElse("<missing>"))
           }

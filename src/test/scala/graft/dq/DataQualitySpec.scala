@@ -97,6 +97,19 @@ class DataQualitySpec extends SparkSpec {
     assert(!bad.passed && bad.detail.contains("pid_typo"))
   }
 
+  test("freshness: explicit as-of date, stale data fails, absent column fails") {
+    val df = Seq("2024-01-28 10:00:00", "2024-01-15 00:00:00")
+      .toDF("s").select($"s".cast("timestamp").as("ts"))
+    val asOf = java.sql.Date.valueOf("2024-02-04")
+    assert(DataQuality.evaluate(df, Freshness("ts", asOf, 7)).get.passed)
+    val r = DataQuality.evaluate(df, Freshness("ts", asOf, 5)).get
+    assert(!r.passed && r.detail.contains("newest=2024-01-28"))
+    assert(!DataQuality.evaluate(df, Freshness("nope", asOf, 7)).get.passed)
+    // all-null timestamp column: no watermark => stale, not a throw
+    val nulls = Seq.empty[String].toDF("s").select($"s".cast("timestamp").as("ts"))
+    assert(!DataQuality.evaluate(nulls, Freshness("ts", asOf, 7)).get.passed)
+  }
+
   test("failures accumulate in spec order; verdict is a value, not a throw") {
     val results = DataQuality.runAll(users,
       Seq(MinRowCount(99), RequiredColumns(Seq("zip")), UniqueColumn("id")))

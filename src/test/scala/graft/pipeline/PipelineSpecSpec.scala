@@ -101,6 +101,18 @@ class PipelineSpecSpec extends AnyFunSuite {
       graft.dq.ValueRange("age", 0.0, 130.0)))
   }
 
+  test("freshness check parses with explicit as_of (no wall clock)") {
+    val spec = PipelineSpec.fromYaml(
+      """data_quality_checks:
+        |  - check_type: freshness
+        |    column: updated_at
+        |    as_of: 2024-02-05
+        |    max_age_days: 7
+        |""".stripMargin)
+    assert(spec.checks == Seq(
+      graft.dq.Freshness("updated_at", java.sql.Date.valueOf("2024-02-05"), 7)))
+  }
+
   test("file source parses as FileSource with options") {
     val spec = PipelineSpec.fromYaml(
       """source:
