@@ -184,6 +184,37 @@ object Streaming {
         writeBatch(batch, batchId, outRoot)
       }
 
+  /** File-source streaming read over a drop directory (the production
+    * landing-zone pattern: upstream lands files, the stream discovers and
+    * processes each exactly once, tracked in the checkpoint's file log).
+    * Schema is REQUIRED — inference would re-scan the directory and race
+    * new arrivals.
+    */
+  def readJsonDir(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      schema: StructType): DataFrame =
+    spark.readStream.schema(schema).json(path)
+
+  /** Drain everything currently available from a stream into the
+    * batch_id-partitioned parquet sink, then stop — `Trigger.AvailableNow`
+    * is the batch-drain mode a scheduled incremental job runs: each
+    * invocation processes exactly the files not yet recorded in the
+    * checkpoint, so repeated runs are incremental and a re-run with no new
+    * input writes nothing.
+    */
+  def drainToSink(stream: DataFrame, outRoot: String, checkpoint: String): Unit = {
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(batch, batchId, outRoot)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** RocksDB state store provider class — the large-state path. The default
     * HDFS-backed provider keeps every key in executor HEAP; a 100 TB
     * stream's dedup/session state OOMs it, while RocksDB spills state to

@@ -222,6 +222,38 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((0L, 1L), (0L, 2L), (1L, 3L)))
   }
 
+  test("file-source drain is incremental across invocations (checkpointed file log)") {
+    val base = java.nio.file.Files.createTempDirectory("drop")
+    val dropDir = base.resolve("in")
+    val outRoot = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    java.nio.file.Files.createDirectories(dropDir)
+    def land(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(dropDir.resolve(name),
+        lines.mkString("\n").getBytes("UTF-8"))
+
+    land("a.json",
+      ev(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+      ev(2, "2024-01-01 10:05:00", 2, "click", 2.0))
+    Streaming.drainToSink(
+      Streaming.readJsonDir(spark, dropDir.toString, schema), outRoot, ckpt)
+    assert(Streaming.readSink(spark, outRoot).count() == 2)
+
+    // a second invocation sees ONLY the newly landed file — a.json is in the
+    // checkpoint's file log and must not be re-ingested (no id-1/2 dups)
+    land("b.json", ev(3, "2024-01-01 11:00:00", 3, "view", 3.0))
+    Streaming.drainToSink(
+      Streaming.readJsonDir(spark, dropDir.toString, schema), outRoot, ckpt)
+    val ids = Streaming.readSink(spark, outRoot)
+      .select($"event_id").as[Long].collect().toSeq.sorted
+    assert(ids == Seq(1L, 2L, 3L))
+
+    // a run with nothing new writes nothing
+    Streaming.drainToSink(
+      Streaming.readJsonDir(spark, dropDir.toString, schema), outRoot, ckpt)
+    assert(Streaming.readSink(spark, outRoot).count() == 3)
+  }
+
   test("tumbling window counts per event type") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[String]
