@@ -77,10 +77,13 @@ object BloomJoin {
       .select($"o_orderkey")
     val li = Tables.lineitem(spark, dir)
       .select($"l_orderkey", $"l_returnflag", $"l_quantity")
-    // expectedItems sized to the UNFILTERED order count's selective slice at
-    // the largest test SF; a production caller passes its own cardinality
-    // estimate (an overestimate only wastes sketch bits, never correctness).
-    bloomSemiJoin(li, hv, "l_orderkey", "o_orderkey", expectedItems = 1 << 20)
+    // expectedItems from a real count of the (narrow, filtered) build side:
+    // a hardcoded capacity saturates once the SF grows past it, degrading
+    // fpp toward 1 and silently erasing the shuffle reduction (results stay
+    // exact — the semi join refines — but the sketch stops paying its way).
+    // The count scans one pruned column with the filter pushed down.
+    val nKeys = math.max(hv.count(), 1L)
+    bloomSemiJoin(li, hv, "l_orderkey", "o_orderkey", expectedItems = nKeys)
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n_items"),
         sum($"l_quantity".cast("long")).as("sum_qty"))

@@ -34,14 +34,21 @@ object PrefixSum {
       value: Column): DataFrame = {
     import spark.implicits._
     val n = spark.sparkContext.defaultParallelism
-    val keyed = df.withColumn("__key", key).withColumn("__val", value)
+    // NULL values count as 0 (pinned contract): without the coalesce, an
+    // all-NULL range slice makes its partition total NULL (getLong NPEs)
+    // and leading-NULL rows would get NULL runnings that disagree with the
+    // downstream offsets — null-as-zero keeps every row's running defined.
+    val keyed = df.withColumn("__key", key)
+      .withColumn("__val", coalesce(value, lit(0L)))
       .repartitionByRange(n, $"__key")
       .withColumn("__pid", spark_partition_id())
     // cache: the partition totals pass and the main pass must see the SAME
     // partitioning decision (range bounds are sampled per execution)
     val materialized = keyed.localCheckpoint()
+    // coalesce: sum() over an all-NULL partition is NULL — without it the
+    // getLong below NPEs on any range slice whose values are entirely NULL
     val offsets = materialized.groupBy($"__pid")
-      .agg(sum($"__val").as("__total"))
+      .agg(coalesce(sum($"__val"), lit(0L)).as("__total"))
       .collect().map(r => (r.getInt(0), r.getLong(1)))
       .sortBy(_._1)
       .scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) => (pid, acc + tot) }

@@ -427,8 +427,13 @@ object Relational {
           .as("ship_day"),
         $"l_quantity")
     val ivs = pts.select($"ship_day".as("d_day")).distinct()
-      .select($"d_day", $"d_day".as("lo"), ($"d_day" + 6L).as("hi"))
-    ivs.join(pts, pts("ship_day") >= ivs("lo") && pts("ship_day") <= ivs("hi"))
+      .select($"d_day", $"d_day".as("__range_lo"), ($"d_day" + 6L).as("__range_hi"))
+    // the __range_lo/__range_hi aliases are the rewrite's OPT-IN marker:
+    // the rule is installed session-wide (laziness makes bracketed
+    // install/uninstall meaningless), and only joins that name their bound
+    // columns this way are touched — no other query in the session changes.
+    ivs.join(pts,
+        pts("ship_day") >= ivs("__range_lo") && pts("ship_day") <= ivs("__range_hi"))
       .groupBy($"d_day")
       .agg(count(lit(1)).as("n_ship"), sum(Det.cents($"l_quantity")).as("qty_cents"))
       .orderBy($"d_day")

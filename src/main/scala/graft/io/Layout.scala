@@ -2,6 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Multi-dimensional data layout for scan pruning — the write-side half of
   * "don't read what you don't need". Sorting a table by ONE column gives
@@ -45,7 +46,12 @@ object Layout {
     */
   def quantize(v: Column, mn: Column, mx: Column, bits: Int = BitsPerDim): Column = {
     val span = greatest(mx - mn, lit(1L))
-    ((v - mn).cast("long") * ((1L << bits) - 1)) / span
+    // the multiply runs in 38-digit decimal: (v-mn)*(2^bits-1) overflows
+    // long once span exceeds ~1.4e14 (wide-domain ids/timestamps), which
+    // would produce non-monotone z-values and silently break file pruning.
+    // Truncating the decimal quotient back to long equals the integer
+    // division for the non-negative domain, so narrow columns are unchanged.
+    ((v - mn).cast(DecimalType(38, 0)) * ((1L << bits) - 1) / span).cast("long")
   }
 
   /** Write `df` z-ordered on (colX, colY) into `nFiles` parquet files, each

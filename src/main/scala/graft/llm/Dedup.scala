@@ -300,12 +300,25 @@ object Dedup {
     * argmin, and it partial-aggregates map-side, so no window/sort over the
     * corpus exists (the oracle's row_number form is DuckDB-only).
     */
+  /** Source-tier parse: 'srcN' → N % 3, anything else → tier 2 (least
+    * trusted). Regexp-anchored with an explicit fallback so Spark and the
+    * DuckDB oracle agree on malformed names — substring().cast() yields
+    * NULL (which sorts BEFORE 0 in the struct-min, i.e. silently MOST
+    * trusted) while DuckDB's bare CAST errors: two engines, three outcomes.
+    */
+  def sourceTier(source: Column): Column = {
+    // digits capped at 9 so the ANSI cast can never overflow/throw; the
+    // when() short-circuits the cast on non-matches (ANSI '' cast throws)
+    val n = regexp_extract(source, "^src([0-9]{1,9})$", 1)
+    (when(n === "", lit(2)).otherwise(n.cast("int")) % 3).cast("long")
+  }
+
   def crossDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select($"doc_id", $"source",
         md5(TextClean.canonicalize($"text")).as("fp"),
-        (substring($"source", 4, 10).cast("int") % 3).cast("long").as("priority"))
+        sourceTier($"source").as("priority"))
       .groupBy($"fp")
       .agg(min(struct($"priority", $"doc_id", $"source")).as("best"),
         count(lit(1)).as("n_copies"))
@@ -319,7 +332,7 @@ object Dedup {
     s"""WITH d AS (
        | SELECT doc_id, source,
        |  md5(lower(trim(regexp_replace(text, '${TextClean.WsRe}', ' ', 'g')))) AS fp,
-       |  CAST(CAST(substr(source, 4) AS INTEGER) % 3 AS BIGINT) AS priority
+       |  CAST(coalesce(TRY_CAST(regexp_extract(source, '^src([0-9]{1,9})$$', 1) AS INTEGER), 2) % 3 AS BIGINT) AS priority
        | FROM documents),
        |r AS (
        | SELECT *,

@@ -32,8 +32,9 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
   * Everything else keeps Spark's plan.
   *
   * Installed via `spark.experimental.extraOptimizations` ([[install]]) —
-  * the user writes the naive BETWEEN join and the optimizer upgrades it,
-  * exactly like Catalyst's own join-strategy selection.
+  * the user writes the naive BETWEEN join with bound columns named
+  * [[LoMarker]]/[[HiMarker]] (the opt-in gate) and the optimizer upgrades
+  * it, exactly like Catalyst's own join-strategy selection.
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] {
 
@@ -43,15 +44,33 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     */
   val BucketWidth = 8L
 
+  /** Opt-in marker: the rewrite only fires when the interval bounds are
+    * columns literally named [[LoMarker]]/[[HiMarker]]. `install` puts the
+    * rule on `experimental.extraOptimizations`, which is SESSION-global and
+    * lazy (optimization happens at action time, after the building call
+    * returns) — so install/uninstall bracketing cannot scope it. The name
+    * gate makes the session-wide install safe instead: a query opts in by
+    * aliasing its bound columns to the markers; every other range join in
+    * the session — even the exact guarded shape — keeps Spark's own plan.
+    */
+  val LoMarker = "__range_lo"
+  val HiMarker = "__range_hi"
+
   private def refsOnly(e: Expression, p: LogicalPlan): Boolean =
     e.references.nonEmpty && e.references.subsetOf(p.outputSet)
 
   private def allLong(es: Expression*): Boolean = es.forall(_.dataType == LongType)
 
+  private def marked(lo: Expression, hi: Expression): Boolean = (lo, hi) match {
+    case (l: AttributeReference, h: AttributeReference) =>
+      l.name == LoMarker && h.name == HiMarker
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner,
         Some(And(GreaterThanOrEqual(pt1, lo), LessThanOrEqual(pt2, hi))), hint)
-        if pt1.semanticEquals(pt2) && allLong(pt1, lo, hi) &&
+        if pt1.semanticEquals(pt2) && allLong(pt1, lo, hi) && marked(lo, hi) &&
           !pt1.foldable && !lo.foldable && !hi.foldable =>
       if (refsOnly(pt1, left) && refsOnly(lo, right) && refsOnly(hi, right))
         rewrite(j, left, right, pt1, lo, hi, pointOnLeft = true, hint)

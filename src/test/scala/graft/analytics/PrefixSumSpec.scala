@@ -23,6 +23,23 @@ class PrefixSumSpec extends SparkSpec {
     }
   }
 
+  test("NULL values count as 0 — an all-NULL range slice must not NPE") {
+    // keys 0..99 all NULL: under range partitioning the low slices hold
+    // only NULLs, which made the partition-total getLong NPE pre-fix
+    val rows = (0L until 200L).map { k =>
+      (k, if (k < 100) None else Some(k % 7 + 1))
+    }
+    val df = spark.createDataset(rows).toDF("k", "v")
+      .select($"k", $"v".cast("long").as("v"))
+    val got = PrefixSum.globalRunningSum(spark, df, $"k", $"v")
+      .select($"k", $"running").as[(Long, Long)].collect().toMap
+    val want = rows.map { case (k, v) => (k, v.getOrElse(0L)) }
+      .sortBy(_._1)
+      .scanLeft((0L, 0L)) { case ((_, acc), (k, v)) => (k, acc + v) }
+      .drop(1).toMap
+    assert(got == want)
+  }
+
   test("the running-sum plan has no SinglePartition exchange") {
     val df = spark.range(0, 1000).select($"id".as("k"), ($"id" % 5).as("v"))
     val plan = PrefixSum.globalRunningSum(spark, df, $"k", $"v")

@@ -39,6 +39,24 @@ class LayoutSpec extends SparkSpec {
     assert(got == ((0L, 1L, 2L, 15L)))
   }
 
+  test("quantize stays monotone and in-range on wide (overflow-prone) domains") {
+    // span ~9.2e18 — the old long multiply (v-mn)*65535 wraps negative here
+    val mn = 0L
+    val mx = Long.MaxValue - 1
+    val vs = Seq(0L, 1L << 20, 1L << 40, 1L << 55, 1L << 62, Long.MaxValue - 1)
+    val got = vs.toDF("v")
+      .select(Layout.quantize($"v", lit(mn), lit(mx)).as("q"))
+      .as[Long].collect().toSeq
+    assert(got == got.sorted, s"non-monotone: $got")
+    assert(got.forall(q => q >= 0L && q < (1L << 16)), s"out of range: $got")
+    assert(got.head == 0L && got.last == (1L << 16) - 1)
+    // and the narrow-domain behavior is unchanged (exact integer division)
+    val narrow = Seq(0L, 1L, 500L, 999L, 1000L).toDF("v")
+      .select(Layout.quantize($"v", lit(0L), lit(1000L)).as("q"))
+      .as[Long].collect().toSeq
+    assert(narrow == Seq(0L, 1L, 500L, 999L, 1000L).map(v => v * 65535L / 1000L))
+  }
+
   test("a 2-D box predicate overlaps fewer z-ordered files than linear files") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
       .select($"l_partkey", $"l_suppkey", $"l_quantity")

@@ -85,6 +85,12 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set((12L, "src3", 4L), (20L, "src5", 1L)))
   }
 
+  test("sourceTier: srcN maps to N%3, malformed names fall to tier 2") {
+    val got = Seq("src0", "src4", "src17", "weird", "src", "srcX", "src9tail", "SRC3")
+      .toDF("s").select(Dedup.sourceTier($"s")).as[Long].collect().toSeq
+    assert(got == Seq(0L, 1L, 2L, 2L, 2L, 2L, 2L, 2L))
+  }
+
   test("dedupIncr separates history hits from in-batch dups") {
     val dir = java.nio.file.Files.createTempDirectory("incr").toString
     Seq(
