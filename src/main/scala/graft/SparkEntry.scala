@@ -2,10 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{AsOf, Bfs, BloomJoin, Diff, PageRank, PrefixSum, Relational, Sessions, Sketch, Triangles, Upsert, Warehouse}
+import graft.analytics.{AsOf, Bfs, BloomJoin, Diff, PageRank, PrefixSum, Relational, Sessions, Sketch, Tpch, Triangles, Upsert, Warehouse}
 import graft.dq.DataQuality
 import graft.io.Ingest
-import graft.llm.{Cluster, CorpusFilter, Dedup, Ivf, LangId, Pack, SimHash, SimJoin, Similarity, Terms, TextClean, TextOps}
+import graft.llm.{Cluster, CorpusFilter, Dedup, Ivf, LangId, Pack, Privacy, SimHash, SimJoin, Similarity, Terms, TextClean, TextOps}
 import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -32,6 +32,7 @@ object SparkEntry {
       Bfs.queries ++
       PrefixSum.queries ++
       Triangles.queries ++
+      Tpch.queries ++
       Sketch.queries ++
       Sessions.queries ++
       AsOf.queries ++
@@ -42,6 +43,7 @@ object SparkEntry {
       Terms.queries ++
       Dedup.queries ++
       Pack.queries ++
+      Privacy.queries ++
       Cluster.queries ++
       CorpusFilter.queries ++
       SimHash.queries ++
@@ -64,6 +66,7 @@ object SparkEntry {
       Bfs.oracles ++
       PrefixSum.oracles ++
       Triangles.oracles ++
+      Tpch.oracles ++
       Sketch.oracles ++
       Sessions.oracles ++
       AsOf.oracles ++
@@ -74,6 +77,7 @@ object SparkEntry {
       Terms.oracles ++
       Dedup.oracles ++
       Pack.oracles ++
+      Privacy.oracles ++
       Cluster.oracles ++
       CorpusFilter.oracles ++
       SimHash.oracles ++

@@ -1,0 +1,148 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.util.Det
+
+/** Classic decision-support shapes over the TPC-H-ish fixture tables — the
+  * queries a reference user's BI layer issues verbatim. They earn their
+  * place by exercising the optimizer paths the synthetic micro-queries
+  * don't compose: a 3-table selective star join feeding a top-k
+  * (Q3-shaped), value-based window ranks, and the single-pass integer
+  * moment sketch that replaces multi-pass variance/correlation scans.
+  *
+  * Scale notes: q_tpch_q3 broadcasts the filtered customer keys (the only
+  * small side), shuffles orders⋈lineitem on the fact key once, and ends in
+  * `TakeOrderedAndProject` — no global sort. q_percent_rank windows are
+  * partitioned by priority (parallel per group, never SinglePartition).
+  * q_moments is one hash-aggregate with map-side partials; every moment is
+  * an exact BIGINT so partial aggregation is lossless (at 100 TB the same
+  * sums need DECIMAL(38) — noted inline).
+  */
+object Tpch {
+
+  /** Q3 cutoff date: orders strictly before, shipments strictly after. */
+  val Q3Date = "1998-06-01"
+  val Q3Segment = "BUILDING"
+
+  /** q_tpch_q3 — shipping-priority: the 10 highest-revenue undelivered
+    * orders in one market segment. Revenue is exact integer micro-cents:
+    * `cents(extendedprice) * (100 - discount_pct)` — both factors integers,
+    * so Spark and DuckDB agree bit-for-bit (a double `price*(1-disc)` sum
+    * would drift in the last ulp across engines/orders).
+    */
+  def tpchQ3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+      .filter($"c_mktsegment" === Q3Segment)
+      .select($"c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(to_date($"o_orderdate") < lit(Q3Date))
+      .select($"o_orderkey", $"o_custkey", to_date($"o_orderdate").as("o_date"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(to_date($"l_shipdate") > lit(Q3Date))
+      .select($"l_orderkey",
+        (Det.cents($"l_extendedprice") *
+          (lit(100L) - round($"l_discount" * 100).cast("long"))).as("rev_ucents"))
+    ord.join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(li, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey", $"o_date")
+      .agg(sum($"rev_ucents").as("revenue_ucents"), count(lit(1)).as("n_lines"))
+      .orderBy($"revenue_ucents".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  val tpchQ3Sql: String =
+    s"""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+       | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+       |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_ucents,
+       | count(*) AS n_lines
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = '$Q3Segment'
+       |  AND CAST(o_orderdate AS DATE) < DATE '$Q3Date'
+       |  AND CAST(l_shipdate AS DATE) > DATE '$Q3Date'
+       |GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+       |ORDER BY revenue_ucents DESC, o_orderkey
+       |LIMIT 10""".stripMargin
+
+  /** q_percent_rank — percent_rank + cume_dist of order value within each
+    * priority class. Both are single exact divisions of small integers
+    * ((rank-1)/(n-1), peers/n), which IEEE-754 rounds identically in every
+    * engine — the safe way to declare value-relative window positions.
+    * Output is one row per order; the window partitions by priority so all
+    * five groups rank in parallel.
+    */
+  def percentRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy(Det.cents($"o_totalprice"))
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .select($"o_orderkey", $"o_orderpriority", $"pr", $"cd")
+      .orderBy($"o_orderkey")
+  }
+
+  val percentRankSql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      | percent_rank() OVER w AS pr,
+      | cume_dist() OVER w AS cd
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY CAST(round(o_totalprice * 100) AS BIGINT))
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q_moments — the single-pass integer moment sketch per return flag:
+    * n, Σq, Σq², Σd, Σq·d (q = quantity, d = discount percent — both small
+    * exact ints). These five numbers assemble variance (n·Σq² − (Σq)²) and
+    * the correlation numerator (n·Σqd − Σq·Σd) WITHOUT a second pass or any
+    * float accumulation — the distributed replacement for stddev/corr
+    * aggregates whose float partial sums are order-dependent. Assembled
+    * var_num_q is emitted too: exact BIGINT at bench scale (q ≤ 50 ⇒
+    * n·Σq² ≈ 9·10^15 at sf0.1; a 100 TB run assembles in DECIMAL(38)).
+    */
+  def moments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = round($"l_quantity").cast("long")
+    val d = round($"l_discount" * 100).cast("long")
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag", q.as("q"), d.as("d"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"q").as("s_q"), sum($"q" * $"q").as("s_qq"),
+        sum($"d").as("s_d"), sum($"q" * $"d").as("s_qd"))
+      .withColumn("var_num_q", $"n" * $"s_qq" - $"s_q" * $"s_q")
+      .withColumn("corr_num_qd", $"n" * $"s_qd" - $"s_q" * $"s_d")
+      .orderBy($"l_returnflag")
+  }
+
+  val momentsSql: String =
+    """WITH m AS (
+      | SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS s_q,
+      |  CAST(sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS s_qq,
+      |  CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS s_d,
+      |  CAST(sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS s_qd
+      | FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n, s_q, s_qq, s_d, s_qd,
+      | n * s_qq - s_q * s_q AS var_num_q,
+      | n * s_qd - s_q * s_d AS corr_num_qd
+      |FROM m
+      |ORDER BY l_returnflag""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q3" -> (tpchQ3 _),
+    "q_percent_rank" -> (percentRank _),
+    "q_moments" -> (moments _))
+
+  val oracles: Map[String, String] = Map(
+    "q_tpch_q3" -> tpchQ3Sql,
+    "q_percent_rank" -> percentRankSql,
+    "q_moments" -> momentsSql)
+}

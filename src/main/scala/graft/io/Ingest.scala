@@ -129,13 +129,47 @@ object Ingest {
       |FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       |      FROM events) t""".stripMargin
 
+  /** x_json_props — the DECLARED-schema JSON path: `from_json` with a
+    * pinned struct schema (vs `ingest_variant`'s schemaless VARIANT and
+    * `get_json_object`'s stringly per-call parse — the third of the three
+    * semi-structured idioms, and the one that vectorizes best when the
+    * payload shape is known). Malformed payloads yield NULL fields by
+    * `from_json` contract, counted per group so the gate pins that
+    * semantics. One map-only parse + one grouped aggregate.
+    */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_type",
+        from_json($"props", org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), count($"k").as("n_k"),
+        coalesce(sum($"k"), lit(0L)).as("s_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  val jsonPropsSql: String =
+    """SELECT event_type, count(*) AS n, count(k) AS n_k,
+      | CAST(coalesce(sum(k), 0) AS BIGINT) AS s_k,
+      | min(k) AS min_k, max(k) AS max_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events) t
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ingest_json_raw" -> (ingestJsonRaw _),
     "ingest_variant" -> (ingestVariant _),
+    "x_json_props" -> (jsonProps _),
     "csv_replay_limit" -> (csvReplayLimit _))
 
   val oracles: Map[String, String] = Map(
     "ingest_json_raw" -> ingestJsonRawSql,
     "ingest_variant" -> ingestVariantSql,
+    "x_json_props" -> jsonPropsSql,
     "csv_replay_limit" -> csvReplayLimitSql)
 }

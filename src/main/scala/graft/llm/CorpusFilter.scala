@@ -87,11 +87,45 @@ object CorpusFilter {
        |  AND d.doc_id NOT IN (SELECT doc_id FROM losers)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** x_bigram_stats — top-50 word bigrams by corpus frequency (collocation
+    * mining / the vocab-extension scan past unigrams). Adjacent pairs are
+    * built positionally inside one array expression (`sequence` over the
+    * index space — no self-join on token position, which would shuffle the
+    * exploded token table twice on a synthetic key), then one explode +
+    * hash-aggregate with map-side partials and TakeOrderedAndProject for
+    * the cut. Ties break alphabetically so the top-50 edge is pinned.
+    */
+  def bigramStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(split(lower($"text"), " ").as("tk"))
+      .filter(size($"tk") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> concat(tk[i-1], ' ', tk[i]))"))
+        .as("bigram"))
+      .groupBy($"bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"bigram")
+      .limit(50)
+  }
+
+  val bigramStatsSql: String =
+    """WITH t AS (SELECT string_split(lower(text), ' ') AS tk FROM documents),
+      |b AS (SELECT tk[i] || ' ' || tk[i+1] AS bigram
+      |      FROM t, (SELECT unnest(range(1, 128)) AS i) g
+      |      WHERE i + 1 <= len(tk))
+      |SELECT bigram, count(*) AS n
+      |FROM b GROUP BY bigram
+      |ORDER BY n DESC, bigram
+      |LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_token_hist" -> (tokenHist _),
+    "x_bigram_stats" -> (bigramStats _),
     "x_quality_filter" -> (qualityFilter _))
 
   val oracles: Map[String, String] = Map(
     "x_token_hist" -> tokenHistSql,
+    "x_bigram_stats" -> bigramStatsSql,
     "x_quality_filter" -> qualityFilterSql)
 }

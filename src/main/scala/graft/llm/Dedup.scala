@@ -387,7 +387,58 @@ object Dedup {
        |FROM batch b LEFT JOIN hist ON b.fp = hist.fp
        |ORDER BY b.doc_id""".stripMargin
 
+  /** Chunk width (tokens) for [[chunkDedup]] — the paragraph analogue on a
+    * corpus whose text has no paragraph breaks.
+    */
+  val ChunkW = 16
+
+  /** x_chunk_dedup — sub-document (paragraph-level) dedup: each document is
+    * cut into fixed [[ChunkW]]-token chunks, chunks are hashed, and every
+    * chunk instance whose hash occurs more than once corpus-wide is a
+    * duplicated passage. Per doc: total chunks and duplicated chunks — the
+    * signal behind "drop the boilerplate paragraphs but keep the document"
+    * (exact-dedup only catches whole-document copies; repeated headers,
+    * footers, and license blocks live at chunk granularity).
+    *
+    * Scale: the explode emits len/W rows per doc (bounded fan-out), then
+    * one hash-aggregate on the chunk hash, one equi join back on the hash,
+    * and one per-doc aggregate — all partitioned by their keys, nothing
+    * quadratic, no windows. A doc repeating its OWN paragraph counts as
+    * duplicated (instance semantics, deliberately).
+    */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("tk"))
+    val nc = floor((size($"tk") + lit(ChunkW - 1)) / lit(ChunkW)).cast("long")
+    val chunks = toks
+      .select($"doc_id", $"tk", explode(sequence(lit(0L), nc - 1L)).as("i"))
+      .select($"doc_id",
+        md5(concat_ws(" ",
+          slice($"tk", ($"i" * ChunkW + 1).cast("int"), lit(ChunkW)))).as("h"))
+    val freq = chunks.groupBy($"h").agg(count(lit(1)).as("n_inst"))
+    chunks.join(freq, Seq("h"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"n_inst" > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .orderBy($"doc_id")
+  }
+
+  val chunkDedupSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |c AS (SELECT doc_id,
+       |        md5(array_to_string(list_slice(tk, i*$ChunkW + 1, i*$ChunkW + $ChunkW), ' ')) AS h
+       |      FROM t, (SELECT unnest(range(128)) AS i) g
+       |      WHERE i*$ChunkW < len(tk)),
+       |f AS (SELECT h, count(*) AS n_inst FROM c GROUP BY h)
+       |SELECT doc_id, count(*) AS n_chunks,
+       | CAST(sum(CASE WHEN n_inst > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+       |FROM c JOIN f USING (h)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_chunk_dedup" -> (chunkDedup _),
     "x_dedup_incr" -> (dedupIncr _),
     "x_dedup_exact" -> (dedupExact _),
     "x_dedup_minhash" -> (dedupMinhash _),
@@ -395,6 +446,7 @@ object Dedup {
     "x_cross_dedup" -> (crossDedup _))
 
   val oracles: Map[String, String] = Map(
+    "x_chunk_dedup" -> chunkDedupSql,
     "x_dedup_incr" -> dedupIncrSql,
     "x_dedup_exact" -> dedupExactSql,
     "x_dedup_minhash" -> dedupMinhashSql,
