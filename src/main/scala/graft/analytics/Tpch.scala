@@ -136,13 +136,57 @@ object Tpch {
       |FROM m
       |ORDER BY l_returnflag""".stripMargin
 
+  /** q_tpch_q14 — promotion revenue share per ship month: numerator
+    * (PROMO-part revenue) and denominator as exact integer micro-cents,
+    * plus their share as ONE double division (a single IEEE op both
+    * engines round identically — the safe way to emit a ratio; summing
+    * doubles would be order-dependent). The part dimension broadcasts;
+    * the fact side streams map-only into a month hash-aggregate, with the
+    * conditional numerator folded into the same pass (no second scan, no
+    * join-per-branch).
+    */
+  def tpchQ14(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, dir).select($"p_partkey", $"p_type")
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_partkey", date_format($"l_shipdate", "yyyy-MM").as("ym"),
+        (Det.cents($"l_extendedprice") *
+          (lit(100L) - round($"l_discount" * 100).cast("long"))).as("rev_ucents"))
+    li.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .groupBy($"ym")
+      .agg(sum(when($"p_type" === "PROMO", $"rev_ucents").otherwise(0L))
+          .as("promo_ucents"),
+        sum($"rev_ucents").as("total_ucents"))
+      .withColumn("promo_share",
+        $"promo_ucents".cast("double") / $"total_ucents".cast("double"))
+      .orderBy($"ym")
+  }
+
+  val tpchQ14Sql: String =
+    """WITH m AS (
+      | SELECT strftime(l_shipdate, '%Y-%m') AS ym,
+      |  CAST(sum(CASE WHEN p_type = 'PROMO'
+      |            THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                 * (100 - CAST(round(l_discount * 100) AS BIGINT))
+      |            ELSE 0 END) AS BIGINT) AS promo_ucents,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_ucents
+      | FROM lineitem JOIN part ON l_partkey = p_partkey
+      | GROUP BY 1)
+      |SELECT ym, promo_ucents, total_ucents,
+      | CAST(promo_ucents AS DOUBLE) / CAST(total_ucents AS DOUBLE) AS promo_share
+      |FROM m
+      |ORDER BY ym""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q3" -> (tpchQ3 _),
+    "q_tpch_q14" -> (tpchQ14 _),
     "q_percent_rank" -> (percentRank _),
     "q_moments" -> (moments _))
 
   val oracles: Map[String, String] = Map(
     "q_tpch_q3" -> tpchQ3Sql,
+    "q_tpch_q14" -> tpchQ14Sql,
     "q_percent_rank" -> percentRankSql,
     "q_moments" -> momentsSql)
 }

@@ -390,7 +390,117 @@ object Similarity {
       |ORDER BY sim DESC, e.vec_id
       |LIMIT 20""".stripMargin
 
+  /** Neighbors per vector in [[knnGraph]]. */
+  val KnnK = 3
+
+  /** x_knn_graph — the k-NN graph over the whole embedding table: every
+    * vector's top-[[KnnK]] cosine neighbors among its LSH candidates (the
+    * same four 6-bit sign tables as [[dedupEmbed]]). This is the
+    * all-vectors analogue of x_sim_topk's few-probe brute force — the
+    * graph that feeds semantic dedup clustering, diversity sampling, and
+    * label propagation over a corpus.
+    *
+    * Scale: candidate EDGES (not vectors) are deduplicated across tables
+    * with one (a,b) shuffle BEFORE any cosine is computed — at four
+    * tables, ~4× fewer exact-distance evaluations than scoring per-table
+    * hits. Vectors then join back by id (co-partitioned equi joins), and
+    * the per-vector top-k is a window partitioned by the source id —
+    * parallel per vector, never global. A missed true neighbor is the
+    * documented LSH recall trade (~0.86 at cos 0.9); the oracle replays
+    * the same bucketing, so the gate pins the ALGORITHM, not brute force.
+    */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+    val tables = (0 until EmbedTables).map { t =>
+      struct(lit(t).as("tbl"),
+        signBucket($"v", EmbedBits, offset = t * EmbedBits).as("bucket"))
+    }
+    val bands = e.select($"vec_id", explode(array(tables: _*)).as("x"))
+      .select($"vec_id", $"x.tbl".as("tbl"), $"x.bucket".as("bucket"))
+    val cand = bands.select($"tbl", $"bucket", $"vec_id")
+      .join(bands.select($"tbl", $"bucket", $"vec_id".as("nbr_id")), Seq("tbl", "bucket"))
+      .filter($"vec_id" =!= $"nbr_id")
+      .select($"vec_id", $"nbr_id").distinct()
+    val scored = cand
+      .join(e, Seq("vec_id"))
+      .join(e.select($"vec_id".as("nbr_id"), $"v".as("nv")), Seq("nbr_id"))
+      .withColumn("sim", round(cosineFast(spark, $"v", $"nv"), 6) + lit(0.0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"sim".desc, $"nbr_id".asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= KnnK)
+      .select($"vec_id", $"nbr_id", $"rnk", $"sim")
+      .orderBy($"vec_id", $"rnk")
+  }
+
+  val knnGraphSql: String = {
+    val tableRows = (0 until EmbedTables).map { t =>
+      val u = if (t == 0) "" else "UNION ALL "
+      val bits = (0 until EmbedBits)
+        .map(i => s"CASE WHEN v[${t * EmbedBits + i + 1}] >= 0.0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      s"${u}SELECT vec_id, $t AS tbl, $bits AS bucket FROM e"
+    }.mkString("\n ")
+    s"""WITH e AS (
+       | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       | FROM embeddings),
+       |bands AS (
+       | $tableRows),
+       |cand AS (
+       | SELECT DISTINCT l.vec_id AS vec_id, r.vec_id AS nbr_id
+       | FROM bands l JOIN bands r
+       |   ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id != r.vec_id),
+       |scored AS (
+       | SELECT c.vec_id, c.nbr_id,
+       |  round(
+       |   list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) /
+       |   sqrt(list_sum(list_transform(a.v, x -> x * x)) * list_sum(list_transform(b.v, x -> x * x))),
+       |   6) + 0.0 AS sim
+       | FROM cand c JOIN e a ON a.vec_id = c.vec_id JOIN e b ON b.vec_id = c.nbr_id),
+       |ranked AS (
+       | SELECT vec_id, nbr_id, sim,
+       |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS INTEGER) AS rnk
+       | FROM scored)
+       |SELECT vec_id, nbr_id, rnk, sim
+       |FROM ranked WHERE rnk <= $KnnK
+       |ORDER BY vec_id, rnk""".stripMargin
+  }
+
+  /** x_label_purity — per-LSH-bucket label histogram quality: for each
+    * 8-bit sign bucket, member count, distinct labels, and the majority
+    * label's count. The purity ratio maj/n is the standard "is this
+    * partitioning aligned with semantics" diagnostic for an ANN index —
+    * run over the same buckets [[simBucketed]] queries, so index quality
+    * is measured on the index actually used. Two hash-aggregates, both
+    * partial-aggregating map-side; no windows, no collects.
+    */
+  def labelPurity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select($"label".cast("long").as("label"),
+        signBucket(asDouble($"embedding"), 8).as("bucket"))
+    e.groupBy($"bucket", $"label").agg(count(lit(1)).as("c"))
+      .groupBy($"bucket")
+      .agg(sum($"c").as("n"), count(lit(1)).as("n_labels"), max($"c").as("maj"))
+      .orderBy($"bucket")
+  }
+
+  val labelPuritySql: String =
+    """WITH e AS (
+      | SELECT CAST(label AS BIGINT) AS label,
+      |  list_aggregate(list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE))[1:8],
+      |    x -> CASE WHEN x >= 0.0 THEN '1' ELSE '0' END), 'string_agg', '') AS bucket
+      | FROM embeddings),
+      |bl AS (SELECT bucket, label, count(*) AS c FROM e GROUP BY bucket, label)
+      |SELECT bucket, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_labels, max(c) AS maj
+      |FROM bl GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_knn_graph" -> (knnGraph _),
+    "x_label_purity" -> (labelPurity _),
     "x_sql_cosine" -> (sqlCosine _),
     "x_sim_topk" -> (simTopK _),
     "x_sim_bucketed" -> (simBucketed _),
@@ -400,6 +510,8 @@ object Similarity {
     "x_rand_proj" -> (randProj _))
 
   val oracles: Map[String, String] = Map(
+    "x_knn_graph" -> knnGraphSql,
+    "x_label_purity" -> labelPuritySql,
     "x_sql_cosine" -> sqlCosineSql,
     "x_sim_topk" -> simTopKSql,
     "x_sim_bucketed" -> simBucketedSql,
