@@ -371,7 +371,66 @@ object Warehouse {
       |       CAST(ndv_sd AS BIGINT), min_sd, max_sd FROM a
       |ORDER BY column_name""".stripMargin
 
+  /** x_winsorize — robust per-group aggregation: clamp each event's value
+    * to its type's exact [p05, p95] (rank-picked like q_quantiles — no
+    * interpolation, so both engines select the identical cents) and report
+    * the winsorized sum plus how many rows hit each fence. This is the
+    * metric-pipeline guard against a few corrupt readings dragging a mean;
+    * emitted entirely in integer cents.
+    *
+    * Scale: one windowed rank per group (parallel per event_type), a
+    * 5-row fence table broadcast back, and one final hash-aggregate —
+    * the fences never leave the driver-side broadcast, the fact stream
+    * stays map-only between the two shuffles.
+    */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ec = Tables.events(spark, dir)
+      .select($"event_type", $"event_id", Det.cents($"value").as("c"))
+    val w = Window.partitionBy($"event_type").orderBy($"c", $"event_id")
+    val ranked = ec
+      .select($"event_type", $"c",
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy($"event_type")).as("n"))
+    val fences = ranked.groupBy($"event_type")
+      .agg(
+        max(when($"rn" === floor(($"n" * 5 + 99) / 100.0), $"c")).as("lo_cents"),
+        max(when($"rn" === floor(($"n" * 95 + 99) / 100.0), $"c")).as("hi_cents"))
+    ec.join(broadcast(fences), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        max($"lo_cents").as("lo_cents"), max($"hi_cents").as("hi_cents"),
+        sum(when($"c" < $"lo_cents", 1L).otherwise(0L)).as("n_lo"),
+        sum(when($"c" > $"hi_cents", 1L).otherwise(0L)).as("n_hi"),
+        sum(least(greatest($"c", $"lo_cents"), $"hi_cents")).as("sum_wins_cents"))
+      .orderBy($"event_type")
+  }
+
+  val winsorizeSql: String =
+    """WITH ec AS (
+      | SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS c
+      | FROM events),
+      |ranked AS (
+      | SELECT event_type, c,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY c, event_id) AS rn,
+      |  count(*) OVER (PARTITION BY event_type) AS n
+      | FROM ec),
+      |fences AS (
+      | SELECT event_type,
+      |  max(CASE WHEN rn = floor((n * 5 + 99) / 100.0) THEN c END) AS lo_cents,
+      |  max(CASE WHEN rn = floor((n * 95 + 99) / 100.0) THEN c END) AS hi_cents
+      | FROM ranked GROUP BY event_type)
+      |SELECT ec.event_type, count(*) AS n,
+      | max(lo_cents) AS lo_cents, max(hi_cents) AS hi_cents,
+      | CAST(sum(CASE WHEN c < lo_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+      | CAST(sum(CASE WHEN c > hi_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+      | CAST(sum(least(greatest(c, lo_cents), hi_cents)) AS BIGINT) AS sum_wins_cents
+      |FROM ec JOIN fences ON ec.event_type = fences.event_type
+      |GROUP BY ec.event_type
+      |ORDER BY ec.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_winsorize" -> (winsorize _),
     "q_table_stats" -> (tableStats _),
     "q_scd2" -> (scd2 _),
     "q_incr_agg" -> (incrAgg _),
@@ -381,6 +440,7 @@ object Warehouse {
     "q_range_count" -> (rangeCount _))
 
   val oracles: Map[String, String] = Map(
+    "x_winsorize" -> winsorizeSql,
     "q_table_stats" -> tableStatsSql,
     "q_scd2" -> scd2Sql,
     "q_incr_agg" -> incrAggSql,

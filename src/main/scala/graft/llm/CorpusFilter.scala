@@ -119,13 +119,70 @@ object CorpusFilter {
       |ORDER BY n DESC, bigram
       |LIMIT 50""".stripMargin
 
+  /** Vocabulary size for [[oovRate]]'s char-trigram model. 100 keeps a
+    * real out-of-vocab tail on the fixture corpus (the 31-word vocabulary
+    * yields a few hundred distinct trigrams, so a larger table would
+    * degenerate to zero OOV everywhere).
+    */
+  val OovVocab = 100
+
+  /** x_oov_rate — the char-trigram language-model proxy for text quality:
+    * build the corpus's top-[[OovVocab]] character-trigram vocabulary
+    * (ties alphabetical, so the cut edge is pinned), then score each
+    * document by how many of its trigram INSTANCES fall outside it. High
+    * OOV rate flags encoding garbage, foreign scripts, and template noise
+    * — the integer-exact stand-in for a perplexity filter (whose log-space
+    * float sums would drift across engines).
+    *
+    * Scale: pass 1 is explode → hash-aggregate → top-k (the vocab is k
+    * rows — broadcast); pass 2 re-derives trigrams map-side and left-joins
+    * the broadcast vocab, so the corpus is scanned twice but shuffled only
+    * for the tiny vocab aggregate and the per-doc count.
+    */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def grams(df: DataFrame): DataFrame = df
+      .filter(length($"text") >= 3)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+        .as("g"))
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val vocab = grams(docs)
+      .groupBy($"g").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"g").limit(OovVocab)
+      .select($"g", lit(1).as("in_v"))
+    grams(docs)
+      .join(broadcast(vocab), Seq("g"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"in_v".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .orderBy($"doc_id")
+  }
+
+  val oovRateSql: String =
+    s"""WITH gr AS (
+       | SELECT doc_id, substr(text, i, 3) AS g
+       | FROM documents, (SELECT unnest(range(1, 1024)) AS i) r
+       | WHERE length(text) >= 3 AND i <= length(text) - 2),
+       |v AS (
+       | SELECT g FROM (
+       |  SELECT g, count(*) AS n FROM gr GROUP BY g
+       |  ORDER BY n DESC, g LIMIT $OovVocab))
+       |SELECT doc_id, count(*) AS n_grams,
+       | CAST(sum(CASE WHEN v.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+       |FROM gr LEFT JOIN v ON gr.g = v.g
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_token_hist" -> (tokenHist _),
     "x_bigram_stats" -> (bigramStats _),
+    "x_oov_rate" -> (oovRate _),
     "x_quality_filter" -> (qualityFilter _))
 
   val oracles: Map[String, String] = Map(
     "x_token_hist" -> tokenHistSql,
     "x_bigram_stats" -> bigramStatsSql,
+    "x_oov_rate" -> oovRateSql,
     "x_quality_filter" -> qualityFilterSql)
 }
