@@ -41,15 +41,17 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
-      // Between queries (outside any measured window): drop dead
+      // Before each run (outside the measured window): drop dead
       // localCheckpoint blocks. Several queries pin lineage-truncation
-      // blocks in executor storage; they are freed by the ContextCleaner
-      // only after the owning RDD is GC'd, so without this nudge the
-      // storage pressure of earlier queries bleeds into later ones'
-      // measurements (observed: x_pagerank 4.9 s isolated vs 11 s late in
-      // the suite).
-      System.gc()
+      // blocks in executor storage; the ContextCleaner frees them only
+      // after the owning RDD is GC'd, so prior runs' storage pressure
+      // bleeds into later measurements (observed: x_pagerank 5.4 s
+      // isolated vs 14.9 s mid-suite). Unpersist is deterministic where
+      // System.gc() is advisory; the gc still helps with non-storage heap.
       val times = (1 to 2).flatMap { _ =>
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        System.gc()
         val t0 = System.nanoTime()
         try {
           exec(fn(spark, sfDir))

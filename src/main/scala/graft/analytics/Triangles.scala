@@ -26,7 +26,7 @@ import graft.io.Tables
   * match; only the skew profile differs, and the oracle only runs at
   * fixture scale.
   *
-  * Scale notes: 3 shuffles build the oriented edge list (self-join,
+  * Scale notes: 3 shuffles build the oriented edge list (basket aggregate,
   * partition-local dedup, degree aggregate); the degree frame is broadcast
   * (node table ≪ edge table; swap for a shuffle join when nodes outgrow a
   * broadcast). The wedge join and closing join shuffle on graph keys — the
@@ -42,10 +42,15 @@ object Triangles {
   private def undirected(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey")
-    li.as("a").join(li.as("b"),
-        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
-      .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
-      .repartition($"u")
+    // Basket-aggregate shape (see PageRank.edges): one lineitem shuffle
+    // into per-order baskets (≤7 items at any SF), pairs exploded map-side
+    // after the exchange; explicit partition count opts out of AQE's
+    // scan-shaped coalescing because everything downstream is CPU-bound.
+    li.groupBy($"l_orderkey").agg(collect_set($"l_partkey").as("ps"))
+      .select(explode($"ps").as("u"), $"ps")
+      .select($"u", explode($"ps").as("v"))
+      .where($"u" < $"v")
+      .repartition(spark.sparkContext.defaultParallelism, $"u")
       .dropDuplicates(Seq("u", "v"))
   }
 
