@@ -2,10 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{AsOf, Bfs, BloomJoin, Diff, PageRank, PrefixSum, Relational, Sessions, Sketch, Tpch, Triangles, Upsert, Warehouse}
+import graft.analytics.{AsOf, Bfs, BloomJoin, Diff, PageRank, PrefixSum, Relational, Sessions, Sketch, Skew, Tpch, Triangles, Upsert, Warehouse}
 import graft.dq.DataQuality
 import graft.io.Ingest
-import graft.llm.{Cluster, CorpusFilter, Dedup, Ivf, LangId, Pack, Privacy, SimHash, SimJoin, Similarity, Terms, TextClean, TextOps}
+import graft.llm.{Cluster, CorpusFilter, Dedup, Ivf, LangId, Pack, Privacy, Semantic, SimHash, SimJoin, Similarity, Terms, TextClean, TextOps}
 import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -51,6 +51,8 @@ object SparkEntry {
       LangId.queries ++
       Similarity.queries ++
       Ivf.queries ++
+      Semantic.queries ++
+      Skew.queries ++
       Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -85,5 +87,7 @@ object SparkEntry {
       LangId.oracles ++
       Similarity.oracles ++
       Ivf.oracles ++
+      Semantic.oracles ++
+      Skew.oracles ++
       Multimodal.oracles
 }

@@ -1,7 +1,10 @@
 package graft.analytics
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.util.Det
 
 /** Skew-mitigation utilities (SURVEY.md §7.4-5: per-user/session groupBys
   * skew on bot/power users at the 100 TB design point). AQE's skew-join
@@ -55,4 +58,42 @@ object Skew {
         saltedLeft("__salt") === replicatedRight("__salt"))
       .drop("__salt")
   }
+
+  val SaltBuckets = 8
+
+  /** q_join_salted — the DECLARED face of [[saltedJoin]]: per-brand revenue
+    * from a salted lineitem⋈part join. The salt must be invisible in the
+    * result — the oracle states the PLAIN join — which is the whole
+    * contract of skew mitigation: identical answer, each hot part key
+    * spread over [[SaltBuckets]] reducers instead of one straggler task.
+    * The distributor is l_orderkey (varies within a part key, so rows of
+    * one hot part scatter deterministically — no rand(), replayable).
+    * At fixture scale a broadcast join would of course win; this declares
+    * the shape for the 100 TB case where BOTH sides are too big to
+    * broadcast and one key is hot.
+    */
+  def joinSalted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_orderkey", Det.cents($"l_extendedprice").as("cents"))
+    val p = Tables.part(spark, dir).select($"p_partkey", $"p_brand")
+    saltedJoin(li, p, "l_partkey", "p_partkey", SaltBuckets, $"l_orderkey")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        (sum($"cents").cast("double") / 100.0).as("revenue"))
+      .orderBy($"p_brand")
+  }
+
+  val joinSaltedSql: String =
+    """SELECT p_brand, count(*) AS n_items,
+      | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_salted" -> (joinSalted _))
+
+  val oracles: Map[String, String] = Map(
+    "q_join_salted" -> joinSaltedSql)
 }

@@ -178,15 +178,60 @@ object Tpch {
       |FROM m
       |ORDER BY ym""".stripMargin
 
+  /** Q18 quantity bar: ~1.5% of orders clear it on the fixture data. */
+  val Q18MinQty = 250L
+
+  /** q_tpch_q18 — large-volume customers: the 100 biggest undelivered
+    * baskets (orders whose total line quantity exceeds [[Q18MinQty]]) with
+    * their customer. The classic HAVING-driven semi-join: the lineitem
+    * aggregate is the only fact-sized pass, its survivor set is tiny BY
+    * CONSTRUCTION (the threshold selects the extreme tail, any SF), so it
+    * broadcasts into orders and the join chain never shuffles a fact table
+    * twice. Quantities are integral doubles — summed as exact BIGINTs.
+    * o_totalprice is a raw column (no aggregation), so emitting it as
+    * double is engine-safe; ties on it are broken by date then key.
+    */
+  def tpchQ18(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity".cast("long")).as("total_qty"))
+      .filter($"total_qty" > Q18MinQty)
+    Tables.orders(spark, dir)
+      .join(broadcast(big), $"o_orderkey" === $"l_orderkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey",
+        to_date($"o_orderdate").as("o_orderdate"), $"o_totalprice", $"total_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderdate", $"o_orderkey")
+      .limit(100)
+  }
+
+  val tpchQ18Sql: String =
+    s"""WITH big AS (
+       | SELECT l_orderkey,
+       |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+       | FROM lineitem
+       | GROUP BY l_orderkey
+       | HAVING sum(CAST(l_quantity AS BIGINT)) > $Q18MinQty)
+       |SELECT c_name, c_custkey, o_orderkey,
+       | CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice, total_qty
+       |FROM big
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+       |LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q3" -> (tpchQ3 _),
     "q_tpch_q14" -> (tpchQ14 _),
+    "q_tpch_q18" -> (tpchQ18 _),
     "q_percent_rank" -> (percentRank _),
     "q_moments" -> (moments _))
 
   val oracles: Map[String, String] = Map(
     "q_tpch_q3" -> tpchQ3Sql,
     "q_tpch_q14" -> tpchQ14Sql,
+    "q_tpch_q18" -> tpchQ18Sql,
     "q_percent_rank" -> percentRankSql,
     "q_moments" -> momentsSql)
 }

@@ -181,15 +181,72 @@ object CorpusFilter {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** A bigram is "rare" when its corpus count is ≤ this — the word-level
+    * surprise bar for [[lmRarity]].
+    */
+  val RareMax = 2
+
+  /** x_lm_rarity — the word-bigram language-model proxy for text quality,
+    * complementing [[oovRate]]'s character level: count each document's
+    * adjacent word pairs whose CORPUS frequency is ≤ [[RareMax]]. A high
+    * rare-bigram rate flags incoherent juxtapositions (boilerplate soup,
+    * word-salad spam) that unigram stats can't see — the integer-exact
+    * stand-in for a perplexity screen, like oovRate but at the level where
+    * an n-gram LM actually models fluency.
+    *
+    * Scale: the bigram frame is materialized once (built positionally
+    * inside one array expression — no positional self-join) and feeds both
+    * the count aggregate and the scoring join. Unlike oovRate's top-k
+    * vocab, the rare SET is the LARGE tail of the distribution (Zipf), so
+    * it cannot broadcast: scoring is a plain shuffle equi-join on the
+    * bigram key, partial-aggregated map-side down to one row per doc.
+    */
+  def lmRarity(spark: SparkSession, dir: String): DataFrame =
+    lmRarityOver(Tables.documents(spark, dir))
+
+  /** Same pipeline over any (doc_id, text) frame — the spec's seam. */
+  def lmRarityOver(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    val grams = documents
+      .select($"doc_id", split(lower($"text"), " ").as("tk"))
+      .filter(size($"tk") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> concat(tk[i-1], ' ', tk[i]))"))
+        .as("bigram"))
+      .localCheckpoint()
+    val counts = grams.groupBy($"bigram").agg(count(lit(1)).as("n"))
+    grams.join(counts, "bigram")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when($"n" <= RareMax, 1L).otherwise(0L)).as("n_rare"))
+      .orderBy($"doc_id")
+  }
+
+  val lmRaritySql: String =
+    s"""WITH t AS (
+       | SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+       |b AS (
+       | SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bigram
+       | FROM t, (SELECT unnest(range(1, 1024)) AS i) g
+       | WHERE len(tk) >= 2 AND i + 1 <= len(tk)),
+       |c AS (SELECT bigram, count(*) AS n FROM b GROUP BY bigram)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       | CAST(sum(CASE WHEN c.n <= $RareMax THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+       |FROM b JOIN c USING (bigram)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_token_hist" -> (tokenHist _),
     "x_bigram_stats" -> (bigramStats _),
     "x_oov_rate" -> (oovRate _),
+    "x_lm_rarity" -> (lmRarity _),
     "x_quality_filter" -> (qualityFilter _))
 
   val oracles: Map[String, String] = Map(
     "x_token_hist" -> tokenHistSql,
     "x_bigram_stats" -> bigramStatsSql,
     "x_oov_rate" -> oovRateSql,
+    "x_lm_rarity" -> lmRaritySql,
     "x_quality_filter" -> qualityFilterSql)
 }
