@@ -301,6 +301,90 @@ object Relational {
       |SELECT s_nationkey FROM supplier
       |ORDER BY nationkey""".stripMargin
 
+  /** q_intersect_all — MULTISET intersection: each nation key appears
+    * min(customer copies, supplier copies) times, the BAG semantics
+    * `INTERSECT ALL` defines (and plain `intersect` collapses). Spark
+    * plans this as a counted aggregate + replicate — no row-by-row
+    * matching — so it scales like any groupBy. Duplicate output rows are
+    * identical, so the key-only ORDER BY is still hash-stable.
+    */
+  def intersectAllKeys(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir).select($"c_nationkey".as("nationkey"))
+    val s = Tables.supplier(spark, dir).select($"s_nationkey".as("nationkey"))
+    c.intersectAll(s).orderBy($"nationkey")
+  }
+
+  val intersectAllKeysSql: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT ALL
+      |SELECT s_nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+
+  /** q_except_all — MULTISET difference: customer copies of each nation key
+    * beyond the supplier copies survive (count subtraction, not set
+    * removal).
+    */
+  def exceptAllKeys(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir).select($"c_nationkey".as("nationkey"))
+    val s = Tables.supplier(spark, dir).select($"s_nationkey".as("nationkey"))
+    c.exceptAll(s).orderBy($"nationkey")
+  }
+
+  val exceptAllKeysSql: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |EXCEPT ALL
+      |SELECT s_nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+
+  /** q_first_last — value-picking window functions (first_value /
+    * last_value / nth_value) over each customer's order history, one row
+    * per customer. The frame must be the FULL partition
+    * (rows unbounded-to-unbounded): last_value under the default
+    * running frame is just the current row — the classic window trap,
+    * pinned here. Ordering ties are broken by order key so both engines
+    * pick identical rows; prices are raw columns (no aggregation), so
+    * doubles are engine-safe.
+    */
+  def firstLast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_date", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey", to_date($"o_orderdate").as("o_date"),
+        $"o_totalprice")
+      .select($"o_custkey",
+        row_number().over(
+          Window.partitionBy($"o_custkey").orderBy($"o_date", $"o_orderkey"))
+          .as("rn"),
+        first($"o_totalprice").over(w).as("first_price"),
+        last($"o_totalprice").over(w).as("last_price"),
+        nth_value($"o_totalprice", 2).over(w).as("second_price"),
+        count(lit(1)).over(w).as("n_orders"))
+      .filter($"rn" === 1).drop("rn")
+      .orderBy($"o_custkey")
+  }
+
+  val firstLastSql: String =
+    """SELECT o_custkey, first_price, last_price, second_price, n_orders
+      |FROM (
+      | SELECT o_custkey,
+      |  row_number() OVER (PARTITION BY o_custkey
+      |                     ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS rn,
+      |  first_value(o_totalprice) OVER w AS first_price,
+      |  last_value(o_totalprice) OVER w AS last_price,
+      |  nth_value(o_totalprice, 2) OVER w AS second_price,
+      |  count(*) OVER w AS n_orders
+      | FROM orders
+      | WINDOW w AS (PARTITION BY o_custkey
+      |              ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      |WHERE rn = 1
+      |ORDER BY o_custkey""".stripMargin
+
   /** q_scalar_fns — string/date/JSON scalar functions over events.
     * `props` is a JSON object string; exercises get_json_object (ref: the
     * JSON payload parsing path, SURVEY.md §2.2 scalar-fn row).
@@ -1106,6 +1190,9 @@ object Relational {
     "q_union" -> (unionKeys _),
     "q_except" -> (exceptKeys _),
     "q_intersect" -> (intersectKeys _),
+    "q_intersect_all" -> (intersectAllKeys _),
+    "q_except_all" -> (exceptAllKeys _),
+    "q_first_last" -> (firstLast _),
     "q_scalar_fns" -> (scalarFns _),
     "q_rollup_daily" -> (rollupDaily _),
     "q_rollup_ym" -> (rollupYearMonth _),
@@ -1149,6 +1236,9 @@ object Relational {
     "q_union" -> unionKeysSql,
     "q_except" -> exceptKeysSql,
     "q_intersect" -> intersectKeysSql,
+    "q_intersect_all" -> intersectAllKeysSql,
+    "q_except_all" -> exceptAllKeysSql,
+    "q_first_last" -> firstLastSql,
     "q_scalar_fns" -> scalarFnsSql,
     "q_rollup_daily" -> rollupDailySql,
     "q_rollup_ym" -> rollupYearMonthSql,

@@ -101,11 +101,80 @@ object Terms {
       |ORDER BY n DESC, bigram
       |LIMIT 50""".stripMargin
 
+  /** Minimum bigram instances for [[pmiPairs]] — PMI on hapax pairs is
+    * pure noise (two rare words co-occurring once max out the score).
+    */
+  val PmiMinCount = 5L
+
+  /** PMI score scale (4 implied decimal digits). */
+  val PmiScale = 10000L
+
+  /** x_pmi_pairs — top-30 collocations by pointwise mutual information:
+    * bigrams whose observed count most exceeds what their parts' unigram
+    * frequencies predict (PMI = log p(xy)/(p(x)p(y)) — the collocation
+    * measure of Church & Hanks 1990). The log is MONOTONE, so ranking by
+    * the scaled integer ratio n_xy·N·[[PmiScale]] / (n_x·n_y) preserves
+    * the PMI order exactly while staying engine-hash-identical (same
+    * reasoning as the ratio-form tf-idf above; emitting the log itself
+    * would tie the hash to libm rounding).
+    *
+    * Overflow bound: n_xy·N·scale ≤ N²·10⁴ must stay under 2⁶³ — fine to
+    * N ≈ 10⁹ bigram instances; past that, cast the products to
+    * DECIMAL(38,0) (the Det escape hatch) before the division.
+    *
+    * Scale: one unigram aggregate (broadcast — the vocabulary, Heaps' law),
+    * one bigram aggregate, one map-side join + TakeOrderedAndProject.
+    */
+  def pmiPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(split(lower($"text"), " ").as("toks"))
+    val uni = docs.select(explode($"toks").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("nw"))
+    val bi = docs.filter(size($"toks") >= 2)
+      .select(explode(zip_with(
+        slice($"toks", lit(1), size($"toks") - 1),
+        slice($"toks", lit(2), size($"toks") - 1),
+        (a, b) => struct(a.as("x"), b.as("y")))).as("p"))
+      .select($"p.x", $"p.y")
+      .groupBy($"x", $"y").agg(count(lit(1)).as("n_xy"))
+      .filter($"n_xy" >= PmiMinCount)
+    val total = bi.agg(sum($"n_xy").as("n_total"))
+    bi.join(broadcast(uni.select($"w".as("x"), $"nw".as("n_x"))), "x")
+      .join(broadcast(uni.select($"w".as("y"), $"nw".as("n_y"))), "y")
+      .crossJoin(broadcast(total))
+      .select(concat($"x", lit(" "), $"y").as("bigram"), $"n_xy",
+        // DIV, not `/`: Column./ on longs is DOUBLE division in Spark;
+        // truncating integer division is what DuckDB's // mirrors.
+        expr(s"n_xy * n_total * $PmiScale DIV (n_x * n_y)").as("pmi_scaled"))
+      .orderBy($"pmi_scaled".desc, $"bigram")
+      .limit(30)
+  }
+
+  val pmiPairsSql: String =
+    s"""WITH t AS (SELECT string_split(lower(text), ' ') AS toks FROM documents),
+       |uni AS (
+       | SELECT w, count(*) AS nw
+       | FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+       |bi AS (
+       | SELECT p[1] AS x, p[2] AS y, count(*) AS n_xy
+       | FROM (SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS p
+       |       FROM t WHERE len(toks) >= 2)
+       | GROUP BY 1, 2 HAVING count(*) >= $PmiMinCount),
+       |n AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n_total FROM bi)
+       |SELECT bi.x || ' ' || bi.y AS bigram, bi.n_xy,
+       | CAST((bi.n_xy * n.n_total * $PmiScale) // (ux.nw * uy.nw) AS BIGINT) AS pmi_scaled
+       |FROM bi JOIN uni ux ON ux.w = bi.x JOIN uni uy ON uy.w = bi.y, n
+       |ORDER BY pmi_scaled DESC, bigram
+       |LIMIT 30""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_tfidf" -> (tfidf _),
-    "x_ngrams" -> (ngrams _))
+    "x_ngrams" -> (ngrams _),
+    "x_pmi_pairs" -> (pmiPairs _))
 
   val oracles: Map[String, String] = Map(
     "x_tfidf" -> tfidfSql,
-    "x_ngrams" -> ngramsSql)
+    "x_ngrams" -> ngramsSql,
+    "x_pmi_pairs" -> pmiPairsSql)
 }
