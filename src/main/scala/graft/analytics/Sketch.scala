@@ -146,11 +146,65 @@ object Sketch {
        |ORDER BY n_true DESC, token""".stripMargin
   }
 
+  /** Heavy = more than 1/[[HhPhiDen]] of the token stream. */
+  val HhPhiDen = 50L
+
+  /** Misra–Gries capacity: the sketch is false-negative-free above
+    * N/(MgK+1) < N/[[HhPhiDen]], so no true heavy hitter can be pruned.
+    */
+  val MgK = 64
+
+  /** x_heavy_hitters — φ-frequent tokens via the two-pass candidate
+    * pattern: a [[graft.functions.MisraGries]] `mg_candidates` sketch
+    * nominates ≤ [[MgK]] candidate keys (ONE map-side-aggregable pass whose
+    * shuffle carries ≤ k counters per partition, never the key
+    * distribution), then an exact rescan counts ONLY the candidate keys
+    * (semi-join against the broadcast candidate array) and the φ·N filter
+    * drops the sketch's false positives. MG's guarantee makes the pruning
+    * LOSSLESS for true heavy hitters, so the result is exact and
+    * hash-gates against the oracle's plain GROUP BY/HAVING — which at
+    * 100 TB would shuffle every distinct key, while this plan shuffles k
+    * counters plus the (tiny, candidate-only) rescan aggregate.
+    *
+    * Candidates are nominated by xxhash64(token): a hash collision can only
+    * ADD a false candidate (two tokens share a counter), never lose a true
+    * one, and the exact rescan filters it — correctness is
+    * collision-independent.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(lower($"text"), " ")).as("token"))
+      .withColumn("h", xxhash64($"token"))
+    val cand = toks.agg(call_function("mg_candidates", $"h", lit(MgK)).as("c"))
+      .select(explode($"c").as("h"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(broadcast(cand), Seq("h"), "left_semi")
+      .groupBy($"token").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter($"n" * HhPhiDen > $"n_total")
+      .select($"token", $"n", $"n_total")
+      .orderBy($"n".desc, $"token")
+  }
+
+  val heavyHittersSql: String =
+    s"""WITH t AS (
+       | SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+       |n AS (SELECT count(*) AS n_total FROM t)
+       |SELECT token, count(*) AS n, n.n_total
+       |FROM t, n
+       |GROUP BY token, n.n_total
+       |HAVING count(*) * $HhPhiDen > n.n_total
+       |ORDER BY n DESC, token""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_kmv_distinct" -> (kmvDistinct _),
-    "x_cms_freq" -> (cmsFreq _))
+    "x_cms_freq" -> (cmsFreq _),
+    "x_heavy_hitters" -> (heavyHitters _))
 
   val oracles: Map[String, String] = Map(
     "x_kmv_distinct" -> kmvDistinctSql,
-    "x_cms_freq" -> cmsFreqSql)
+    "x_cms_freq" -> cmsFreqSql,
+    "x_heavy_hitters" -> heavyHittersSql)
 }

@@ -429,7 +429,54 @@ object Warehouse {
       |GROUP BY ec.event_type
       |ORDER BY ec.event_type""".stripMargin
 
+  /** q_quartiles_cont — INTERPOLATED quartiles (PERCENTILE_CONT / type-7)
+    * of order value per priority, complementing q_quantiles' exact
+    * window-pick (PERCENTILE_DISC) family. Interpolated quantiles of a
+    * float column normally can't cross-engine-hash; these do because every
+    * arithmetic step is EXACT: the data are integer cents (exact doubles),
+    * the rank position (n-1)·q is exact for q ∈ {.25, .5, .75} (dyadic
+    * fractions), the interpolation a + d·(b-a) multiplies an
+    * integer-valued double by a dyadic fraction (exact) — so no rounding
+    * happens anywhere and any algebraically-equivalent formula in any
+    * engine produces the identical bits. The final /100.0 is one IEEE
+    * division of identical inputs. (For a general q like 0.9 none of this
+    * holds — (n-1)·0.9 already rounds — which is exactly why the declared
+    * quantile family pins dyadic fractions.)
+    *
+    * Scale: Spark's exact percentile buffers each group's values — fine
+    * for bounded groups (5 priorities × per-group sort); at an unbounded
+    * group count switch to bin_counts/approx sketches. Window input is the
+    * orders table aggregated per group, one shuffle.
+    */
+  def quartilesCont(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .select($"o_orderpriority", Det.cents($"o_totalprice").as("c"))
+    o.groupBy($"o_orderpriority")
+      .agg(
+        (percentile($"c", lit(0.25)) / 100.0).as("p25"),
+        (percentile($"c", lit(0.5)) / 100.0).as("median"),
+        (percentile($"c", lit(0.75)) / 100.0).as("p75"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val quartilesContSql: String =
+    """WITH c AS (
+      | SELECT o_orderpriority,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      | FROM orders)
+      |SELECT o_orderpriority,
+      | quantile_cont(c, 0.25) / 100.0 AS p25,
+      | quantile_cont(c, 0.5) / 100.0 AS median,
+      | quantile_cont(c, 0.75) / 100.0 AS p75,
+      | count(*) AS n_orders
+      |FROM c
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quartiles_cont" -> (quartilesCont _),
     "x_winsorize" -> (winsorize _),
     "q_table_stats" -> (tableStats _),
     "q_scd2" -> (scd2 _),
@@ -440,6 +487,7 @@ object Warehouse {
     "q_range_count" -> (rangeCount _))
 
   val oracles: Map[String, String] = Map(
+    "q_quartiles_cont" -> quartilesContSql,
     "x_winsorize" -> winsorizeSql,
     "q_table_stats" -> tableStatsSql,
     "q_scd2" -> scd2Sql,

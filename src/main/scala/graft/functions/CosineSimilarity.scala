@@ -148,6 +148,13 @@ object GraftFunctions {
         TopKRows(Cast(children.head, LongType), Cast(children(1), LongType),
           children(2)).toAggregateExpression()
       }),
+    (new FunctionIdentifier("mg_candidates"),
+      new ExpressionInfo(classOf[MisraGries].getName, "mg_candidates"),
+      (children: Seq[Expression]) => {
+        arity("mg_candidates", "(key long, k int)", 2)(children)
+        MisraGries(Cast(children.head, LongType), children(1))
+          .toAggregateExpression()
+      }),
     // Spark's own codegen'd Bloom probe (what InjectRuntimeFilter plants),
     // exposed by name so explicit semi-join reduction (analytics.BloomJoin)
     // can use it with a sketch built elsewhere. INTEGRAL keys only: the
