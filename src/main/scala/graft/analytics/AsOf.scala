@@ -24,13 +24,20 @@ object AsOf {
     * `right.tsCol <= left.tsCol` on the same key (<= semantics: a right row
     * at the exact left timestamp matches). Result: all left columns plus
     * right payload columns renamed `asof_<name>` (null when no match).
+    *
+    * `forward = true` flips the direction: the EARLIEST right row with
+    * `right.tsCol >= left.tsCol` (>= semantics) — the "next event"
+    * lookup (time-to-conversion, next quote). Same single-shuffle
+    * union+window plan; only the window's sort order changes (descending,
+    * so the running carry holds the smallest at-or-after right row).
     */
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
       key: String,
       tsCol: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String],
+      forward: Boolean = false): DataFrame = {
     val payloadStruct: StructType = right.select(payload.map(col): _*).schema
     val leftStruct: StructType = StructType(left.schema.fields)
 
@@ -47,9 +54,11 @@ object AsOf {
       struct(left.columns.map(col): _*).as("__l"),
       lit(null).cast(payloadStruct).as("__r"))
 
-    // right(tag 0) sorts before left(tag 1) at equal ts => <= match semantics
+    // right(tag 0) sorts before left(tag 1) at equal ts => <=/>= inclusive
+    // match semantics in either direction
+    val tsOrder = if (forward) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__ts").asc, col("__tag").asc)
+      .orderBy(tsOrder, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = taggedRight.union(taggedLeft)
@@ -113,11 +122,48 @@ object AsOf {
       |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
       |ORDER BY purchase_id""".stripMargin
 
+  /** q_asof_forward — time-to-conversion: for every view, the same user's
+    * NEXT purchase at or after the view ([[asofJoin]] with
+    * `forward = true`) plus the lag in seconds (exact integer µs
+    * difference, one division). The oracle states the correlated-min form
+    * — algorithm-independent, so the gate proves the flipped window
+    * direction implements ">= nearest" exactly.
+    */
+  def nextPurchaseAfterView(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+    val views = e.filter($"event_type" === "view")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = e.filter($"event_type" === "purchase").select($"user_id", $"ts")
+    asofJoin(views, purchases, key = "user_id", tsCol = "ts",
+        payload = Seq("ts"), forward = true)
+      .select($"event_id".as("view_id"), $"user_id",
+        $"asof_ts".as("next_purchase_ts"),
+        // DIV, not `/`: Column./ on longs is double division in Spark
+        expr("(unix_micros(asof_ts) - unix_micros(ts)) DIV 1000000")
+          .as("lag_seconds"))
+      .orderBy($"view_id")
+  }
+
+  val nextPurchaseAfterViewSql: String =
+    """WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT v.event_id AS view_id, v.user_id,
+      | (SELECT min(p.ts) FROM p
+      |  WHERE p.user_id = v.user_id AND p.ts >= v.ts) AS next_purchase_ts,
+      | CAST(epoch_us((SELECT min(p.ts) FROM p
+      |   WHERE p.user_id = v.user_id AND p.ts >= v.ts) - v.ts) // 1000000
+      |  AS BIGINT) AS lag_seconds
+      |FROM v
+      |ORDER BY view_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> (viewBeforePurchase _),
-    "q_asof_tolerance" -> (viewWithinDay _))
+    "q_asof_tolerance" -> (viewWithinDay _),
+    "q_asof_forward" -> (nextPurchaseAfterView _))
 
   val oracles: Map[String, String] = Map(
     "q_asof_join" -> viewBeforePurchaseSql,
-    "q_asof_tolerance" -> viewWithinDaySql)
+    "q_asof_tolerance" -> viewWithinDaySql,
+    "q_asof_forward" -> nextPurchaseAfterViewSql)
 }

@@ -630,6 +630,45 @@ object Relational {
       |GROUP BY 1
       |ORDER BY y""".stripMargin
 
+  /** q_pivot_multi — the NATIVE `Dataset.pivot` path with multiple
+    * aggregates per pivot value (count + exact-cents revenue), unlike
+    * q_pivot_status's portable when()-projection form: Catalyst's
+    * RewritePivot turns this into the same single hash-aggregate (one
+    * scan, one shuffle — pivoting never re-scans per column), and the
+    * explicit value list keeps the plan static (omitting it triggers a
+    * distinct-values pre-query at planning time — fine interactively,
+    * wrong inside a 100 TB pipeline).
+    */
+  def pivotMulti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select(year($"o_orderdate").cast("long").as("y"), $"o_orderstatus",
+        Det.cents($"o_totalprice").as("c"))
+      .groupBy($"y")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"), (sum($"c").cast("double") / 100.0).as("rev"))
+      .select($"y",
+        $"F_n".as("n_f"), $"F_rev".as("rev_f"),
+        $"O_n".as("n_o"), $"O_rev".as("rev_o"),
+        $"P_n".as("n_p"), $"P_rev".as("rev_p"))
+      .orderBy($"y")
+  }
+
+  val pivotMultiSql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+      | count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+      | CAST(sum(CASE WHEN o_orderstatus = 'F'
+      |           THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS rev_f,
+      | count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+      | CAST(sum(CASE WHEN o_orderstatus = 'O'
+      |           THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS rev_o,
+      | count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p,
+      | CAST(sum(CASE WHEN o_orderstatus = 'P'
+      |           THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS rev_p
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY y""".stripMargin
+
   /** q_unpivot — the inverse reshaping (melt / UNPIVOT): the wide per-year
     * status counts back to long (y, status, n) rows through Spark's native
     * `Dataset.unpivot`. Wide→long is what normalizes a spreadsheet-shaped
@@ -1201,6 +1240,7 @@ object Relational {
     "q_ntile" -> (ntileDeciles _),
     "q_mode" -> (modeSegment _),
     "q_pivot_status" -> (pivotStatus _),
+    "q_pivot_multi" -> (pivotMulti _),
     "q_unpivot" -> (unpivotStatus _),
     "q_cube" -> (cubeStatusPriority _),
     "q_grouping_sets" -> (groupingSetsQ _),
@@ -1247,6 +1287,7 @@ object Relational {
     "q_ntile" -> ntileDecilesSql,
     "q_mode" -> modeSegmentSql,
     "q_pivot_status" -> pivotStatusSql,
+    "q_pivot_multi" -> pivotMultiSql,
     "q_unpivot" -> unpivotStatusSql,
     "q_cube" -> cubeStatusPrioritySql,
     "q_grouping_sets" -> groupingSetsSql,
