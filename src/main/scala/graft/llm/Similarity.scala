@@ -498,7 +498,70 @@ object Similarity {
       |FROM bl GROUP BY bucket
       |ORDER BY bucket""".stripMargin
 
+  /** Anchor label for [[hardNegatives]] (one label's vectors per pass —
+    * the per-label mining loop a contrastive pipeline runs).
+    */
+  val HnLabel = 0
+  val HnK = 3
+
+  /** x_hard_negatives — contrastive-training negative mining: for each
+    * anchor vector of label [[HnLabel]], the [[HnK]] most-similar vectors
+    * with a DIFFERENT label. High-cosine cross-label pairs are the "hard"
+    * negatives that actually move a contrastive loss (easy negatives are
+    * far away and teach nothing); random negative sampling never finds
+    * them at scale.
+    *
+    * Scale: one label's anchors broadcast (the per-label pass bounds the
+    * probe set the same way x_sim_topk's small-Q contract does), the
+    * candidate side streams map-only, and the per-anchor top-k is a
+    * partitioned window over anchor groups — never a global sort. Mining
+    * all labels = one pass per label, each this same plan (or swap the
+    * candidate scan for the LSH-bucketed variant when labels are huge).
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", asDouble($"embedding").as("v"))
+    val anchors = e.filter($"label" === HnLabel)
+      .select($"vec_id".as("anchor_id"), $"v".as("av"))
+    val sims = broadcast(anchors).crossJoin(
+        e.filter($"label" =!= HnLabel)
+          .select($"vec_id".as("neg_id"), $"label".as("neg_label"), $"v".as("nv")))
+      .withColumn("sim", round(cosineFast(spark, $"av", $"nv"), 6) + lit(0.0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"anchor_id").orderBy($"sim".desc, $"neg_id".asc)
+    sims.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= HnK)
+      .select($"anchor_id", $"rnk".cast("long").as("rnk"), $"neg_id",
+        $"neg_label".cast("long").as("neg_label"), $"sim")
+      .orderBy($"anchor_id", $"rnk")
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH e AS (
+       | SELECT vec_id, label,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       | FROM embeddings),
+       |pairs AS (
+       | SELECT a.vec_id AS anchor_id, c.vec_id AS neg_id,
+       |  c.label AS neg_label,
+       |  round(
+       |   list_sum(list_transform(list_zip(a.v, c.v), p -> p[1] * p[2])) /
+       |   sqrt(list_sum(list_transform(a.v, x -> x * x)) * list_sum(list_transform(c.v, x -> x * x))),
+       |   6) + 0.0 AS sim
+       | FROM e a, e c
+       | WHERE a.label = $HnLabel AND c.label != $HnLabel),
+       |ranked AS (
+       | SELECT anchor_id, neg_id, neg_label, sim,
+       |  row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, neg_id) AS rnk
+       | FROM pairs)
+       |SELECT anchor_id, CAST(rnk AS BIGINT) AS rnk, neg_id,
+       | CAST(neg_label AS BIGINT) AS neg_label, sim
+       |FROM ranked WHERE rnk <= $HnK
+       |ORDER BY anchor_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_hard_negatives" -> (hardNegatives _),
     "x_knn_graph" -> (knnGraph _),
     "x_label_purity" -> (labelPurity _),
     "x_sql_cosine" -> (sqlCosine _),
@@ -510,6 +573,7 @@ object Similarity {
     "x_rand_proj" -> (randProj _))
 
   val oracles: Map[String, String] = Map(
+    "x_hard_negatives" -> hardNegativesSql,
     "x_knn_graph" -> knnGraphSql,
     "x_label_purity" -> labelPuritySql,
     "x_sql_cosine" -> sqlCosineSql,
