@@ -90,11 +90,20 @@ object Triangles {
     // and shuffle+sort the edge list twice (measured 10.4 s; broadcast
     // 4.6 s). Past broadcastable adjacency size (~100M edges), drop the
     // hint and the same plan degrades to those shuffle joins.
-    val adj = broadcast(o.groupBy($"src").agg(collect_list($"dst").as("nbrs")))
+    // Neighbor lists are sorted ONCE per node here so the per-edge
+    // intersection can be the native merge-scan `sorted_intersect` —
+    // array_intersect rebuilds a hash set from its left operand on every
+    // edge row (~Σdeg² set builds and allocation churn; measured whole-query
+    // median ~5.0 s → ~4.0 s at sf0.1).
+    graft.functions.GraftFunctions.register(spark)
+    val adj = broadcast(o.groupBy($"src")
+      .agg(array_sort(collect_list($"dst")).as("nbrs")))
     val contrib = o
       .join(adj.select($"src", $"nbrs".as("na")), Seq("src"))
       .join(adj.select($"src".as("dst"), $"nbrs".as("nb")), Seq("dst"), "left")
-      .withColumn("common", array_intersect($"na", coalesce($"nb", array())))
+      .withColumn("common",
+        call_function("sorted_intersect", $"na",
+          coalesce($"nb", array().cast("array<bigint>"))))
       .filter(size($"common") > 0)
       .select(explode(concat(
         array(struct($"src".as("part"), size($"common").cast("long").as("c")),

@@ -148,6 +148,12 @@ object GraftFunctions {
         TopKRows(Cast(children.head, LongType), Cast(children(1), LongType),
           children(2)).toAggregateExpression()
       }),
+    (new FunctionIdentifier("sorted_intersect"),
+      new ExpressionInfo(classOf[SortedIntersect].getName, "sorted_intersect"),
+      (children: Seq[Expression]) => {
+        arity("sorted_intersect", "(a array<long>, b array<long>)", 2)(children)
+        SortedIntersect(children.head, children(1))
+      }),
     (new FunctionIdentifier("mg_candidates"),
       new ExpressionInfo(classOf[MisraGries].getName, "mg_candidates"),
       (children: Seq[Expression]) => {
