@@ -110,6 +110,49 @@ object Streaming {
       }
   }
 
+  final case class TokenEvent(ts: java.sql.Timestamp, token: String)
+  final case class MgState(counts: Map[String, Long])
+  final case class TrendingSnapshot(shard: Int, tokens: Seq[String])
+
+  /** Streaming trending-term candidates — the streaming face of the batch
+    * [[graft.functions.MisraGries]] sketch: each shard keeps a k-counter
+    * Misra–Gries summary of ITS tokens in group state and emits its current
+    * candidate set every trigger.
+    *
+    * Sharding by a hash OF THE TOKEN preserves the MG guarantee globally:
+    * a token's whole mass lands in exactly one shard, so a token with
+    * global count > N/(k+1) is also above its own shard's N_shard/(k+1)
+    * (N_shard ≤ N) and MUST hold a counter there — hash sharding never
+    * splits a heavy hitter across sketches. State is ≤ k counters per
+    * shard FOREVER (no watermark needed — the sketch, not retention,
+    * bounds it); the exact rescan that turns candidates into exact counts
+    * is the batch x_heavy_hitters pattern applied to the stored stream.
+    */
+  def trendingCandidates(
+      tokens: Dataset[TokenEvent],
+      k: Int = 32,
+      nShards: Int = 8): Dataset[TrendingSnapshot] = {
+    import tokens.sparkSession.implicits._
+    tokens.groupByKey(e => math.floorMod(e.token.hashCode, nShards))
+      .mapGroupsWithState[MgState, TrendingSnapshot](GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[TokenEvent], state: GroupState[MgState]) =>
+          var m = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+          rows.foreach { e =>
+            m.get(e.token) match {
+              case Some(c) => m += (e.token -> (c + 1L))
+              case None if m.size < k => m += (e.token -> 1L)
+              case None =>
+                // decrement-all eviction; immutable ops are fine at k ≤ ~1e3
+                m = m.flatMap { case (t, c) =>
+                  if (c == 1L) None else Some(t -> (c - 1L))
+                }
+            }
+          }
+          state.update(MgState(m))
+          TrendingSnapshot(shard, m.keys.toSeq.sorted)
+      }
+  }
+
   /** Streaming exact dedup — the ingestion-time companion of Dedup.dedupExact
     * for a training-data firehose: drop records whose dedup key was already
     * seen, with state bounded by the watermark (dropDuplicatesWithinWatermark

@@ -275,4 +275,33 @@ class StreamingSpec extends SparkSpec {
       assert(out == Set(("view", 2L), ("click", 1L)))
     } finally q.stop()
   }
+
+  test("trendingCandidates keeps the dominant token across batches, state bounded") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Streaming.TokenEvent]
+    val k = 8
+    val snaps = Streaming.trendingCandidates(input.toDS(), k = k, nShards = 4)
+    val q = snaps.writeStream.format("memory").queryName("trend")
+      .outputMode("update").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      // batch 1: 60x "hot" + 100 distinct fillers
+      input.addData(
+        Seq.fill(60)(Streaming.TokenEvent(t0, "hot")) ++
+          (1 to 100).map(i => Streaming.TokenEvent(t0, s"filler$i")): _*)
+      q.processAllAvailable()
+      // batch 2: more fillers only — hot's counter must survive the noise
+      input.addData((101 to 180).map(i => Streaming.TokenEvent(t0, s"filler$i")): _*)
+      q.processAllAvailable()
+      val rows = spark.table("trend")
+        .select($"shard", $"tokens").as[(Int, Seq[String])].collect()
+      assert(rows.forall(_._2.length <= k), "state exceeded MG capacity")
+      // latest snapshot of hot's shard (last emission wins in update mode —
+      // take the final occurrence per shard in emission order)
+      val lastPerShard = rows.zipWithIndex
+        .groupBy(_._1._1).map { case (s, rs) => s -> rs.maxBy(_._2)._1._2 }
+      assert(lastPerShard.values.exists(_.contains("hot")),
+        "dominant token lost from every shard sketch")
+    } finally q.stop()
+  }
 }
