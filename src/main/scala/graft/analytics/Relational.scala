@@ -630,6 +630,36 @@ object Relational {
       |GROUP BY 1
       |ORDER BY y""".stripMargin
 
+  /** q_null_safe_join — the `<=>` (EqualNullSafe) join semantics pin:
+    * NULL keys MATCH each other, where a plain `=` join silently drops
+    * every null-keyed row (here the 'O' majority mapped to NULL via
+    * nullif — the open orders would vanish from a naive join). Spark's
+    * `<=>` is DuckDB/ANSI's IS NOT DISTINCT FROM; both plan a normal
+    * hash/sort equi-join on the null-safe key, so the null bucket rides
+    * the same shuffle as everything else (no fallback to a nested loop).
+    * Sort order of the NULL group is pinned explicitly — Spark defaults
+    * NULLS FIRST ascending, DuckDB defaults NULLS LAST: the classic
+    * cross-engine ordering trap.
+    */
+  def nullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.orders(spark, dir)
+      .select(expr("nullif(o_orderstatus, 'O')").as("k"), $"o_orderkey")
+    val r = l.select($"k".as("k2")).distinct()
+    l.join(r, $"k" <=> $"k2")
+      .groupBy($"k").agg(count(lit(1)).as("n"))
+      .orderBy($"k".asc_nulls_first)
+  }
+
+  val nullSafeJoinSql: String =
+    """WITH l AS (
+      | SELECT nullif(o_orderstatus, 'O') AS k, o_orderkey FROM orders),
+      |r AS (SELECT DISTINCT k AS k2 FROM l)
+      |SELECT l.k, count(*) AS n
+      |FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k2
+      |GROUP BY l.k
+      |ORDER BY k NULLS FIRST""".stripMargin
+
   /** q_pivot_multi — the NATIVE `Dataset.pivot` path with multiple
     * aggregates per pivot value (count + exact-cents revenue), unlike
     * q_pivot_status's portable when()-projection form: Catalyst's
@@ -1241,6 +1271,7 @@ object Relational {
     "q_mode" -> (modeSegment _),
     "q_pivot_status" -> (pivotStatus _),
     "q_pivot_multi" -> (pivotMulti _),
+    "q_null_safe_join" -> (nullSafeJoin _),
     "q_unpivot" -> (unpivotStatus _),
     "q_cube" -> (cubeStatusPriority _),
     "q_grouping_sets" -> (groupingSetsQ _),
@@ -1288,6 +1319,7 @@ object Relational {
     "q_mode" -> modeSegmentSql,
     "q_pivot_status" -> pivotStatusSql,
     "q_pivot_multi" -> pivotMultiSql,
+    "q_null_safe_join" -> nullSafeJoinSql,
     "q_unpivot" -> unpivotStatusSql,
     "q_cube" -> cubeStatusPrioritySql,
     "q_grouping_sets" -> groupingSetsSql,

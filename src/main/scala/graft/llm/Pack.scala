@@ -313,7 +313,61 @@ object Pack {
       |FROM agg
       |ORDER BY doc_id""".stripMargin
 
+  /** x_pack_stats — the packing-efficiency rollup over [[seqPack]]'s
+    * layout: per source, the sequence count, the tokens left unfilled in
+    * the final sequence (contiguous packing fills every other sequence
+    * exactly), and how many documents straddle a sequence boundary —
+    * boundary-crossing docs are the attention-fragmentation metric a
+    * packing strategy is judged by (cross-doc attention bleed / truncation
+    * loss both start there). One aggregate over the map-only offset
+    * derivation; the per-source window is the same one seqPack already
+    * pays.
+    */
+  def packStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    seqPack(spark, dir)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_toks").as("total_toks"),
+        (expr(s"(max(start_tok + n_toks) - 1) div $SeqLen") + 1L).as("n_seqs"),
+        sum(when($"n_seqs_spanned" > 1L, 1L).otherwise(0L)).as("n_boundary_docs"))
+      .withColumn("last_seq_fill",
+        $"total_toks" - ($"n_seqs" - 1L) * SeqLen)
+      .orderBy($"source")
+  }
+
+  val packStatsSql: String =
+    s"""WITH d AS (
+       | SELECT source, doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       | FROM documents),
+       |off AS (
+       | SELECT source, doc_id, n_toks,
+       |  CAST(coalesce(sum(n_toks) OVER (
+       |    PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS start_tok
+       | FROM d),
+       |sp AS (
+       | SELECT source, n_toks, start_tok,
+       |  (start_tok + n_toks - 1) // $SeqLen - start_tok // $SeqLen + 1
+       |    AS n_seqs_spanned
+       | FROM off)
+       |SELECT source, count(*) AS n_docs,
+       | CAST(sum(n_toks) AS BIGINT) AS total_toks,
+       | (max(start_tok + n_toks) - 1) // $SeqLen + 1 AS n_seqs,
+       | CAST(sum(CASE WHEN n_seqs_spanned > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_boundary_docs,
+       | CAST(sum(n_toks) AS BIGINT)
+       |   - ((max(start_tok + n_toks) - 1) // $SeqLen) * $SeqLen
+       |   AS last_seq_fill
+       |FROM sp
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_pack_stats" -> (packStats _),
     "x_split_assign" -> (splitAssign _),
     "x_repetition_filter" -> (repetitionFilter _),
     "x_seq_pack" -> (seqPack _),
@@ -322,6 +376,7 @@ object Pack {
     "x_doc_split" -> (docSplit _))
 
   val oracles: Map[String, String] = Map(
+    "x_pack_stats" -> packStatsSql,
     "x_split_assign" -> splitAssignSql,
     "x_repetition_filter" -> repetitionFilterSql,
     "x_seq_pack" -> seqPackSql,
