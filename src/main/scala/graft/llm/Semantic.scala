@@ -39,7 +39,13 @@ object Semantic {
   val NList = 16
 
   /** Rounded-cosine duplicate bar (compared as `sim >= 0.35` on the 6 dp
-    * rounding both engines share).
+    * rounding both engines share). CALIBRATION MATTERS: for random
+    * d-dimensional vectors the null cosine distribution has σ ≈ 1/√d, so
+    * τ must sit well above ~4σ or the greedy rule chains through noise
+    * pairs and collapses the corpus (measured in the Stress `sem`
+    * scenario: τ at 1.4σ marked 99.7% of a 200k synthetic corpus as
+    * duplicates; the fixture's 64-dim embeddings put 0.35 at 2.8σ with a
+    * ~0.2% pair rate — deliberate, so the declared query emits rows).
     */
   val Tau = 0.35
 
@@ -56,17 +62,22 @@ object Semantic {
   }
 
   /** Same pipeline over any (vec_id, v: array<double>) frame — the seam the
-    * planted-duplicate spec drives synthetic corpora through.
+    * planted-duplicate spec and the Stress harness drive synthetic corpora
+    * through. `nlist` is the coarse cluster count: the declared query pins
+    * [[NList]]; at scale pass nlist ≈ √N so in-cluster pair volume stays
+    * ~N (√N clusters × (√N)²/... per-cluster quadratic over √N members) —
+    * exercised at 200k vectors by `graft.tools.Stress sem`.
     */
-  def semanticDedupOver(spark: SparkSession, e: DataFrame): DataFrame = {
+  def semanticDedupOver(spark: SparkSession, e: DataFrame,
+      nlist: Int = NList, tau: Double = Tau): DataFrame = {
     import spark.implicits._
     // Stride seeding, collected to the driver (nlist rows — the k-means
     // centroid shape): same no-global-sort seeding as Ivf.train. cid is the
     // rank of the seed's vec_id, pinned on both engines.
     val n = e.count()
-    val stride = math.max(1L, n / NList)
+    val stride = math.max(1L, n / nlist)
     val seeds = e.filter(pmod($"vec_id", lit(stride)) === 0)
-      .orderBy($"vec_id").limit(NList)
+      .orderBy($"vec_id").limit(nlist)
       .as[(Long, Seq[Double])].collect().sortBy(_._1)
     val centroids = broadcast(
       seeds.zipWithIndex.map { case ((_, v), i) => (i, v) }
@@ -81,7 +92,7 @@ object Semantic {
     a.join(b, Seq("cid"))
       .filter($"ka" < $"kb")
       .withColumn("sim", round(cosineFast(spark, $"va", $"vb"), 6) + lit(0.0))
-      .filter($"sim" >= Tau)
+      .filter($"sim" >= tau)
       .groupBy($"kb".as("loser_id"))
       .agg(first($"cid").as("cid"), min($"ka").as("keeper_id"),
         count(lit(1)).as("n_partners"))

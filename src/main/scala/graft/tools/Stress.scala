@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Cluster, Dedup}
+import graft.llm.{Cluster, Dedup, Semantic}
 
 /** Scale-stress harness for the dedup pipeline: generates an N-doc corpus
   * with PLANTED near-duplicate groups (deterministically, from murmur3 of
@@ -45,8 +45,86 @@ object Stress {
       .select($"doc_id", concat_ws(" ", toks).as("text"))
   }
 
+  /** Heavy-hitter stress: `n`-token stream, 10 planted hot tokens at 1%
+    * each over a ~1M-token cold tail; the MG-candidates + exact-rescan
+    * route must EQUAL the plain groupBy/HAVING route at φ = 1/200
+    * (k = 512 ≫ 200, so the sketch is false-negative-free by margin).
+    */
+  def runHeavyHitters(spark: SparkSession, n: Long): Boolean = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    def timed[T](what: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[stress] $what: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+    }
+    val phiDen = 200L
+    val sel = pmod(hash($"id", lit(3)), lit(1000))
+    val toks = spark.range(n).select(
+      when(sel < 100, concat(lit("hot"), sel % 10))
+        .otherwise(concat(lit("cold"), pmod(hash($"id", lit(7)), lit(1000000))))
+        .as("token"))
+      .withColumn("h", xxhash64($"token"))
+      .localCheckpoint()
+    val viaSketch = timed("mg candidates + exact rescan") {
+      val cand = toks.agg(call_function("mg_candidates", $"h", lit(512)).as("c"))
+        .select(explode($"c").as("h"))
+      toks.join(broadcast(cand), Seq("h"), "left_semi")
+        .groupBy($"token").agg(count(lit(1)).as("c"))
+        .filter($"c" * phiDen > n)
+        .as[(String, Long)].collect().toSet
+    }
+    val viaPlain = timed("plain groupBy/HAVING (the full-shuffle route)") {
+      toks.groupBy($"token").agg(count(lit(1)).as("c"))
+        .filter($"c" * phiDen > n)
+        .as[(String, Long)].collect().toSet
+    }
+    println(s"[stress] heavy hitters: sketch=${viaSketch.size} plain=${viaPlain.size}")
+    val ok = viaSketch == viaPlain && viaSketch.size == 10
+    println(s"[stress] structure recovered: ${if (ok) "YES" else "NO"}")
+    ok
+  }
+
+  /** Semantic-dedup stress: `n` 64-dim vectors, 1% planted identical pairs
+    * (id, id−1), nlist = 1024 ≈ √n — the documented scale path where
+    * in-cluster pair volume stays ~n·(n/nlist). τ is set to 0.6 ≈ 4.8σ of
+    * the null cosine distribution (σ ≈ 1/√64): at the declared fixture τ
+    * (1.4σ for these crude vectors) the greedy rule chained through noise
+    * pairs and marked 99.7% of the corpus duplicate — the calibration
+    * failure mode this scenario documents. Every planted loser must appear
+    * (identical vectors always share a cluster and score sim = 1), and
+    * noise losers must stay rare.
+    */
+  def runSemantic(spark: SparkSession, n: Long): Boolean = {
+    import spark.implicits._
+    def timed[T](what: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[stress] $what: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+    }
+    val base = when(pmod($"id", lit(100)) === 1, $"id" - 1).otherwise($"id")
+    val vecs = spark.range(n).select($"id".as("vec_id"),
+        transform(sequence(lit(0), lit(63)), j =>
+          (pmod(hash(base * 31 + j, lit(11)), lit(1000)).cast("double") / 1000.0)
+            - 0.5).as("v"))
+      .localCheckpoint()
+    val losers = timed(s"semantic dedup (nlist=1024, tau=0.6) over $n vectors") {
+      Semantic.semanticDedupOver(spark, vecs, nlist = 1024, tau = 0.6)
+        .select($"loser_id").as[Long].collect().toSet
+    }
+    val planted = (1L until n by 100L).toSet
+    val missed = planted -- losers
+    val noise = losers -- planted
+    println(s"[stress] planted=${planted.size} losers=${losers.size} " +
+      s"missed=${missed.size} noise=${noise.size}")
+    // all planted recovered; noise (4.8σ exceedances + hash artifacts)
+    // bounded well below the planted signal
+    val ok = missed.isEmpty && noise.size * 10 < planted.size
+    println(s"[stress] structure recovered: ${if (ok) "YES" else "NO"}")
+    ok
+  }
+
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 200000L
+    val scenario = if (args.length > 1) args(1) else "dedup"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -56,6 +134,15 @@ object Stress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+
+    if (scenario == "hh") {
+      val ok = runHeavyHitters(spark, n)
+      spark.stop(); if (!ok) sys.exit(1); return
+    }
+    if (scenario == "sem") {
+      val ok = runSemantic(spark, n)
+      spark.stop(); if (!ok) sys.exit(1); return
+    }
 
     def timed[T](what: String)(f: => T): T = {
       val t0 = System.nanoTime()
