@@ -62,7 +62,11 @@ class LayoutSpec extends SparkSpec {
       .select($"l_partkey", $"l_suppkey", $"l_quantity")
     val zdir = "/tmp/layout_z"
     val ldir = "/tmp/layout_linear"
-    val nFiles = 16
+    // 64 files, not 16: the margin must survive range-partitioner boundary
+    // straddle (sampled bounds shift run-to-run). Linear hits ~nFiles/8 = 8
+    // files on its sort axis; the z box is ~1/64 of rows ≈ 1-2 files — a
+    // strict win even when both straddle a boundary.
+    val nFiles = 64
     Layout.zorderWrite(li, "l_partkey", "l_suppkey", zdir, nFiles)
     Layout.linearWrite(li, "l_partkey", ldir, nFiles)
 
