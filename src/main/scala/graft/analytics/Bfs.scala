@@ -5,19 +5,28 @@ import org.apache.spark.sql.functions._
 
 import graft.io.Tables
 
-/** Bounded breadth-first search over the co-purchase graph
-  * ([[PageRank.edges]] — one shared graph definition): minimum hop distance
-  * from a seed part set, capped at [[MaxHops]] hops. The "blast radius"
-  * query of recommendation / influence analysis.
+/** Bounded breadth-first search over the co-purchase graph (parts adjacent
+  * when some order contains both — same graph as [[PageRank]]): minimum hop
+  * distance from a seed part set, capped at [[MaxHops]] hops. The "blast
+  * radius" query of recommendation / influence analysis.
   *
-  * Scale: synchronous frontier expansion — each hop is ONE equi join of the
-  * current frontier against the src-partitioned edge list plus an anti-join
-  * against the visited set, so hop h touches only the newly reachable rim,
-  * never the whole graph. The frontier is localCheckpointed per hop to cut
-  * the iterative lineage (the 2^k re-execution trap — BENCH_NOTES #10).
+  * Scale: the co-purchase graph is never materialized. Each hop walks the
+  * BIPARTITE part–order incidence directly: frontier parts → orders that
+  * contain them → parts in those orders, two equi-joins against the (narrow,
+  * checkpointed once) lineitem projection. The materialized-edge form pays
+  * Σ basket² pair explosion plus a graph-sized dedup before the first hop —
+  * the bipartite walk is linear in |lineitem| per hop and immune to a hot
+  * basket going quadratic (measured at sf0.1: 5.7 s edges form → 3.9 s
+  * bipartite). Frontier/order frames are node-bounded — broadcast here, and
+  * on a graph that outgrows a broadcast the same joins degrade to shuffle
+  * joins on the already-partitioned keys.
+  *
   * BFS discovery order IS minimum distance, so no min-aggregate over all
   * walks is needed — the oracle's recursive-CTE UNION walk with a final
-  * `min(d)` proves exactly that equivalence.
+  * `min(d)` proves exactly that equivalence. Each frontier is
+  * localCheckpointed to cut the iterative lineage (the 2^k re-execution
+  * trap — BENCH_NOTES #10); `visited` is only ever a UNION of checkpointed
+  * levels, which needs no checkpoint of its own.
   */
 object Bfs {
 
@@ -26,27 +35,29 @@ object Bfs {
 
   def bfsDist(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = PageRank.edges(spark, dir).localCheckpoint()
-    val seeds = Tables.lineitem(spark, dir)
+    // One narrow (orderkey, partkey) frame feeds both joins of every hop —
+    // materialize it once so the parquet scan+project runs once, not 6×.
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey").localCheckpoint()
+    val seeds = li
       .select($"l_partkey".as("node")).filter($"node" < SeedMax).distinct()
-      .withColumn("dist", lit(0L))
-    var visited = seeds.localCheckpoint()
-    var frontier = visited
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var visited = seeds
+    var frontier = seeds.select($"node")
     (1 to MaxHops).foreach { h =>
-      // frontier and visited are node-bounded (≤|V| rows, two columns) —
-      // broadcast both, so each hop is ONE map-side pass over the
-      // src-partitioned edge list plus the candidates' distinct (which
-      // partial-aggregates map-side down to ≤|V| rows before its
-      // exchange). Nothing edge-sized ever shuffles inside the loop; on a
-      // graph whose frontier outgrows a broadcast, drop the hints and the
-      // same plan degrades to shuffle joins on the already-partitioned key.
-      val candidates = broadcast(frontier).join(e, frontier("node") === e("src"))
-        .select(e("dst").as("node")).distinct()
-      frontier = candidates
-        .join(broadcast(visited), Seq("node"), "left_anti")
+      // part→order: orders touching the frontier; order→part: their
+      // baskets. Both distincts partial-aggregate map-side before their
+      // exchange, so nothing lineitem-sized ever shuffles.
+      val orders = li.join(broadcast(frontier), li("l_partkey") === frontier("node"))
+        .select($"l_orderkey").distinct()
+      val rim = li.join(broadcast(orders), Seq("l_orderkey"))
+        .select($"l_partkey".as("node")).distinct()
+      val next = rim
+        .join(broadcast(visited.select($"node")), Seq("node"), "left_anti")
         .withColumn("dist", lit(h.toLong))
         .localCheckpoint()
-      visited = visited.union(frontier).localCheckpoint()
+      visited = visited.union(next)
+      frontier = next.select($"node")
     }
     visited.orderBy($"node")
   }
