@@ -221,7 +221,68 @@ object Tpch {
        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
        |LIMIT 100""".stripMargin
 
+  /** Q5 scope: one region, one order-date year. */
+  val Q5Region = "EUROPE"
+  val Q5Year = 1996
+
+  /** q_tpch_q5 — local-supplier volume: revenue per nation from orders
+    * placed in [[Q5Year]] where the customer and the line's supplier sit in
+    * the SAME nation of [[Q5Region]] (the classic 6-table join with a
+    * non-key equality c_nationkey = s_nationkey closing the cycle).
+    *
+    * Scale notes: nation⋈region prunes to the 5 region nations and
+    * broadcasts twice (customer side and supplier side), so the region
+    * filter reaches BOTH dimension legs before any fact shuffle; supplier
+    * broadcasts whole. The only fact-sized data movement is one shuffle of
+    * the year-filtered orders⋈customer result against lineitem on the order
+    * key. Revenue is exact integer micro-cents (see [[tpchQ3]]).
+    */
+  def tpchQ5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val regionNations = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir),
+        $"n_regionkey" === $"r_regionkey" && $"r_name" === Q5Region)
+      .select($"n_nationkey", $"n_name")
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(regionNations), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_nationkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(year(to_date($"o_orderdate")) === Q5Year)
+      .select($"o_orderkey", $"o_custkey")
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(regionNations), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_nationkey", $"n_name")
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_suppkey",
+        (Det.cents($"l_extendedprice") *
+          (lit(100L) - round($"l_discount" * 100).cast("long"))).as("rev_ucents"))
+    ord.join(cust, $"o_custkey" === $"c_custkey")
+      .join(li, $"o_orderkey" === $"l_orderkey")
+      .join(broadcast(supp),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .groupBy($"n_name")
+      .agg(sum($"rev_ucents").as("revenue_ucents"))
+      .orderBy($"revenue_ucents".desc, $"n_name")
+  }
+
+  val tpchQ5Sql: String =
+    s"""SELECT n_name,
+       | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+       |          * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+       |   AS revenue_ucents
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = '$Q5Region'
+       |  AND year(CAST(o_orderdate AS DATE)) = $Q5Year
+       |GROUP BY n_name
+       |ORDER BY revenue_ucents DESC, n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q5" -> (tpchQ5 _),
     "q_tpch_q3" -> (tpchQ3 _),
     "q_tpch_q14" -> (tpchQ14 _),
     "q_tpch_q18" -> (tpchQ18 _),
@@ -229,6 +290,7 @@ object Tpch {
     "q_moments" -> (moments _))
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_q5" -> tpchQ5Sql,
     "q_tpch_q3" -> tpchQ3Sql,
     "q_tpch_q14" -> tpchQ14Sql,
     "q_tpch_q18" -> tpchQ18Sql,
