@@ -168,13 +168,62 @@ object Terms {
        |ORDER BY pmi_scaled DESC, bigram
        |LIMIT 30""".stripMargin
 
+  /** x_bpe_merge — the BPE tokenizer-training inner loop: the top-30
+    * adjacent CHARACTER-pair merge candidates by corpus frequency (Sennrich
+    * et al., "Neural Machine Translation of Rare Words with Subword Units",
+    * ACL 2016 — each training round merges the most frequent pair; this
+    * query is one round's candidate count at corpus scale).
+    *
+    * Scale is the whole point of the shape: pair counting runs over the
+    * AGGREGATED word vocabulary (Heaps' law — sublinear in corpus size)
+    * weighted by word count, never over the raw token stream. One
+    * corpus-sized shuffle (the word count, map-side combined), then a
+    * vocabulary-sized map stage and a tiny pair aggregate. The naive
+    * explode-chars-over-corpus form shuffles every character of 100 TB.
+    *
+    * Words of length 1 are filtered BEFORE the pair expansion — they have
+    * no pairs, and Spark's `sequence(1, 0)` is a descending 2-element
+    * array, not empty (the pinned x_dataset_mix trap).
+    */
+  def bpeMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(split(lower($"text"), " ")).as("w"))
+      .filter(length($"w") >= 2)
+      .groupBy($"w").agg(count(lit(1)).as("wc"))
+    vocab
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")).as("pair"),
+        $"wc")
+      .groupBy($"pair").agg(sum($"wc").as("n"))
+      .orderBy($"n".desc, $"pair")
+      .limit(30)
+  }
+
+  val bpeMergeSql: String =
+    """WITH vocab AS (
+      | SELECT w, count(*) AS wc
+      | FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+      | WHERE len(w) >= 2 GROUP BY w),
+      |pairs AS (
+      | SELECT unnest(list_transform(range(1, length(w)),
+      |                              i -> substr(w, CAST(i AS INT), 2))) AS pair,
+      |        wc
+      | FROM vocab)
+      |SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+      |FROM pairs GROUP BY pair
+      |ORDER BY n DESC, pair
+      |LIMIT 30""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_tfidf" -> (tfidf _),
     "x_ngrams" -> (ngrams _),
-    "x_pmi_pairs" -> (pmiPairs _))
+    "x_pmi_pairs" -> (pmiPairs _),
+    "x_bpe_merge" -> (bpeMerge _))
 
   val oracles: Map[String, String] = Map(
     "x_tfidf" -> tfidfSql,
     "x_ngrams" -> ngramsSql,
-    "x_pmi_pairs" -> pmiPairsSql)
+    "x_pmi_pairs" -> pmiPairsSql,
+    "x_bpe_merge" -> bpeMergeSql)
 }
