@@ -81,4 +81,30 @@ class SimilaritySpec extends SparkSpec {
     assert(joined.nonEmpty)
     assert(joined.max < 0.05, s"max |float cos - int8 cos| = ${joined.max}")
   }
+
+  test("ann_recall agrees with an independent brute-force overlap count") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Similarity.annRecall(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(out.length == Similarity.RecallProbes)
+    out.foreach { case (q, nt, na, no, r) =>
+      assert(nt == Similarity.RecallK, s"probe $q truth size")
+      assert(no <= math.min(nt, na), s"probe $q overlap bound")
+      assert(math.abs(r - no.toDouble / nt) < 1e-15, s"probe $q recall")
+    }
+    // independent overlap recount for one probe via the declared exact route
+    val truth0 = Similarity.simTopK(spark, dir)
+      .filter($"query_id" === 0).select($"neighbor_id").as[Long].collect().toSet
+    val e = graft.io.Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        org.apache.spark.sql.functions.transform($"embedding", x => x.cast("double")).as("v"))
+      .withColumn("bucket", Similarity.signBucket($"v", 8))
+    val b0 = e.filter($"vec_id" === 0).select($"bucket").as[String].head()
+    val bucketIds = e.filter($"bucket" === b0 && $"vec_id" =!= 0)
+      .select($"vec_id").as[Long].collect().toSet
+    val (_, _, _, no0, _) = out.find(_._1 == 0L).get
+    // approx candidates are bucket-mates; overlap cannot exceed the
+    // bucket's intersection with the exact top-10
+    assert(no0 <= (truth0 intersect bucketIds).size, "probe 0 overlap vs bucket")
+  }
 }
