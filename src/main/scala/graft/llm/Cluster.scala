@@ -191,11 +191,49 @@ object Cluster {
     componentsSqlOver(
       s"SELECT doc_a, doc_b FROM (${Dedup.dedupJaccardSql}) WHERE jaccard >= $VerifyThreshold")
 
+  /** x_cc_size_dist — duplicate-cluster size distribution: how many
+    * verified dup clusters have 2 members, 3, 4… The shape a dedup report
+    * leads with (a heavy tail of giant clusters means boilerplate or a
+    * mirror site; many pairs means ordinary near-dups), and the direct
+    * input to "how many docs does dedup delete" capacity planning:
+    * deleting all-but-keeper removes Σ (size−1)·n_clusters docs.
+    * Two tiny aggregates on top of the verified components — the
+    * distribution frame is clusters-then-sizes, vanishingly small next to
+    * the corpus at any scale.
+    */
+  def clusterSizeDist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val c = dedupClusterVerified(spark, dir)
+    c.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .orderBy(col("cluster_size"))
+  }
+
+  val clusterSizeDistSql: String = {
+    val base = componentsSqlOver(
+      s"SELECT doc_a, doc_b FROM (${Dedup.dedupJaccardSql}) WHERE jaccard >= $VerifyThreshold")
+    // strip the builder's per-doc tail: same WITH RECURSIVE walk, different
+    // final rollup (sizes per component, then the size histogram)
+    val walkOnly = base.substring(0, base.indexOf("SELECT doc_id, min(label)"))
+    s"""${walkOnly.trim},
+       |comp AS (
+       | SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY doc_id),
+       |sizes AS (
+       | SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+       |SELECT cluster_size, count(*) AS n_clusters,
+       | cluster_size * count(*) AS n_docs
+       |FROM sizes GROUP BY cluster_size
+       |ORDER BY cluster_size""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_dedup_cluster" -> (dedupCluster _),
-    "x_dedup_cluster_verified" -> (dedupClusterVerified _))
+    "x_dedup_cluster_verified" -> (dedupClusterVerified _),
+    "x_cc_size_dist" -> (clusterSizeDist _))
 
   val oracles: Map[String, String] = Map(
     "x_dedup_cluster" -> dedupClusterSql,
-    "x_dedup_cluster_verified" -> dedupClusterVerifiedSql)
+    "x_dedup_cluster_verified" -> dedupClusterVerifiedSql,
+    "x_cc_size_dist" -> clusterSizeDistSql)
 }
