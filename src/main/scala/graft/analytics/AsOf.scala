@@ -157,13 +157,73 @@ object AsOf {
       |FROM v
       |ORDER BY view_id""".stripMargin
 
+  /** q_asof_nearest — pandas `merge_asof(direction='nearest')`: for every
+    * purchase, the temporally CLOSEST view either side, ties to the earlier
+    * (backward) match. Composes the two directional as-ofs — the backward
+    * pass's output (left columns + carry) feeds the forward pass as its
+    * left side unchanged, so the cost is exactly two single-shuffle window
+    * passes on the same key and the pick is a null-safe scalar CASE. The
+    * oracle states both correlated extrema independently — the gate proves
+    * the two-pass composition against the declarative nearest definition.
+    */
+  def nearestView(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+    val views = e.filter($"event_type" === "view").select($"user_id", $"ts")
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val back = asofJoin(purchases, views, key = "user_id", tsCol = "ts",
+      payload = Seq("ts")).withColumnRenamed("asof_ts", "back_ts")
+    val both = asofJoin(back, views, key = "user_id", tsCol = "ts",
+      payload = Seq("ts"), forward = true)
+      .withColumnRenamed("asof_ts", "fwd_ts")
+    both
+      .withColumn("nearest_view_ts",
+        when($"back_ts".isNull, $"fwd_ts")
+          .when($"fwd_ts".isNull, $"back_ts")
+          .when(unix_micros($"ts") - unix_micros($"back_ts") <=
+            unix_micros($"fwd_ts") - unix_micros($"ts"), $"back_ts")
+          .otherwise($"fwd_ts"))
+      .withColumn("dist_seconds",
+        expr("abs(unix_micros(ts) - unix_micros(nearest_view_ts)) DIV 1000000"))
+      .select($"event_id".as("purchase_id"), $"user_id",
+        $"nearest_view_ts", $"dist_seconds")
+      .orderBy($"purchase_id")
+  }
+
+  val nearestViewSql: String =
+    """WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+      |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |d AS (
+      | SELECT p.event_id, p.user_id, p.ts,
+      |  (SELECT max(v.ts) FROM v
+      |   WHERE v.user_id = p.user_id AND v.ts <= p.ts) AS back_ts,
+      |  (SELECT min(v.ts) FROM v
+      |   WHERE v.user_id = p.user_id AND v.ts >= p.ts) AS fwd_ts
+      | FROM p),
+      |n AS (
+      | SELECT event_id, user_id, ts,
+      |  CASE WHEN back_ts IS NULL THEN fwd_ts
+      |       WHEN fwd_ts IS NULL THEN back_ts
+      |       WHEN epoch_us(ts) - epoch_us(back_ts)
+      |            <= epoch_us(fwd_ts) - epoch_us(ts) THEN back_ts
+      |       ELSE fwd_ts END AS nearest_view_ts
+      | FROM d)
+      |SELECT event_id AS purchase_id, user_id, nearest_view_ts,
+      | CAST(abs(epoch_us(ts) - epoch_us(nearest_view_ts)) // 1000000 AS BIGINT)
+      |  AS dist_seconds
+      |FROM n
+      |ORDER BY purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> (viewBeforePurchase _),
     "q_asof_tolerance" -> (viewWithinDay _),
-    "q_asof_forward" -> (nextPurchaseAfterView _))
+    "q_asof_forward" -> (nextPurchaseAfterView _),
+    "q_asof_nearest" -> (nearestView _))
 
   val oracles: Map[String, String] = Map(
     "q_asof_join" -> viewBeforePurchaseSql,
     "q_asof_tolerance" -> viewWithinDaySql,
-    "q_asof_forward" -> nextPurchaseAfterViewSql)
+    "q_asof_forward" -> nextPurchaseAfterViewSql,
+    "q_asof_nearest" -> nearestViewSql)
 }

@@ -44,4 +44,33 @@ class AsOfSpec extends SparkSpec {
     assert(out.count() == 3)
     assert(out.select($"asof_v").as[Double].collect().toSeq == Seq(1.0, 1.0, 1.0))
   }
+
+  test("nearestView picks the closer of backward and forward matches") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val out = AsOf.nearestView(spark, dir)
+      .select($"purchase_id", $"nearest_view_ts", $"dist_seconds").collect()
+    assert(out.nonEmpty)
+    // brute-force recheck on a sample: nearest = min |view_ts - purchase_ts|
+    val e = graft.io.Tables.events(spark, dir)
+    val views = e.filter($"event_type" === "view")
+      .select($"user_id", unix_micros($"ts").as("vus"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toVector).toMap
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("pus"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).take(200)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    purchases.foreach { case (pid, uid, pus) =>
+      val vs = views.getOrElse(uid, Vector.empty[Long])
+      val row = byId(pid)
+      if (vs.isEmpty) assert(row.isNullAt(1), s"purchase $pid expected null")
+      else {
+        val best = vs.minBy(v => (math.abs(v - pus), v))
+        val got = row.getTimestamp(1).getTime // ms
+        val bestDist = math.abs(best - pus) / 1000000L
+        assert(row.getLong(2) == bestDist, s"purchase $pid dist")
+        assert(math.abs(got - best / 1000L) <= 1, s"purchase $pid ts")
+      }
+    }
+  }
 }
