@@ -19,6 +19,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Even with the UI off, SQLAppStatusListener retains up to 1000
+      // executions' full plan graphs + metric maps; across a 150-query
+      // suite that is real old-gen pressure inside later queries' measured
+      // windows (observed: x_pagerank 4.6 s isolated vs 8.2 s mid-suite).
+      .config("spark.sql.ui.retainedExecutions", "1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

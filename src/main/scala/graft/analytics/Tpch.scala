@@ -281,7 +281,65 @@ object Tpch {
        |GROUP BY n_name
        |ORDER BY revenue_ucents DESC, n_name""".stripMargin
 
+  /** Q7 nation pair (both directions). */
+  val Q7NationA = "NATION_3"
+  val Q7NationB = "NATION_8"
+
+  /** q_tpch_q7 — volume shipping between two nations: revenue by
+    * (supplier nation, customer nation, ship year) for flows in EITHER
+    * direction between [[Q7NationA]] and [[Q7NationB]]. The classic
+    * two-sided dimension filter: both nation legs broadcast with their
+    * filters applied, the pair predicate is evaluated on the already-joined
+    * dimension columns, and the fact side shuffles once (orders⋈lineitem on
+    * the order key) — supplier and the two nation maps never touch a
+    * fact-sized exchange.
+    */
+  def tpchQ7(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nations = Seq(Q7NationA, Q7NationB)
+    val supp = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir),
+        $"s_nationkey" === $"n_nationkey" && $"n_name".isin(nations: _*))
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir),
+        $"c_nationkey" === $"n_nationkey" && $"n_name".isin(nations: _*))
+      .select($"c_custkey", $"n_name".as("cust_nation"))
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_suppkey",
+        year(to_date($"l_shipdate")).cast("long").as("l_year"),
+        (Det.cents($"l_extendedprice") *
+          (lit(100L) - round($"l_discount" * 100).cast("long"))).as("rev_ucents"))
+    Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(li, $"o_orderkey" === $"l_orderkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .filter(($"supp_nation" === Q7NationA && $"cust_nation" === Q7NationB) ||
+        ($"supp_nation" === Q7NationB && $"cust_nation" === Q7NationA))
+      .groupBy($"supp_nation", $"cust_nation", $"l_year")
+      .agg(sum($"rev_ucents").as("revenue_ucents"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  val tpchQ7Sql: String =
+    s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       | CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS l_year,
+       | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+       |          * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+       |  AS revenue_ucents
+       |FROM lineitem
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |JOIN nation sn ON sn.n_nationkey = s_nationkey
+       |JOIN nation cn ON cn.n_nationkey = c_nationkey
+       |WHERE (sn.n_name = '$Q7NationA' AND cn.n_name = '$Q7NationB')
+       |   OR (sn.n_name = '$Q7NationB' AND cn.n_name = '$Q7NationA')
+       |GROUP BY 1, 2, 3
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q7" -> (tpchQ7 _),
     "q_tpch_q5" -> (tpchQ5 _),
     "q_tpch_q3" -> (tpchQ3 _),
     "q_tpch_q14" -> (tpchQ14 _),
@@ -290,6 +348,7 @@ object Tpch {
     "q_moments" -> (moments _))
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_q7" -> tpchQ7Sql,
     "q_tpch_q5" -> tpchQ5Sql,
     "q_tpch_q3" -> tpchQ3Sql,
     "q_tpch_q14" -> tpchQ14Sql,

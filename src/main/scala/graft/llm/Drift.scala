@@ -115,11 +115,56 @@ object Drift {
        |FROM flagged GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  /** x_source_tail — corpus concentration: sources ranked by token volume
+    * with cumulative share ("the top 3 sources are 40% of the corpus") —
+    * the long-tail diagnostic behind every mixing decision and the first
+    * check against single-source dominance. The window runs over the
+    * per-SOURCE aggregate (source-cardinality rows, tiny at any corpus
+    * size — the 100 TB of text has already been reduced by the map-side-
+    * combined count), cumulated as exact BIGINTs with one division per row.
+    */
+  def sourceTail(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bySource = Tables.documents(spark, dir)
+      .select($"source", size(split($"text", " ")).cast("long").as("ntok"))
+      .groupBy($"source").agg(sum($"ntok").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"n_tokens".desc, $"source")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = bySource.agg(sum($"n_tokens").as("total"))
+    bySource.crossJoin(broadcast(tot))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"n_tokens".desc, $"source"))
+        .cast("long"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .withColumn("cum_share", $"cum_tokens".cast("double") / $"total".cast("double"))
+      .select($"rk", $"source", $"n_tokens", $"cum_tokens", $"cum_share")
+      .orderBy($"rk")
+  }
+
+  val sourceTailSql: String =
+    """WITH s AS (
+      | SELECT source,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      | FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM s)
+      |SELECT CAST(row_number() OVER w AS BIGINT) AS rk, source, n_tokens,
+      | CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+      | CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |  / CAST(t.total AS DOUBLE) AS cum_share
+      |FROM s, t
+      |WINDOW w AS (ORDER BY n_tokens DESC, source)
+      |ORDER BY rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_drift_tv" -> (driftTv _),
-    "x_vocab_coverage" -> (vocabCoverage _))
+    "x_vocab_coverage" -> (vocabCoverage _),
+    "x_source_tail" -> (sourceTail _))
 
   val oracles: Map[String, String] = Map(
     "x_drift_tv" -> driftTvSql,
-    "x_vocab_coverage" -> vocabCoverageSql)
+    "x_vocab_coverage" -> vocabCoverageSql,
+    "x_source_tail" -> sourceTailSql)
 }

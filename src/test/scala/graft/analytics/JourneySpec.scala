@@ -65,4 +65,29 @@ class JourneySpec extends SparkSpec {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("q_tpch_q7 flows are symmetric-pair-filtered and year-complete") {
+    val rows = Tpch.tpchQ7(spark, dir)
+      .as[(String, String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val pair = Set(Tpch.Q7NationA, Tpch.Q7NationB)
+    rows.foreach { case (sn, cn, yr, rev) =>
+      assert(pair.contains(sn) && pair.contains(cn) && sn != cn)
+      assert(yr >= 1995 && yr <= 2001)
+      assert(rev > 0)
+    }
+  }
+
+  test("x_source_tail cumulative share is monotone and ends at exactly 1") {
+    val rows = graft.llm.Drift.sourceTail(spark, dir)
+      .as[(Long, String, Long, Long, Double)].collect()
+    assert(rows.map(_._1).toSeq == (1L to rows.length).toSeq)
+    val tok = rows.map(_._3)
+    assert(tok.toSeq == tok.toSeq.sortBy(-_), "volume descending")
+    assert(rows.map(_._4).last == tok.sum, "cum ends at total")
+    assert(math.abs(rows.last._5 - 1.0) < 1e-12)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 == a._4 + b._3, "cumulative sum consistent")
+    }
+  }
 }
