@@ -106,6 +106,62 @@ object Sessions {
         sum($"has_view" * $"has_purchase").as("n_view_and_purchase"))
   }
 
+  /** Completion window for [[funnelWindow]]: first view → purchase. */
+  val FunnelWindowMicros: Long = 3600L * 1000000
+
+  /** q_funnel_window — the ORDERED, time-bounded funnel (ClickHouse's
+    * `windowFunnel` semantics), complementing [[funnel]]'s unordered
+    * presence counts: a user advances a stage only by an event AT OR AFTER
+    * the previous stage's entry time (first view → first click after it →
+    * first purchase after that), and "converted" means the whole chain
+    * closed within [[FunnelWindowMicros]] of the first view.
+    *
+    * Staged min-aggregates instead of per-user event-sequence windows:
+    * each stage is a filter + hash aggregate + equi-join on user_id — all
+    * stages co-partition on the same key after the first exchange, and
+    * nothing holds a user's full event list in memory (the sort-based
+    * sequence-match form does, and a bot user with 10⁸ events kills it).
+    * All timestamps are exact integer µs.
+    */
+  def funnelWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val t1 = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("t1"))
+    val t2 = e.filter($"event_type" === "click")
+      .join(t1, Seq("user_id")).filter($"us" >= $"t1")
+      .groupBy($"user_id", $"t1").agg(min($"us").as("t2"))
+    val t3 = e.filter($"event_type" === "purchase")
+      .join(t2, Seq("user_id")).filter($"us" >= $"t2")
+      .groupBy($"user_id", $"t1", $"t2").agg(min($"us").as("t3"))
+    t1.agg(count(lit(1)).as("n_view"))
+      .crossJoin(t2.agg(count(lit(1)).as("n_click_after")))
+      .crossJoin(t3.agg(count(lit(1)).as("n_purchase_after"),
+        coalesce(sum(when($"t3" - $"t1" <= FunnelWindowMicros, 1L).otherwise(0L)),
+          lit(0L)).as("n_completed_1h")))
+  }
+
+  val funnelWindowSql: String =
+    s"""WITH t1 AS (
+       | SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+       | WHERE event_type = 'view' GROUP BY 1),
+       |t2 AS (
+       | SELECT e.user_id, t1.t1, min(epoch_us(e.ts)) AS t2
+       | FROM events e JOIN t1 ON e.user_id = t1.user_id
+       | WHERE e.event_type = 'click' AND epoch_us(e.ts) >= t1.t1
+       | GROUP BY 1, 2),
+       |t3 AS (
+       | SELECT e.user_id, t2.t1, t2.t2, min(epoch_us(e.ts)) AS t3
+       | FROM events e JOIN t2 ON e.user_id = t2.user_id
+       | WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= t2.t2
+       | GROUP BY 1, 2, 3)
+       |SELECT (SELECT count(*) FROM t1) AS n_view,
+       | (SELECT count(*) FROM t2) AS n_click_after,
+       | (SELECT count(*) FROM t3) AS n_purchase_after,
+       | (SELECT count(*) FROM t3
+       |  WHERE t3 - t1 <= $FunnelWindowMicros) AS n_completed_1h""".stripMargin
+
   val funnelSql: String =
     """SELECT count(*) AS n_users,
       | CAST(sum(has_signup) AS BIGINT) AS n_signup,
@@ -317,6 +373,7 @@ object Sessions {
     "q_sessionize" -> (sessionize _),
     "q_session_stats" -> (sessionStats _),
     "q_funnel" -> (funnel _),
+    "q_funnel_window" -> (funnelWindow _),
     "q_window_running" -> (windowRunning _),
     "q_user_stats_salted" -> (userStatsSalted _),
     "q_event_counts" -> (eventCounts _),
@@ -329,6 +386,7 @@ object Sessions {
     "q_sessionize" -> sessionizeSql,
     "q_session_stats" -> sessionStatsSql,
     "q_funnel" -> funnelSql,
+    "q_funnel_window" -> funnelWindowSql,
     "q_window_running" -> windowRunningSql,
     "q_user_stats_salted" -> userStatsSaltedSql,
     "q_event_counts" -> eventCountsSql,

@@ -74,4 +74,36 @@ class SessionsSpec extends SparkSpec {
       .as[(Long, Long, Long)].head()
     assert(f == ((2L, 1L, 1L))) // 2 users; only user 1 viewed; user 1 converted
   }
+
+  test("windowed funnel stages are ordered, nested, and time-bounded") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val row = Sessions.funnelWindow(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().head
+    val (nView, nClick, nPurch, nDone) = row
+    // stages can only shrink, completion is a subset of stage 3
+    assert(nView >= nClick && nClick >= nPurch && nPurch >= nDone)
+    assert(nView > 0)
+    // brute-force recount of the full chain on collected events
+    val evs = graft.io.Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      .as[(Long, String, Long)].collect().groupBy(_._1)
+    var (v, c, p, d) = (0L, 0L, 0L, 0L)
+    evs.foreach { case (_, es) =>
+      val t1 = es.filter(_._2 == "view").map(_._3).minOption
+      t1.foreach { a =>
+        v += 1
+        val t2 = es.filter(e => e._2 == "click" && e._3 >= a).map(_._3).minOption
+        t2.foreach { b =>
+          c += 1
+          val t3 = es.filter(e => e._2 == "purchase" && e._3 >= b).map(_._3).minOption
+          t3.foreach { z =>
+            p += 1
+            if (z - a <= Sessions.FunnelWindowMicros) d += 1
+          }
+        }
+      }
+    }
+    assert((nView, nClick, nPurch, nDone) == ((v, c, p, d)))
+  }
 }
