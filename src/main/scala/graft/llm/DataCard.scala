@@ -75,9 +75,83 @@ object DataCard {
        |FROM a JOIN mj ON mj.source = a.source AND mj.rk = 1
        |ORDER BY a.source""".stripMargin
 
+  /** x_lang_mismatch — per source: documents whose DECLARED language
+    * disagrees with the n-gram language ID ([[LangId.addPredLang]] — the
+    * one shared decision chain). A high mismatch rate flags either broken
+    * source metadata or a crawler pulling mixed-language pages under one
+    * label; every lang-conditioned stage downstream (vocab, filters,
+    * mixing) silently degrades when this number drifts. Map-only scoring +
+    * one aggregate; the rate is a single BIGINT division.
+    */
+  def langMismatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .select($"source", $"lang", split($"text", " ").as("toks"))
+    LangId.addPredLang(base, $"toks")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"pred_lang" =!= $"lang", 1L).otherwise(0L)).as("n_mismatch"))
+      .withColumn("mismatch_rate",
+        $"n_mismatch".cast("double") / $"n_docs".cast("double"))
+      .orderBy($"source")
+  }
+
+  val langMismatchSql: String =
+    s"""WITH scored AS (
+       | SELECT source, lang,
+       |  ${LangId.scoreDefsSql}
+       | FROM documents),
+       |pred AS (
+       | SELECT source, lang, ${LangId.predCaseSql} AS pred_lang FROM scored)
+       |SELECT source, count(*) AS n_docs,
+       | CAST(sum(CASE WHEN pred_lang != lang THEN 1 ELSE 0 END) AS BIGINT)
+       |  AS n_mismatch,
+       | CAST(sum(CASE WHEN pred_lang != lang THEN 1 ELSE 0 END) AS DOUBLE)
+       |  / CAST(count(*) AS DOUBLE) AS mismatch_rate
+       |FROM pred GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  /** x_source_overlap — the cross-source duplication matrix: verified
+    * near-dup pairs ([[Dedup.dedupJaccard]] at [[Cluster.VerifyThreshold]])
+    * counted by unordered source pair. The mirror-site / content-farm
+    * detector: a heavy off-diagonal cell means source A republishes B.
+    * Cost on top of the shared Jaccard pipeline: one doc_id→source lookup
+    * join per pair side (narrow broadcastable map at fixture scale, plain
+    * equi-join at 100 TB) and a tiny matrix aggregate.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.documents(spark, dir).select($"doc_id", $"source")
+    Dedup.dedupJaccard(spark, dir)
+      .filter($"jaccard" >= Cluster.VerifyThreshold)
+      .join(src.select($"doc_id".as("doc_a"), $"source".as("sa")), Seq("doc_a"))
+      .join(src.select($"doc_id".as("doc_b"), $"source".as("sb")), Seq("doc_b"))
+      .select(least($"sa", $"sb").as("source_x"),
+        greatest($"sa", $"sb").as("source_y"))
+      .groupBy($"source_x", $"source_y")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"source_x", $"source_y")
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH pairs AS (${Dedup.dedupJaccardSql})
+       |SELECT least(da.source, db.source) AS source_x,
+       | greatest(da.source, db.source) AS source_y,
+       | count(*) AS n_pairs
+       |FROM pairs
+       |JOIN documents da ON da.doc_id = pairs.doc_a
+       |JOIN documents db ON db.doc_id = pairs.doc_b
+       |WHERE pairs.jaccard >= ${Cluster.VerifyThreshold}
+       |GROUP BY 1, 2
+       |ORDER BY source_x, source_y""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x_dataset_card" -> (datasetCard _))
+    "x_dataset_card" -> (datasetCard _),
+    "x_lang_mismatch" -> (langMismatch _),
+    "x_source_overlap" -> (sourceOverlap _))
 
   val oracles: Map[String, String] = Map(
-    "x_dataset_card" -> datasetCardSql)
+    "x_dataset_card" -> datasetCardSql,
+    "x_lang_mismatch" -> langMismatchSql,
+    "x_source_overlap" -> sourceOverlapSql)
 }

@@ -44,4 +44,32 @@ class DataCardSpec extends SparkSpec {
       .map(_.size).groupBy(identity).view.mapValues(_.size.toLong).toMap
     assert(dist.map(d => d._1.toInt -> d._2).toMap == bySize.map { case (k, v) => k -> v })
   }
+
+  test("lang mismatch counts agree with the declared lang-id query") {
+    val byDoc = LangId.langIdQuery(spark, dir)
+      .select($"doc_id", $"pred_lang").as[(Long, String)].collect().toMap
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"lang")
+      .as[(Long, String, String)].collect()
+    val expected = docs.groupBy(_._2).view.mapValues { ds =>
+      (ds.length.toLong, ds.count(d => byDoc(d._1) != d._3).toLong)
+    }.toMap
+    val got = DataCard.langMismatch(spark, dir)
+      .select($"source", $"n_docs", $"n_mismatch")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == expected)
+  }
+
+  test("source overlap matrix is upper-triangular and covers every verified pair") {
+    val rows = DataCard.sourceOverlap(spark, dir)
+      .as[(String, String, Long)].collect()
+    rows.foreach { case (x, y, n) =>
+      assert(x <= y, s"($x,$y) not normalized")
+      assert(n >= 1)
+    }
+    val nPairs = Dedup.dedupJaccard(spark, dir)
+      .filter($"jaccard" >= Cluster.VerifyThreshold).count()
+    assert(rows.map(_._3).sum == nPairs, "matrix total == verified pair count")
+  }
 }
