@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.{AsOf, Bfs, BloomJoin, Diff, Journey, PageRank, PrefixSum, Relational, Sessions, Sketch, Skew, Tpch, Triangles, Upsert, Warehouse}
 import graft.dq.DataQuality
 import graft.io.Ingest
-import graft.llm.{Cluster, CorpusFilter, DataCard, Dedup, Drift, Ivf, LangId, Pack, Pq, Privacy, Semantic, SimHash, SimJoin, Similarity, Terms, TextClean, TextOps}
+import graft.llm.{Cluster, CorpusFilter, DataCard, Dedup, Drift, Ivf, IvfPq, LangId, Pack, Pq, Privacy, Semantic, SimHash, SimJoin, Similarity, Terms, TextClean, TextOps}
 import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -56,6 +56,7 @@ object SparkEntry {
       Drift.queries ++
       DataCard.queries ++
       Pq.queries ++
+      IvfPq.queries ++
       Skew.queries ++
       Multimodal.queries
 
@@ -96,6 +97,7 @@ object SparkEntry {
       Drift.oracles ++
       DataCard.oracles ++
       Pq.oracles ++
+      IvfPq.oracles ++
       Skew.oracles ++
       Multimodal.oracles
 }

@@ -37,6 +37,49 @@ object Pq {
   /** Codes per sub-codebook (production: 256 for byte codes). */
   val K = 8
 
+  /** Stride-seeded sub-codebooks over any (vec_id, v) frame: (m, cid, c) —
+    * M·K rows, broadcastable. Shared with [[IvfPq]] so the PQ codes an
+    * IVF-PQ index scans are EXACTLY the ones x_pq_assign declares.
+    */
+  private[llm] def subCodebook(spark: SparkSession, e: DataFrame): DataFrame = {
+    import spark.implicits._
+    val n = e.count()
+    val stride = math.max(1L, n / K)
+    val seeds = e.filter(pmod($"vec_id", lit(stride)) === 0)
+      .orderBy($"vec_id").limit(K)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    broadcast(
+      seeds.zipWithIndex.flatMap { case ((_, v), i) =>
+        (0 until M).map(m => (m.toLong, i.toLong, v.slice(m * SubDim, (m + 1) * SubDim)))
+      }.toSeq.toDF("m", "cid", "c"))
+  }
+
+  /** Per-(vector, subspace) argmin code: (vec_id, m, cid, dist), dist
+    * 6 dp-rounded BEFORE the argmin (the oracle-determinism pivot).
+    */
+  private[llm] def bestCodes(spark: SparkSession, e: DataFrame): DataFrame = {
+    import spark.implicits._
+    val scored = e.crossJoin(subCodebook(spark, e))
+      .withColumn("sub", expr(s"slice(v, CAST(m * $SubDim + 1 AS INT), $SubDim)"))
+      .withColumn("dist", expr(
+        "round(aggregate(zip_with(sub, c, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x), 6)"))
+    scored
+      .groupBy($"vec_id", $"m")
+      .agg(min(struct($"dist", $"cid")).as("b"))
+      .select($"vec_id", $"m", $"b.cid".as("cid"), $"b.dist".as("dist"))
+  }
+
+  /** (vec_id, c0..c3): the packed PQ code row per vector. */
+  private[llm] def codesOver(spark: SparkSession, e: DataFrame): DataFrame = {
+    import spark.implicits._
+    bestCodes(spark, e).groupBy($"vec_id")
+      .agg(
+        max(when($"m" === 0, $"cid")).as("c0"),
+        max(when($"m" === 1, $"cid")).as("c1"),
+        max(when($"m" === 2, $"cid")).as("c2"),
+        max(when($"m" === 3, $"cid")).as("c3"))
+  }
+
   /** x_pq_assign — (vec_id, c0..c3, err): each vector's PQ code under the
     * stride-seeded sub-codebooks and its total squared reconstruction
     * error against the chosen centroids' subvectors.
@@ -45,24 +88,7 @@ object Pq {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
-    val n = e.count()
-    val stride = math.max(1L, n / K)
-    val seeds = e.filter(pmod($"vec_id", lit(stride)) === 0)
-      .orderBy($"vec_id").limit(K)
-      .as[(Long, Seq[Double])].collect().sortBy(_._1)
-    val codebook = broadcast(
-      seeds.zipWithIndex.flatMap { case ((_, v), i) =>
-        (0 until M).map(m => (m.toLong, i.toLong, v.slice(m * SubDim, (m + 1) * SubDim)))
-      }.toSeq.toDF("m", "cid", "c"))
-    val scored = e.crossJoin(codebook)
-      .withColumn("sub", expr(s"slice(v, CAST(m * $SubDim + 1 AS INT), $SubDim)"))
-      .withColumn("dist", expr(
-        "round(aggregate(zip_with(sub, c, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x), 6)"))
-    val best = scored
-      .groupBy($"vec_id", $"m")
-      .agg(min(struct($"dist", $"cid")).as("b"))
-      .select($"vec_id", $"m", $"b.cid".as("cid"), $"b.dist".as("dist"))
-    best.groupBy($"vec_id")
+    bestCodes(spark, e).groupBy($"vec_id")
       .agg(
         max(when($"m" === 0, $"cid")).as("c0"),
         max(when($"m" === 1, $"cid")).as("c1"),
