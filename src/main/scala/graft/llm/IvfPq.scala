@@ -88,7 +88,10 @@ object IvfPq {
       lut.filter($"m" === m)
         .select($"query_id", $"cid".as(code), $"d".as(d)))
 
-    val cand = pcell.join(lists, Seq("ccid"))
+    // pcell is probes×nProbe rows but sits behind a window, so the planner
+    // has no size estimate — broadcast explicitly or it sort-merge-joins
+    // the inverted lists (shuffling + sorting the whole index)
+    val cand = broadcast(pcell).join(lists, Seq("ccid"))
       .filter($"neighbor_id" =!= $"query_id")
       .join(lutM(0, "c0", "d0"), Seq("query_id", "c0"))
       .join(lutM(1, "c1", "d1"), Seq("query_id", "c1"))

@@ -608,10 +608,13 @@ object Similarity {
       .select($"query_id", $"neighbor_id", microSim($"qv", $"nv").as("s")))
     val tc = truth.groupBy($"query_id").agg(count(lit(1)).as("n_true"))
     val ac = approx.groupBy($"query_id").agg(count(lit(1)).as("n_approx"))
-    val ov = truth.join(approx, Seq("query_id", "neighbor_id"))
+    // every frame below is ≤ probes·k rows, but they sit behind aggregates
+    // the planner can't size — broadcast explicitly or the overlap join
+    // plans as a sort-merge
+    val ov = truth.join(broadcast(approx), Seq("query_id", "neighbor_id"))
       .groupBy($"query_id").agg(count(lit(1)).as("n_overlap"))
-    tc.join(ac, Seq("query_id"), "left")
-      .join(ov, Seq("query_id"), "left")
+    tc.join(broadcast(ac), Seq("query_id"), "left")
+      .join(broadcast(ov), Seq("query_id"), "left")
       .select($"query_id", $"n_true",
         coalesce($"n_approx", lit(0L)).as("n_approx"),
         coalesce($"n_overlap", lit(0L)).as("n_overlap"))
