@@ -44,15 +44,28 @@ object IvfPq {
     */
   def ivfpqTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    searchOver(spark, e, e.filter($"vec_id" < Probes)
+        .select($"vec_id".as("query_id"), $"v".as("qv")),
+      CoarseNList, NProbe, TopK)
+  }
+
+  /** The full IVF-PQ pipeline over any (vec_id, v) corpus and
+    * (query_id, qv) probe frame — the seam the scale-stress scenario
+    * drives synthetic corpora through (nlist ≈ √N there; the declared
+    * query pins the fixture constants).
+    */
+  def searchOver(spark: SparkSession, e: DataFrame, probes: DataFrame,
+      nlist: Int, nProbe: Int, topK: Int): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
 
     // coarse quantizer: stride-seeded centroids, 6dp-rounded cosine argmax
     val n = e.count()
-    val stride = math.max(1L, n / CoarseNList)
+    val stride = math.max(1L, n / nlist)
     val seeds = e.filter(pmod($"vec_id", lit(stride)) === 0)
-      .orderBy($"vec_id").limit(CoarseNList)
+      .orderBy($"vec_id").limit(nlist)
       .as[(Long, Seq[Double])].collect().sortBy(_._1)
     val coarse = broadcast(
       seeds.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
@@ -66,15 +79,12 @@ object IvfPq {
     val lists = cass.join(Pq.codesOver(spark, e), Seq("vec_id"))
       .select($"ccid", $"vec_id".as("neighbor_id"), $"c0", $"c1", $"c2", $"c3")
 
-    val probes = e.filter($"vec_id" < Probes)
-      .select($"vec_id".as("query_id"), $"v".as("qv"))
-
     // cell routing: nProbe best cells per query by the same rounded cosine
     val wCell = Window.partitionBy($"query_id").orderBy($"csim".desc, $"ccid".asc)
     val pcell = probes.crossJoin(coarse)
       .withColumn("csim", round(cosineFast(spark, $"qv", $"cv"), 6) + lit(0.0))
       .withColumn("prn", row_number().over(wCell))
-      .filter($"prn" <= NProbe)
+      .filter($"prn" <= nProbe)
       .select($"query_id", $"ccid")
 
     // ADC lookup table: per (query, subspace, code) squared distance
@@ -102,7 +112,7 @@ object IvfPq {
       .withColumn("adcs", round($"adc" * 1000000L).cast("long"))
     val wTop = Window.partitionBy($"query_id").orderBy($"adcs".asc, $"neighbor_id".asc)
     cand.withColumn("rnk", row_number().over(wTop))
-      .filter($"rnk" <= TopK)
+      .filter($"rnk" <= topK)
       .select($"query_id", $"neighbor_id", $"rnk".cast("long").as("rnk"), $"adc")
       .orderBy($"query_id", $"rnk")
   }

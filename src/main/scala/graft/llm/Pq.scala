@@ -41,7 +41,7 @@ object Pq {
     * M·K rows, broadcastable. Shared with [[IvfPq]] so the PQ codes an
     * IVF-PQ index scans are EXACTLY the ones x_pq_assign declares.
     */
-  private[llm] def subCodebook(spark: SparkSession, e: DataFrame): DataFrame = {
+  def subCodebook(spark: SparkSession, e: DataFrame): DataFrame = {
     import spark.implicits._
     val n = e.count()
     val stride = math.max(1L, n / K)
@@ -57,7 +57,7 @@ object Pq {
   /** Per-(vector, subspace) argmin code: (vec_id, m, cid, dist), dist
     * 6 dp-rounded BEFORE the argmin (the oracle-determinism pivot).
     */
-  private[llm] def bestCodes(spark: SparkSession, e: DataFrame): DataFrame = {
+  def bestCodes(spark: SparkSession, e: DataFrame): DataFrame = {
     import spark.implicits._
     val scored = e.crossJoin(subCodebook(spark, e))
       .withColumn("sub", expr(s"slice(v, CAST(m * $SubDim + 1 AS INT), $SubDim)"))
@@ -70,7 +70,7 @@ object Pq {
   }
 
   /** (vec_id, c0..c3): the packed PQ code row per vector. */
-  private[llm] def codesOver(spark: SparkSession, e: DataFrame): DataFrame = {
+  def codesOver(spark: SparkSession, e: DataFrame): DataFrame = {
     import spark.implicits._
     bestCodes(spark, e).groupBy($"vec_id")
       .agg(

@@ -122,6 +122,55 @@ object Stress {
     ok
   }
 
+  /** IVF-PQ stress: the [[runSemantic]] vector corpus (1% planted identical
+    * twins at (id, id−1)) searched through [[graft.llm.IvfPq.searchOver]]
+    * at nlist ≈ √n. The invariant is exact, not statistical: an identical
+    * twin lands in the SAME coarse cell (same vector ⇒ same argmax), so
+    * every probe's candidate set contains a vector carrying the probe's own
+    * PQ codes — and Σ_m min_c round6(‖q_m − c‖²) is the global minimum any
+    * code combination can score. Therefore top-1 ADC must EQUAL the probe's
+    * own reconstruction floor (Pq.bestCodes dist sum) for every probe; a
+    * routing, LUT, or scoring bug breaks the equality immediately.
+    */
+  def runIvfPq(spark: SparkSession, n: Long): Boolean = {
+    import spark.implicits._
+    def timed[T](what: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[stress] $what: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+    }
+    val base = when(pmod($"id", lit(100)) === 1, $"id" - 1).otherwise($"id")
+    val vecs = spark.range(n).select($"id".as("vec_id"),
+        transform(sequence(lit(0), lit(63)), j =>
+          (pmod(hash(base * 31 + j, lit(11)), lit(1000)).cast("double") / 1000.0)
+            - 0.5).as("v"))
+      .localCheckpoint()
+    val probes = vecs.filter(pmod($"vec_id", lit(100)) === 1)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val nlist = math.max(16, math.sqrt(n.toDouble).toInt)
+    val top1 = timed(s"ivf-pq search (nlist=$nlist, nprobe=8) over $n vectors, ${n / 100} probes") {
+      graft.llm.IvfPq.searchOver(spark, vecs, probes, nlist, nProbe = 8, topK = 10)
+        .filter($"rnk" === 1)
+        .select($"query_id", expr("CAST(round(adc * 1000000) AS BIGINT)").as("adcs"))
+    }
+    // fixed-order 4-term sum, matching searchOver's d0+d1+d2+d3 exactly —
+    // an agg-order sum of the same doubles can differ in the last ulp
+    val floor = graft.llm.Pq.bestCodes(spark, vecs)
+      .groupBy($"vec_id".as("query_id"))
+      .agg(max(when($"m" === 0, $"dist")).as("f0"),
+        max(when($"m" === 1, $"dist")).as("f1"),
+        max(when($"m" === 2, $"dist")).as("f2"),
+        max(when($"m" === 3, $"dist")).as("f3"))
+      .select($"query_id", expr(
+        "CAST(round((f0 + f1 + f2 + f3) * 1000000) AS BIGINT)").as("floor_s"))
+    val bad = top1.join(floor, "query_id")
+      .filter($"adcs" =!= $"floor_s").count()
+    val nProbes = top1.count()
+    println(s"[stress] probes=$nProbes top1!=floor=$bad")
+    val ok = bad == 0 && nProbes == n / 100
+    println(s"[stress] structure recovered: ${if (ok) "YES" else "NO"}")
+    ok
+  }
+
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 200000L
     val scenario = if (args.length > 1) args(1) else "dedup"
@@ -141,6 +190,10 @@ object Stress {
     }
     if (scenario == "sem") {
       val ok = runSemantic(spark, n)
+      spark.stop(); if (!ok) sys.exit(1); return
+    }
+    if (scenario == "ivfpq") {
+      val ok = runIvfPq(spark, n)
       spark.stop(); if (!ok) sys.exit(1); return
     }
 
