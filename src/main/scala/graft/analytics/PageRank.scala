@@ -95,10 +95,17 @@ object PageRank {
     var r = degN.select($"src".as("part"), $"deg",
       expr(s"$TotalMass DIV n").as("rank"))
     for (_ <- 1 to Iterations) {
-      val inflow = r.join(e, $"part" === $"src")
+      // Explicit broadcast on both node-sized frames: after iteration 1 the
+      // rank frame sits behind a join+aggregate the planner cannot size, so
+      // it falls back to SortMergeJoin — sorting per iteration (PLANS.md
+      // showed the SMJ; measured 5.3 s → 4.1 s mid-suite with the hints,
+      // isolated unchanged). The node frame is |V| rows; on a graph whose node
+      // set outgrows a broadcast, drop the hints and the same plan degrades
+      // to shuffle joins on the already-partitioned keys (the Bfs rule).
+      val inflow = broadcast(r).join(e, $"part" === $"src")
         .select($"dst", expr("rank DIV deg").as("c"))
         .groupBy($"dst").agg(sum($"c").as("inflow"))
-      r = degN.join(inflow, $"src" === $"dst", "left")
+      r = degN.join(broadcast(inflow), $"src" === $"dst", "left")
         .select($"src".as("part"), $"deg",
           expr(s"(15 * ($TotalMass DIV n)) DIV 100 + (85 * COALESCE(inflow, 0L)) DIV 100")
             .as("rank"))
