@@ -475,8 +475,48 @@ object Warehouse {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+
+  /** q_rolling_cov — trailing-7-day covariance numerator between daily
+    * order count and daily revenue: per day, n·Σxy − Σx·Σy over the last
+    * ≤7 daily aggregates, all exact BIGINTs (the windowed form of
+    * q_moments' one-pass sketch; float rolling covariance is
+    * order-dependent and can never hash-gate). The window is GLOBAL but
+    * runs over the daily AGGREGATE — a few thousand rows at any corpus
+    * size, same small-frame rationale as x_source_tail; the fact-sized
+    * work is one map-side-combined groupBy(day).
+    */
+  def rollingCov(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(count(lit(1)).as("x"), sum(Det.cents($"o_totalprice")).as("y"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"day").rowsBetween(-6, 0)
+    daily
+      .withColumn("n_days", count(lit(1)).over(w))
+      .withColumn("sx", sum($"x").over(w))
+      .withColumn("sy", sum($"y").over(w))
+      .withColumn("sxy", sum($"x" * $"y").over(w))
+      .select($"day", $"n_days",
+        ($"n_days" * $"sxy" - $"sx" * $"sy").as("cov_num"))
+      .orderBy($"day")
+  }
+
+  val rollingCovSql: String =
+    """WITH daily AS (
+      | SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS x,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      | FROM orders GROUP BY 1)
+      |SELECT day, count(*) OVER w AS n_days,
+      | CAST(count(*) OVER w * sum(x * y) OVER w
+      |      - sum(x) OVER w * sum(y) OVER w AS BIGINT) AS cov_num
+      |FROM daily
+      |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quartiles_cont" -> (quartilesCont _),
+    "q_rolling_cov" -> (rollingCov _),
     "x_winsorize" -> (winsorize _),
     "q_table_stats" -> (tableStats _),
     "q_scd2" -> (scd2 _),
@@ -488,6 +528,7 @@ object Warehouse {
 
   val oracles: Map[String, String] = Map(
     "q_quartiles_cont" -> quartilesContSql,
+    "q_rolling_cov" -> rollingCovSql,
     "x_winsorize" -> winsorizeSql,
     "q_table_stats" -> tableStatsSql,
     "q_scd2" -> scd2Sql,

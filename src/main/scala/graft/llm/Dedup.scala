@@ -288,6 +288,34 @@ object Dedup {
        |FROM pairs JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** x_lsh_precision — the dedup-index quality eval (the MinHash analogue
+    * of x_ann_recall): of the LSH candidate pairs, how many clear the
+    * exact Jaccard bar, bucketed by jaccard decile so the score histogram
+    * is visible — a precision crater means the band geometry (rows×bands)
+    * no longer matches the duplicate profile and the verify stage is
+    * burning compute on noise. One extra aggregate over the shared verify
+    * output; the single-row precision is derivable as
+    * Σ n_pairs[decile ≥ bar] / Σ n_pairs.
+    */
+  def lshPrecision(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    dedupJaccard(spark, dir)
+      // decile on the EXACT integer ratio: 10·common ≥ d·union ⇔ J ≥ d/10
+      .withColumn("decile",
+        expr("CAST((n_common * 10) DIV greatest(n_union, 1) AS BIGINT)"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"decile")
+  }
+
+  val lshPrecisionSql: String =
+    s"""WITH scored AS ($dedupJaccardSql)
+       |SELECT CAST((n_common * 10) // greatest(n_union, 1) AS BIGINT) AS decile,
+       | count(*) AS n_pairs
+       |FROM scored
+       |GROUP BY 1
+       |ORDER BY decile""".stripMargin
+
   /** x_cross_dedup — source-priority keeper selection: among exact
     * duplicates (same canonical fingerprint), keep the copy from the most
     * trusted source tier (stream number mod 3 — curated 0 beats mirror 1
@@ -443,6 +471,7 @@ object Dedup {
     "x_dedup_exact" -> (dedupExact _),
     "x_dedup_minhash" -> (dedupMinhash _),
     "x_dedup_jaccard" -> (dedupJaccard _),
+    "x_lsh_precision" -> (lshPrecision _),
     "x_cross_dedup" -> (crossDedup _))
 
   val oracles: Map[String, String] = Map(
@@ -451,5 +480,6 @@ object Dedup {
     "x_dedup_exact" -> dedupExactSql,
     "x_dedup_minhash" -> dedupMinhashSql,
     "x_dedup_jaccard" -> dedupJaccardSql,
+    "x_lsh_precision" -> lshPrecisionSql,
     "x_cross_dedup" -> crossDedupSql)
 }

@@ -72,4 +72,34 @@ class DataCardSpec extends SparkSpec {
       .filter($"jaccard" >= Cluster.VerifyThreshold).count()
     assert(rows.map(_._3).sum == nPairs, "matrix total == verified pair count")
   }
+
+  test("lsh precision deciles bucket the exact integer jaccard ratio") {
+    val deciles = Dedup.lshPrecision(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    val scored = Dedup.dedupJaccard(spark, dir)
+      .select($"n_common", $"n_union").as[(Long, Long)].collect()
+    assert(deciles.values.sum == scored.length, "every candidate bucketed")
+    val expected = scored.groupBy { case (c, u) => c * 10 / math.max(u, 1) }
+      .view.mapValues(_.length.toLong).toMap
+    assert(deciles == expected)
+  }
+
+  test("rolling covariance numerator matches a scala recomputation") {
+    import graft.analytics.Warehouse
+    val rows = Warehouse.rollingCov(spark, dir)
+      .select($"n_days", $"cov_num").as[(Long, Long)].collect()
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(count(lit(1)).as("x"),
+        sum(graft.util.Det.cents($"o_totalprice")).as("y"))
+      .orderBy($"day")
+      .select($"x", $"y").as[(Long, Long)].collect()
+    rows.zipWithIndex.foreach { case ((n, cov), i) =>
+      val w = daily.slice(math.max(0, i - 6), i + 1)
+      assert(n == w.length, s"row $i n_days")
+      val (sx, sy) = (w.map(_._1).sum, w.map(_._2).sum)
+      val sxy = w.map { case (x, y) => x * y }.sum
+      assert(cov == n * sxy - sx * sy, s"row $i cov")
+    }
+  }
 }
