@@ -171,6 +171,37 @@ object Stress {
     ok
   }
 
+  /** PPJoin losslessness stress: the [[corpus]] generator's planted groups
+    * have intra-group shingle Jaccard ≈ 0.73 (documented above), well over
+    * SimJoin's τ = 0.6 — so EVERY one of the C(4,2)=6 intra-group pairs
+    * must appear in the exact similarity join's output at any corpus size.
+    * The prefix/length/partition filters are provably candidate-complete;
+    * this scenario checks the proof survives real execution at ~8× the
+    * bench corpus (bucket skew, checkpoint pressure, rare-token ties), and
+    * times the cascade. Missing pairs = a filter became lossy; extra
+    * intra-group pairs are impossible (the verify stage is exact).
+    */
+  def runPpjoin(spark: SparkSession, n: Long): Boolean = {
+    import spark.implicits._
+    def timed[T](what: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[stress] $what: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+    }
+    val docs = corpus(spark, n)
+      .withColumn("lang", lit("en")).localCheckpoint()
+    val pairs = timed(s"ppjoin (prefix+length+lang filters, tau=0.6) over $n docs") {
+      graft.llm.SimJoin.jaccardJoinOver(docs)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    }
+    val intra = pairs.filter { case (a, b) => a / GroupSize == b / GroupSize }
+    val expected = n / GroupSize * (GroupSize * (GroupSize - 1) / 2)
+    println(s"[stress] pairs=${pairs.length} intra=${intra.length} " +
+      s"expected-intra=$expected cross=${pairs.length - intra.length}")
+    val ok = intra.length == expected
+    println(s"[stress] structure recovered: ${if (ok) "YES" else "NO"}")
+    ok
+  }
+
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 200000L
     val scenario = if (args.length > 1) args(1) else "dedup"
@@ -194,6 +225,10 @@ object Stress {
     }
     if (scenario == "ivfpq") {
       val ok = runIvfPq(spark, n)
+      spark.stop(); if (!ok) sys.exit(1); return
+    }
+    if (scenario == "ppjoin") {
+      val ok = runPpjoin(spark, n)
       spark.stop(); if (!ok) sys.exit(1); return
     }
 
