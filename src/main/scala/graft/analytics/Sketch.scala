@@ -69,6 +69,71 @@ object Sketch {
        | (estimate - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
        |FROM est""".stripMargin
 
+  /** x_kmv_merge — the MERGEABILITY proof for the KMV sketch, the property
+    * that makes it a distributed-systems primitive (HLL's reason to exist,
+    * done deterministically): build one K-row sketch per event slice
+    * (viewers, purchasers), then estimate the UNION cardinality from the
+    * two sketches ALONE — k smallest of the combined 2K hashes, never
+    * re-touching the raw data — and the intersection by inclusion-
+    * exclusion. Emitted against the exact counts, so the gate pins the
+    * estimator AND the fixture documents its real error. The union
+    * estimate is what a 1000-executor rollup ships to the driver: K rows
+    * per partition, merged associatively.
+    */
+  def kmvMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+    def sketch(t: String): DataFrame = e.filter($"event_type" === t)
+      .select(substring(md5($"user_id".cast("string")), 1, 13).as("h13"))
+      .distinct().orderBy($"h13").limit(K)
+    def estimate(sk: DataFrame): DataFrame = sk
+      .agg(max($"h13").as("kth"), count(lit(1)).as("k"))
+      .select((($"k".cast("double") - 1.0) * lit(HashSpace) /
+        conv($"kth", 16, 10).cast("long").cast("double")).as("est"))
+    val sa = sketch("view").localCheckpoint()
+    val sb = sketch("purchase").localCheckpoint()
+    // union sketch = merge of the two SKETCHES (k smallest of their union)
+    val su = sa.union(sb).distinct().orderBy($"h13").limit(K)
+    val exact = e.filter($"event_type".isin("view", "purchase"))
+      .agg(
+        countDistinct(when($"event_type" === "view", $"user_id")).as("exact_a"),
+        countDistinct(when($"event_type" === "purchase", $"user_id")).as("exact_b"),
+        countDistinct($"user_id").as("exact_union"))
+    exact
+      .crossJoin(broadcast(estimate(sa).select($"est".as("est_a"))))
+      .crossJoin(broadcast(estimate(sb).select($"est".as("est_b"))))
+      .crossJoin(broadcast(estimate(su).select($"est".as("est_union"))))
+      .withColumn("est_inter", $"est_a" + $"est_b" - $"est_union")
+  }
+
+  val kmvMergeSql: String =
+    s"""WITH ha AS (
+       | SELECT DISTINCT substr(md5(CAST(user_id AS VARCHAR)), 1, 13) AS h13
+       | FROM events WHERE event_type = 'view'),
+       |hb AS (
+       | SELECT DISTINCT substr(md5(CAST(user_id AS VARCHAR)), 1, 13) AS h13
+       | FROM events WHERE event_type = 'purchase'),
+       |sa AS (SELECT h13 FROM ha ORDER BY h13 LIMIT $K),
+       |sb AS (SELECT h13 FROM hb ORDER BY h13 LIMIT $K),
+       |su AS (SELECT h13 FROM (
+       |  SELECT DISTINCT h13 FROM (SELECT h13 FROM sa UNION ALL SELECT h13 FROM sb))
+       | ORDER BY h13 LIMIT $K),
+       |ea AS (SELECT (CAST(count(*) AS DOUBLE) - 1.0) * $HashSpace /
+       |  CAST(CAST('0x' || max(h13) AS BIGINT) AS DOUBLE) AS est_a FROM sa),
+       |eb AS (SELECT (CAST(count(*) AS DOUBLE) - 1.0) * $HashSpace /
+       |  CAST(CAST('0x' || max(h13) AS BIGINT) AS DOUBLE) AS est_b FROM sb),
+       |eu AS (SELECT (CAST(count(*) AS DOUBLE) - 1.0) * $HashSpace /
+       |  CAST(CAST('0x' || max(h13) AS BIGINT) AS DOUBLE) AS est_union FROM su),
+       |ex AS (
+       | SELECT
+       |  count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS exact_a,
+       |  count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS exact_b,
+       |  count(DISTINCT user_id) AS exact_union
+       | FROM events WHERE event_type IN ('view', 'purchase'))
+       |SELECT exact_a, exact_b, exact_union, est_a, est_b, est_union,
+       | est_a + est_b - est_union AS est_inter
+       |FROM ex, ea, eb, eu""".stripMargin
+
   /** CMS geometry: d independent hash rows × w buckets. ε ≈ e/w ≈ 1%,
     * δ ≈ e^−d ≈ 2%. Hashes are md5 with a per-row salt — identical in any
     * engine, so the sketch (and its collisions) is fully deterministic.
@@ -200,11 +265,13 @@ object Sketch {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_kmv_distinct" -> (kmvDistinct _),
+    "x_kmv_merge" -> (kmvMerge _),
     "x_cms_freq" -> (cmsFreq _),
     "x_heavy_hitters" -> (heavyHitters _))
 
   val oracles: Map[String, String] = Map(
     "x_kmv_distinct" -> kmvDistinctSql,
+    "x_kmv_merge" -> kmvMergeSql,
     "x_cms_freq" -> cmsFreqSql,
     "x_heavy_hitters" -> heavyHittersSql)
 }

@@ -90,4 +90,19 @@ class JourneySpec extends SparkSpec {
       assert(b._4 == a._4 + b._3, "cumulative sum consistent")
     }
   }
+
+  test("kmv merge union estimate dominates each side and brackets the exact") {
+    import graft.analytics.Sketch
+    val r = Sketch.kmvMerge(spark, dir).collect().head
+    val (ea, eb, eu) = (r.getAs[Double]("est_a"), r.getAs[Double]("est_b"),
+      r.getAs[Double]("est_union"))
+    val (xa, xb, xu) = (r.getAs[Long]("exact_a"), r.getAs[Long]("exact_b"),
+      r.getAs[Long]("exact_union"))
+    assert(eu >= math.max(ea, eb) - 1e-9, "union >= each side")
+    assert(xu <= xa + xb)
+    // KMV with k=256 over a few hundred distinct users: generous 30% band
+    assert(math.abs(eu - xu) / xu < 0.3, s"union est $eu vs exact $xu")
+    val ei = r.getAs[Double]("est_inter")
+    assert(ei == ea + eb - eu)
+  }
 }
