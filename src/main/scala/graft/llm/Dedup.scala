@@ -288,6 +288,52 @@ object Dedup {
        |FROM pairs JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** x_dup_inflation — the capacity impact of exact dedup, token-weighted:
+    * dup RATE by docs understates (or overstates) the compute at stake
+    * when duplicate docs are longer/shorter than average — training cost
+    * scales with TOKENS. One fingerprint aggregate (argmin keeper via
+    * struct-min, the x_cross_dedup shape) + one global rollup: n_docs,
+    * dup docs, n_tokens, dup tokens, and both rates. "Dedup saves X% of
+    * the token budget" is this query's last column.
+    */
+  def dupInflation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id",
+        md5(TextClean.canonicalize($"text")).as("fp"),
+        size(split($"text", " ")).cast("long").as("ntok"))
+    base.groupBy($"fp")
+      .agg(count(lit(1)).as("n"), sum($"ntok").as("tok"),
+        min(struct($"doc_id", $"ntok")).as("kp"))
+      .agg(
+        sum($"n").as("n_docs"),
+        sum($"n" - 1).as("n_dup_docs"),
+        sum($"tok").as("n_tokens"),
+        sum($"tok" - $"kp.ntok").as("n_dup_tokens"))
+      .withColumn("doc_dup_rate",
+        $"n_dup_docs".cast("double") / $"n_docs".cast("double"))
+      .withColumn("token_dup_rate",
+        $"n_dup_tokens".cast("double") / $"n_tokens".cast("double"))
+  }
+
+  val dupInflationSql: String =
+    s"""WITH base AS (
+       | SELECT doc_id,
+       |  md5(lower(trim(regexp_replace(text, '${TextClean.WsRe}', ' ', 'g')))) AS fp,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+       | FROM documents),
+       |g AS (
+       | SELECT fp, count(*) AS n, CAST(sum(ntok) AS BIGINT) AS tok,
+       |  arg_min(ntok, doc_id) AS ktok
+       | FROM base GROUP BY fp)
+       |SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+       | CAST(sum(n - 1) AS BIGINT) AS n_dup_docs,
+       | CAST(sum(tok) AS BIGINT) AS n_tokens,
+       | CAST(sum(tok - ktok) AS BIGINT) AS n_dup_tokens,
+       | CAST(sum(n - 1) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS doc_dup_rate,
+       | CAST(sum(tok - ktok) AS DOUBLE) / CAST(sum(tok) AS DOUBLE) AS token_dup_rate
+       |FROM g""".stripMargin
+
   /** x_lsh_precision — the dedup-index quality eval (the MinHash analogue
     * of x_ann_recall): of the LSH candidate pairs, how many clear the
     * exact Jaccard bar, bucketed by jaccard decile so the score histogram
@@ -472,6 +518,7 @@ object Dedup {
     "x_dedup_minhash" -> (dedupMinhash _),
     "x_dedup_jaccard" -> (dedupJaccard _),
     "x_lsh_precision" -> (lshPrecision _),
+    "x_dup_inflation" -> (dupInflation _),
     "x_cross_dedup" -> (crossDedup _))
 
   val oracles: Map[String, String] = Map(
@@ -481,5 +528,6 @@ object Dedup {
     "x_dedup_minhash" -> dedupMinhashSql,
     "x_dedup_jaccard" -> dedupJaccardSql,
     "x_lsh_precision" -> lshPrecisionSql,
+    "x_dup_inflation" -> dupInflationSql,
     "x_cross_dedup" -> crossDedupSql)
 }

@@ -134,6 +134,44 @@ object TextOps {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  /** x_fertility — per-language tokenizer fertility: subword tokens per
+    * whitespace word (the [[tokenBpe]] pre-tokenization aggregated by
+    * declared language). THE tokenizer-adequacy metric: a language whose
+    * fertility is far above the corpus mean is being shredded into
+    * fragments (costing context length and training signal) — the number
+    * that decides whether a vocabulary needs rebalancing before a run.
+    * Exact integer sums, one division per language.
+    */
+  def fertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("lower_text", lower($"text"))
+      .select($"lang",
+        size(regexp_extract_all($"lower_text", lit(SubtokenPattern), lit(0)))
+          .cast("long").as("n_subtokens"),
+        size(split($"lower_text", " ")).cast("long").as("n_words"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_subtokens").as("n_subtokens"),
+        sum($"n_words").as("n_words"))
+      .withColumn("fertility",
+        $"n_subtokens".cast("double") / $"n_words".cast("double"))
+      .orderBy($"lang")
+  }
+
+  val fertilitySql: String =
+    s"""WITH t AS (
+       | SELECT lang,
+       |  CAST(len(regexp_extract_all(lower(text), '$SubtokenPattern')) AS BIGINT) AS n_subtokens,
+       |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words
+       | FROM documents)
+       |SELECT lang, count(*) AS n_docs,
+       | CAST(sum(n_subtokens) AS BIGINT) AS n_subtokens,
+       | CAST(sum(n_words) AS BIGINT) AS n_words,
+       | CAST(sum(n_subtokens) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE) AS fertility
+       |FROM t GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
   /** x_fingerprint — md5 of the CANONICAL text form (exact-dedup key;
     * identical byte-for-byte in any engine). The normalization is
     * [[TextClean.canonicalize]] — ONE definition of "canonical text for
@@ -187,6 +225,7 @@ object TextOps {
     "x_lang_stats" -> (langStats _),
     "x_quality_score" -> (qualityScore _),
     "x_token_bpe" -> (tokenBpe _),
+    "x_fertility" -> (fertility _),
     "x_fingerprint" -> (fingerprint _),
     "x_topk_agg" -> (topkAgg _))
 
@@ -195,6 +234,7 @@ object TextOps {
     "x_lang_stats" -> langStatsSql,
     "x_quality_score" -> qualityScoreSql,
     "x_token_bpe" -> tokenBpeSql,
+    "x_fertility" -> fertilitySql,
     "x_fingerprint" -> fingerprintSql,
     "x_topk_agg" -> topkAggSql)
 }

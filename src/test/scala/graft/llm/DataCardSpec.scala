@@ -102,4 +102,30 @@ class DataCardSpec extends SparkSpec {
       assert(cov == n * sxy - sx * sy, s"row $i cov")
     }
   }
+
+  test("fertility aggregates tokenBpe per language exactly") {
+    val perDoc = TextOps.tokenBpe(spark, dir)
+      .join(Tables.documents(spark, dir).select($"doc_id", $"lang"), "doc_id")
+      .select($"lang", $"n_subtokens", $"n_words")
+      .as[(String, Long, Long)].collect()
+    val expected = perDoc.groupBy(_._1).view.mapValues { g =>
+      (g.length.toLong, g.map(_._2).sum, g.map(_._3).sum)
+    }.toMap
+    val got = TextOps.fertility(spark, dir)
+      .select($"lang", $"n_docs", $"n_subtokens", $"n_words")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == expected)
+  }
+
+  test("dup inflation keeps exactly one copy's tokens per fingerprint") {
+    val r = Dedup.dupInflation(spark, dir).collect().head
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(r.getAs[Long]("n_docs") == nDocs)
+    val distinctFps = Tables.documents(spark, dir)
+      .select(md5(TextClean.canonicalize($"text"))).distinct().count()
+    assert(r.getAs[Long]("n_dup_docs") == nDocs - distinctFps)
+    assert(r.getAs[Long]("n_dup_tokens") <= r.getAs[Long]("n_tokens"))
+    assert(r.getAs[Double]("token_dup_rate") >= 0.0)
+  }
 }
