@@ -1034,6 +1034,35 @@ object Relational {
       |GROUP BY 1
       |ORDER BY bin_lo_dollars""".stripMargin
 
+  /** q_histogram_2d — the heatmap form of [[histogram]]: lineitem density
+    * over a (quantity decade × price $1000-band) grid with per-cell revenue.
+    * Integer DIV bucketing on both axes (exact in both engines), one
+    * pruned scan + a grid-sized aggregate whatever the table size — the
+    * 2-D profiling pass a BI layer draws before choosing any layout or
+    * partitioning ([[graft.io.Layout]]'s z-order targets exactly this kind
+    * of 2-D access pattern).
+    */
+  def histogram2d(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select(
+        expr("CAST(round(l_quantity) AS BIGINT) DIV 10").as("qty_decade"),
+        (Det.cents($"l_extendedprice") * lit(1L)).as("price_cents"))
+      .groupBy($"qty_decade",
+        expr("price_cents DIV 100000").as("price_band_k"))
+      .agg(count(lit(1)).as("n_items"), sum($"price_cents").as("rev_cents"))
+      .orderBy($"qty_decade", $"price_band_k")
+  }
+
+  val histogram2dSql: String =
+    """SELECT CAST(round(l_quantity) AS BIGINT) // 10 AS qty_decade,
+      | CAST(round(l_extendedprice * 100) AS BIGINT) // 100000 AS price_band_k,
+      | count(*) AS n_items,
+      | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      |FROM lineitem
+      |GROUP BY 1, 2
+      |ORDER BY qty_decade, price_band_k""".stripMargin
+
   /** x_hist_sketch — the native `bin_counts` TypedImperativeAggregate
     * (graft.functions.BinCounts) over order values: a 30-bin fixed-width
     * histogram in one aggregate whose shuffle payload is a single count
@@ -1281,6 +1310,7 @@ object Relational {
     "q_array_fns" -> (arrayFns _),
     "q_sample_hash" -> (sampleHash _),
     "q_histogram" -> (histogram _),
+    "q_histogram_2d" -> (histogram2d _),
     "x_hist_sketch" -> (histSketch _),
     "q_gap_fill" -> (gapFill _),
     "q_locf" -> (locf _),
@@ -1329,6 +1359,7 @@ object Relational {
     "q_array_fns" -> arrayFnsSql,
     "q_sample_hash" -> sampleHashSql,
     "q_histogram" -> histogramSql,
+    "q_histogram_2d" -> histogram2dSql,
     "x_hist_sketch" -> histSketchSql,
     "q_gap_fill" -> gapFillSql,
     "q_locf" -> locfSql,
