@@ -109,12 +109,17 @@ object Sessions {
   /** Completion window for [[funnelWindow]]: first view → purchase. */
   val FunnelWindowMicros: Long = 3600L * 1000000
 
-  /** q_funnel_window — the ORDERED, time-bounded funnel (ClickHouse's
-    * `windowFunnel` semantics), complementing [[funnel]]'s unordered
-    * presence counts: a user advances a stage only by an event AT OR AFTER
-    * the previous stage's entry time (first view → first click after it →
-    * first purchase after that), and "converted" means the whole chain
-    * closed within [[FunnelWindowMicros]] of the first view.
+  /** q_funnel_window — an ORDERED, time-bounded, FIRST-ENTRY-ANCHORED
+    * funnel, complementing [[funnel]]'s unordered presence counts: a user
+    * advances a stage only by an event AT OR AFTER the previous stage's
+    * entry time (first view → first click after it → first purchase after
+    * that), and "converted" means the whole chain closed within
+    * [[FunnelWindowMicros]] of the FIRST view. Note this is deliberately
+    * narrower than ClickHouse's `windowFunnel`, which slides the window
+    * over every candidate entry event and maximizes stage depth — a user
+    * whose first view ages out but who converts from a later view counts
+    * there and not here. The oracle SQL encodes the same first-entry
+    * anchoring, so the gate pins these exact semantics.
     *
     * Staged min-aggregates instead of per-user event-sequence windows:
     * each stage is a filter + hash aggregate + equi-join on user_id — all

@@ -44,11 +44,16 @@ object Sketch {
       .limit(K)
       .agg(max($"h13").as("kth_hash"), count(lit(1)).as("k"))
     val exact = li.agg(countDistinct($"l_orderkey").as("n_exact"))
+    // A non-full sketch (k < K) holds EVERY distinct hash, so the sketch
+    // size IS the exact cardinality; the (k-1)·S/kth extrapolation only
+    // applies once the sketch truncates. Standard KMV, and it removes
+    // avoidable error at small slices.
     kth.crossJoin(exact)
       .select(
         $"k", $"kth_hash", $"n_exact",
-        (($"k".cast("double") - 1.0) * lit(HashSpace) /
-          conv($"kth_hash", 16, 10).cast("long").cast("double")).as("estimate"))
+        when($"k" < K, $"k".cast("double"))
+          .otherwise(($"k".cast("double") - 1.0) * lit(HashSpace) /
+            conv($"kth_hash", 16, 10).cast("long").cast("double")).as("estimate"))
       .select($"k", $"kth_hash", $"n_exact", $"estimate",
         (($"estimate" - $"n_exact".cast("double")) / $"n_exact".cast("double")).as("rel_err"))
   }
@@ -62,8 +67,9 @@ object Sketch {
        |ex AS (SELECT count(DISTINCT l_orderkey) AS n_exact FROM lineitem),
        |est AS (
        | SELECT kth.k, kth.kth_hash, ex.n_exact,
-       |  (CAST(kth.k AS DOUBLE) - 1.0) * $HashSpace /
-       |    CAST(CAST('0x' || kth.kth_hash AS BIGINT) AS DOUBLE) AS estimate
+       |  CASE WHEN kth.k < $K THEN CAST(kth.k AS DOUBLE)
+       |   ELSE (CAST(kth.k AS DOUBLE) - 1.0) * $HashSpace /
+       |    CAST(CAST('0x' || kth.kth_hash AS BIGINT) AS DOUBLE) END AS estimate
        | FROM kth, ex)
        |SELECT k, kth_hash, n_exact, estimate,
        | (estimate - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
@@ -88,8 +94,9 @@ object Sketch {
       .distinct().orderBy($"h13").limit(K)
     def estimate(sk: DataFrame): DataFrame = sk
       .agg(max($"h13").as("kth"), count(lit(1)).as("k"))
-      .select((($"k".cast("double") - 1.0) * lit(HashSpace) /
-        conv($"kth", 16, 10).cast("long").cast("double")).as("est"))
+      .select(when($"k" < K, $"k".cast("double"))
+        .otherwise(($"k".cast("double") - 1.0) * lit(HashSpace) /
+          conv($"kth", 16, 10).cast("long").cast("double")).as("est"))
     val sa = sketch("view").localCheckpoint()
     val sb = sketch("purchase").localCheckpoint()
     // union sketch = merge of the two SKETCHES (k smallest of their union)
@@ -118,12 +125,15 @@ object Sketch {
        |su AS (SELECT h13 FROM (
        |  SELECT DISTINCT h13 FROM (SELECT h13 FROM sa UNION ALL SELECT h13 FROM sb))
        | ORDER BY h13 LIMIT $K),
-       |ea AS (SELECT (CAST(count(*) AS DOUBLE) - 1.0) * $HashSpace /
-       |  CAST(CAST('0x' || max(h13) AS BIGINT) AS DOUBLE) AS est_a FROM sa),
-       |eb AS (SELECT (CAST(count(*) AS DOUBLE) - 1.0) * $HashSpace /
-       |  CAST(CAST('0x' || max(h13) AS BIGINT) AS DOUBLE) AS est_b FROM sb),
-       |eu AS (SELECT (CAST(count(*) AS DOUBLE) - 1.0) * $HashSpace /
-       |  CAST(CAST('0x' || max(h13) AS BIGINT) AS DOUBLE) AS est_union FROM su),
+       |ea AS (SELECT CASE WHEN count(*) < $K THEN CAST(count(*) AS DOUBLE)
+       |  ELSE (CAST(count(*) AS DOUBLE) - 1.0) * $HashSpace /
+       |   CAST(CAST('0x' || max(h13) AS BIGINT) AS DOUBLE) END AS est_a FROM sa),
+       |eb AS (SELECT CASE WHEN count(*) < $K THEN CAST(count(*) AS DOUBLE)
+       |  ELSE (CAST(count(*) AS DOUBLE) - 1.0) * $HashSpace /
+       |   CAST(CAST('0x' || max(h13) AS BIGINT) AS DOUBLE) END AS est_b FROM sb),
+       |eu AS (SELECT CASE WHEN count(*) < $K THEN CAST(count(*) AS DOUBLE)
+       |  ELSE (CAST(count(*) AS DOUBLE) - 1.0) * $HashSpace /
+       |   CAST(CAST('0x' || max(h13) AS BIGINT) AS DOUBLE) END AS est_union FROM su),
        |ex AS (
        | SELECT
        |  count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS exact_a,

@@ -30,6 +30,9 @@ object Cluster {
 
   val MaxRounds = 25
 
+  /** Process-wide counter for Observation names (session-unique required). */
+  private val obsId = new java.util.concurrent.atomic.AtomicLong()
+
   /** Pair-count gate for the driver-side solve — the same "tiny result of a
     * distributed stage lives on the driver" shape as IVF's centroids. Honest
     * sizing: at the gate the collected edge array is ~40 MB, but the boxed
@@ -88,19 +91,26 @@ object Cluster {
       // (it is the min over ids of live nodes), so label(label(v)) is one
       // equi-join away. least() keeps monotonicity; the left join + coalesce
       // is defensive only.
+      // Convergence rides INSIDE the materialization job: observe() collects
+      // the improved-row count during the localCheckpoint action itself, so
+      // each round pays exactly one job — no separate probe round-trip (the
+      // former limit(1).count() probe cost one extra job per round: fine at
+      // 4 rounds, painful at 20). Round 1 skips the read — any non-empty
+      // edge set improves some label.
+      // Name must be session-unique (several cluster queries run per
+      // session, each with its own round 0) — a process-wide counter, not
+      // the round number, keys the metric.
+      val obs = org.apache.spark.sql.Observation(
+        s"cc_improved_${Cluster.obsId.incrementAndGet()}")
       val next = prop
         .join(prop.select($"doc_id".as("label"), $"label".as("label2")),
           Seq("label"), "left")
         .select($"doc_id",
           least($"label", coalesce($"label2", $"label")).as("label"), $"prev")
+        .observe(obs, count(when($"label" < $"prev", lit(1))).as("improved"))
         .localCheckpoint()
-      // Existence probe, not a full diff: one improved row proves another
-      // round is needed; limit(1) lets Spark stop at the first hit. Round 1
-      // skips the probe — any non-empty edge set improves some label, so the
-      // probe job would be pure overhead (the degenerate no-edges case just
-      // runs one cheap extra round over empty frames).
       val improved =
-        if (round == 0) 1L else next.filter($"label" < $"prev").limit(1).count()
+        if (round == 0) 1L else obs.get("improved").asInstanceOf[Long]
       labels = next.select($"doc_id", $"label")
       converged = improved == 0L
       round += 1
@@ -167,7 +177,12 @@ object Cluster {
     * `walk` carries every (node, label-of-a-node-that-reaches-it); edges are
     * symmetric, so min(label) per node is the component minimum.
     */
-  private def componentsSqlOver(pairsSql: String): String =
+  /** The transitive-closure prefix (pairs → undirected edges → recursive
+    * walk) shared by every components oracle; callers append their own
+    * rollup over `walk`. Exposed as its own builder so variants compose
+    * structurally instead of by substring surgery on an assembled query.
+    */
+  private def walkCtePrefix(pairsSql: String): String =
     s"""WITH RECURSIVE pairs AS (
        |  $pairsSql
        |), edges AS (
@@ -178,7 +193,10 @@ object Cluster {
        |  SELECT DISTINCT src, src FROM edges
        |  UNION
        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.doc_id
-       |)
+       |)""".stripMargin
+
+  private def componentsSqlOver(pairsSql: String): String =
+    s"""${walkCtePrefix(pairsSql)}
        |SELECT doc_id, min(label) AS cluster_id,
        |  doc_id = min(label) AS is_keeper
        |FROM walk GROUP BY doc_id
@@ -211,12 +229,11 @@ object Cluster {
   }
 
   val clusterSizeDistSql: String = {
-    val base = componentsSqlOver(
+    // same WITH RECURSIVE walk as the per-doc oracle, different final
+    // rollup (sizes per component, then the size histogram)
+    val walkOnly = walkCtePrefix(
       s"SELECT doc_a, doc_b FROM (${Dedup.dedupJaccardSql}) WHERE jaccard >= $VerifyThreshold")
-    // strip the builder's per-doc tail: same WITH RECURSIVE walk, different
-    // final rollup (sizes per component, then the size histogram)
-    val walkOnly = base.substring(0, base.indexOf("SELECT doc_id, min(label)"))
-    s"""${walkOnly.trim},
+    s"""$walkOnly,
        |comp AS (
        | SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY doc_id),
        |sizes AS (

@@ -17,7 +17,10 @@ import graft.io.Tables
   * ranking and summing are BIGINT-exact on both engines; the one double
   * emitted is a single division (same rule as q_tpch_q14's share).
   * Overflow: c·N ≤ N² must stay under 2^63 — fine to ~3·10⁹ tokens per
-  * side; past that the product goes through DECIMAL(38) (the Det hatch).
+  * side; past that the query RAISES (a per-row guard on the two broadcast
+  * totals) instead of silently mis-ranking. A deployment that actually
+  * needs >3e9 tokens per side should re-point the products at
+  * DECIMAL(38,0); the guard makes forgetting that loud, not wrong.
   *
   * Scale notes: one token-count aggregate with map-side combine per query
   * (the shuffle carries (token, partials), never text), a broadcast of the
@@ -48,9 +51,17 @@ object Drift {
       .agg(sum(when($"grp" === 0, 1L).otherwise(0L)).as("c_a"),
         sum(when($"grp" === 1, 1L).otherwise(0L)).as("c_b"))
     val tot = cnt.agg(sum($"c_a").as("n_a"), sum($"c_b").as("n_b"))
+    // |c·N| can reach N_A·N_B: overflow-safe only while both totals stay
+    // under ~3e9 (√2^63). Guard loudly — a silent wraparound would
+    // mis-rank with no error (round-4 advice).
+    val lim = 3000000000L
     cnt.crossJoin(broadcast(tot))
       .select($"token", $"c_a", $"c_b",
-        abs($"c_a" * $"n_b" - $"c_b" * $"n_a").as("tv_scaled"))
+        when($"n_a" > lim || $"n_b" > lim,
+          raise_error(lit("x_drift_tv: side totals exceed 3e9 tokens; " +
+            "scaled TV products would overflow BIGINT — route the " +
+            "products through DECIMAL(38,0) for this corpus")).cast("long"))
+          .otherwise(abs($"c_a" * $"n_b" - $"c_b" * $"n_a")).as("tv_scaled"))
       .orderBy($"tv_scaled".desc, $"token")
       .limit(20)
   }
