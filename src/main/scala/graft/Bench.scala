@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main — one JSON line of per-query wall times at the env SF.
+/** Benchmark main — one JSON line of per-query wall times at the env SF,
+  * plus a machine-readable per-query artifact (`bench.json`) so the numbers
+  * survive stdout truncation and are cross-checkable round-over-round.
   *
   * Each query executes via a `noop`-format write so every output column is
   * actually computed (a bare `count()` would let Spark prune the projections
@@ -11,9 +13,23 @@ import org.apache.spark.sql.SparkSession
   * so query #1 doesn't absorb JVM startup.
   */
 object Bench {
+
+  /** Queries with a documented >1 s run-to-run swing (docs/BENCH_NOTES.md
+    * #23/#24/#26: iterative graph queries whose per-round driver round-trips
+    * and checkpoint storage make them hostage to heap pressure). These get
+    * MEDIAN-OF-3 instead of best-of-2: a median is a defensible central
+    * tendency where a single-run number (the round-4 x_pagerank 10.1 s vs
+    * round-3 5.98 s confusion) is noise wearing a number's clothes.
+    */
+  val NoisyQueries: Set[String] = Set(
+    "x_pagerank", "x_triangles", "x_bfs_dist",
+    "x_dedup_cluster", "x_dedup_cluster_verified", "x_cc_size_dist",
+    "x_jaccard_join", "x_quality_filter")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -35,25 +51,27 @@ object Bench {
       .groupBy("k").sum("v"))
     exec(spark.read.parquet(s"$sfDir/region.parquet"))
 
-    // Best of 2 consecutive runs per query: run 1 pays Janino/JIT compilation
-    // of the query-specific generated code (a JVM artifact a steady-state
-    // deployment amortizes away); data is re-read from parquet both times.
-    // A query that throws is reported as -1 and named in "failed" — a broken
-    // query must never bench as fast-and-silent.
+    // Run 1 pays Janino/JIT compilation of the query-specific generated
+    // code (a JVM artifact a steady-state deployment amortizes away); data
+    // is re-read from parquet every run. Best of 2 by default; median of 3
+    // for the NoisyQueries set. A query that throws is reported as -1 and
+    // named in "failed" — a broken query must never bench as
+    // fast-and-silent.
     // Optional arg: comma-separated query names for fast perf iteration
     // (the driver passes no args and benches the full surface).
     val only = args.headOption.map(_.split(',').toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
-      // Before each run (outside the measured window): drop dead
-      // localCheckpoint blocks. Several queries pin lineage-truncation
-      // blocks in executor storage; the ContextCleaner frees them only
-      // after the owning RDD is GC'd, so prior runs' storage pressure
-      // bleeds into later measurements (observed: x_pagerank 5.4 s
-      // isolated vs 14.9 s mid-suite). Unpersist is deterministic where
-      // System.gc() is advisory; the gc still helps with non-storage heap.
-      val times = (1 to 2).flatMap { _ =>
+      val nRuns = if (NoisyQueries(name)) 3 else 2
+      val times = (1 to nRuns).flatMap { _ =>
+        // Before each run (outside the measured window): drop dead
+        // localCheckpoint blocks. Several queries pin lineage-truncation
+        // blocks in executor storage; the ContextCleaner frees them only
+        // after the owning RDD is GC'd, so prior runs' storage pressure
+        // bleeds into later measurements (observed: x_pagerank 5.4 s
+        // isolated vs 14.9 s mid-suite). Unpersist is deterministic where
+        // System.gc() is advisory; the gc still helps with non-storage heap.
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
         System.gc()
@@ -67,19 +85,49 @@ object Bench {
             None
         }
       }
-      name -> times.minOption.getOrElse(-1.0)
+      val stat = if (NoisyQueries(name)) "median3" else "min2"
+      val secs =
+        if (times.isEmpty) -1.0
+        else if (NoisyQueries(name)) times.sorted.apply(times.size / 2)
+        else times.min
+      (name, secs, stat, times)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+
+    def fmt(d: Double): String = BigDecimal(d)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+    // Full-fidelity per-query artifact: chosen stat, every raw run, and the
+    // spread, so a reader can audit whether a chosen number is stable.
+    val perQuery = results.map { case (name, secs, stat, runs) =>
+      val spread = if (runs.size >= 2) runs.max - runs.min else 0.0
+      s"""  "$name": {"secs":${fmt(secs)},"stat":"$stat",""" +
+        s""""runs":[${runs.map(fmt).mkString(",")}],"spread":${fmt(spread)}}"""
+    }.mkString("{\n", ",\n", "\n}")
+    val failedNames = results.collect { case (n, s, _, _) if s < 0 => n }
     // A failed query must POISON the headline number: excluding it would
     // make a broken round bench FASTER than a working one for any consumer
     // that only reads "value".
     val total =
-      if (results.exists(_._2 < 0)) -1.0
+      if (failedNames.nonEmpty) -1.0
       else results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val artifact =
+      s"""{
+         |"sf":"$sfDir",
+         |"unit":"sec",
+         |"total":${fmt(total)},
+         |"failed":[${failedNames.map("\"" + _ + "\"").mkString(",")}],
+         |"queries":$perQuery
+         |}""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      artifact.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    // The driver's stdout capture keeps only a bounded TAIL: 3-decimal
+    // seconds keep the one-line summary well inside it (full precision
+    // lives in the artifact file).
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val failed = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.{AsOf, Bfs, BloomJoin, Diff, Journey, PageRank, PrefixSum, Relational, Sessions, Sketch, Skew, Tpch, Triangles, Upsert, Warehouse}
 import graft.dq.DataQuality
 import graft.io.Ingest
-import graft.llm.{Cluster, CorpusFilter, DataCard, Dedup, Drift, Ivf, IvfPq, LangId, Pack, Pq, Privacy, Semantic, SimHash, SimJoin, Similarity, Terms, TextClean, TextOps}
+import graft.llm.{AnnMulti, Cluster, CorpusFilter, DataCard, Dedup, Drift, Ivf, IvfPq, LangId, Pack, Pq, Privacy, Semantic, SimHash, SimJoin, Similarity, Terms, TextClean, TextOps}
 import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -52,6 +52,7 @@ object SparkEntry {
       LangId.queries ++
       Similarity.queries ++
       Ivf.queries ++
+      AnnMulti.queries ++
       Semantic.queries ++
       Drift.queries ++
       DataCard.queries ++
@@ -93,6 +94,7 @@ object SparkEntry {
       LangId.oracles ++
       Similarity.oracles ++
       Ivf.oracles ++
+      AnnMulti.oracles ++
       Semantic.oracles ++
       Drift.oracles ++
       DataCard.oracles ++

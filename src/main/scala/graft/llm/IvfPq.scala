@@ -61,22 +61,43 @@ object IvfPq {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
 
+    // ONE explicit vec_id exchange, materialized. Every index-build
+    // aggregate downstream (coarse argmax, per-subspace argmin, code
+    // pivot) clusters on vec_id — HashPartitioning(vec_id) satisfies them
+    // all, so they run partition-local, and the cass ⋈ codes join below is
+    // zero-exchange. Without this, cass and codesOver each shuffled their
+    // own aggregates and the join (two frames behind aggregates — no size
+    // estimates, BENCH_NOTES #25) fell back to a SortMergeJoin over the
+    // whole index: 6 exchanges where the index build needs 1.
+    // Materialized: the seeds collect, two counts, and both index
+    // aggregates all sit on ep — without the checkpoint each action
+    // re-executes the scan + exchange (measured 3.6 s vs 2.0 s at sf0.1).
+    val ep = e.repartition(spark.sparkContext.defaultParallelism, $"vec_id")
+      .localCheckpoint()
+
     // coarse quantizer: stride-seeded centroids, 6dp-rounded cosine argmax
-    val n = e.count()
+    val n = ep.count()
     val stride = math.max(1L, n / nlist)
-    val seeds = e.filter(pmod($"vec_id", lit(stride)) === 0)
+    val seeds = ep.filter(pmod($"vec_id", lit(stride)) === 0)
       .orderBy($"vec_id").limit(nlist)
       .as[(Long, Seq[Double])].collect().sortBy(_._1)
     val coarse = broadcast(
       seeds.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
         .toSeq.toDF("ccid", "cv"))
-    val cass = e.crossJoin(coarse)
+    val cass = ep.crossJoin(coarse)
       .withColumn("sim", round(cosineFast(spark, $"v", $"cv"), 6) + lit(0.0))
       .groupBy($"vec_id")
       .agg(max_by($"ccid", struct($"sim", -$"ccid")).as("ccid"))
 
-    // inverted lists carry ONLY the PQ codes — the point of the layout
-    val lists = cass.join(Pq.codesOver(spark, e), Seq("vec_id"))
+    // inverted lists carry ONLY the PQ codes — the point of the layout.
+    // Both sides inherit ep's vec_id partitioning (aggregates were
+    // partition-local), so this is exchange-free; the shuffle_hash hint
+    // swaps the planner's sort-merge fallback for a no-sort hash join.
+    // PQ sub-codebook built ONCE, shared by code assignment and the ADC
+    // LUT below (each build is a count + seed collect on the driver).
+    val subCb = Pq.subCodebook(spark, ep)
+    val lists = cass.hint("shuffle_hash")
+      .join(Pq.codesOver(spark, ep, Some(subCb)), Seq("vec_id"))
       .select($"ccid", $"vec_id".as("neighbor_id"), $"c0", $"c1", $"c2", $"c3")
 
     // cell routing: nProbe best cells per query by the same rounded cosine
@@ -88,7 +109,7 @@ object IvfPq {
       .select($"query_id", $"ccid")
 
     // ADC lookup table: per (query, subspace, code) squared distance
-    val lut = probes.crossJoin(Pq.subCodebook(spark, e))
+    val lut = probes.crossJoin(subCb)
       .withColumn("qsub",
         expr(s"slice(qv, CAST(m * ${Pq.SubDim} + 1 AS INT), ${Pq.SubDim})"))
       .withColumn("d", expr(

@@ -56,10 +56,14 @@ object Pq {
 
   /** Per-(vector, subspace) argmin code: (vec_id, m, cid, dist), dist
     * 6 dp-rounded BEFORE the argmin (the oracle-determinism pivot).
+    * `cb` lets a caller that already built the codebook (IvfPq shares it
+    * with the ADC LUT) reuse it — each subCodebook build is a count + a
+    * seed collect, two driver round-trips worth saving in a probe path.
     */
-  def bestCodes(spark: SparkSession, e: DataFrame): DataFrame = {
+  def bestCodes(spark: SparkSession, e: DataFrame,
+      cb: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
-    val scored = e.crossJoin(subCodebook(spark, e))
+    val scored = e.crossJoin(cb.getOrElse(subCodebook(spark, e)))
       .withColumn("sub", expr(s"slice(v, CAST(m * $SubDim + 1 AS INT), $SubDim)"))
       .withColumn("dist", expr(
         "round(aggregate(zip_with(sub, c, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x), 6)"))
@@ -70,9 +74,10 @@ object Pq {
   }
 
   /** (vec_id, c0..c3): the packed PQ code row per vector. */
-  def codesOver(spark: SparkSession, e: DataFrame): DataFrame = {
+  def codesOver(spark: SparkSession, e: DataFrame,
+      cb: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
-    bestCodes(spark, e).groupBy($"vec_id")
+    bestCodes(spark, e, cb).groupBy($"vec_id")
       .agg(
         max(when($"m" === 0, $"cid")).as("c0"),
         max(when($"m" === 1, $"cid")).as("c1"),
