@@ -338,7 +338,141 @@ object Tpch {
        |GROUP BY 1, 2, 3
        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
 
+  /** Q4 window: one quarter of orders. */
+  val Q4Start = "1997-01-01"
+  val Q4End = "1997-04-01"
+  /** "Committed late" proxy: the fixture lineitem has no commit/receipt
+    * dates, so a lineitem shipped > [[Q4LateDays]] days after the order
+    * date stands in for TPC-H's l_commitdate < l_receiptdate — same
+    * decorrelated-EXISTS shape, fixture-expressible predicate.
+    */
+  val Q4LateDays = 60
+
+  /** q_tpch_q4 — order-priority checking: per priority class, how many
+    * orders in one quarter had at least one late lineitem. The classic
+    * correlated-EXISTS shape: Catalyst decorrelates the subquery into a
+    * LEFT SEMI join on the order key with the late predicate as an extra
+    * join condition, so the lineitem side is filtered AND deduplicated by
+    * the semi-join itself — no count-then-filter, no distinct. The
+    * priority aggregate then runs over order rows only.
+    *
+    * Scale notes: the semi-join shuffles on the fact key (the only
+    * corpus-sized movement); the quarter filter reaches the orders scan as
+    * a pushed date range, so the probe side is months, not years.
+    */
+  def tpchQ4(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .filter(to_date($"o_orderdate") >= lit(Q4Start) &&
+        to_date($"o_orderdate") < lit(Q4End))
+      .select($"o_orderkey", $"o_orderpriority",
+        to_date($"o_orderdate").as("o_date"))
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", to_date($"l_shipdate").as("l_sdate"))
+    ord.join(li,
+        $"o_orderkey" === $"l_orderkey" &&
+          $"l_sdate" > date_add($"o_date", Q4LateDays),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val tpchQ4Sql: String =
+    s"""SELECT o_orderpriority, count(*) AS order_count
+       |FROM orders o
+       |WHERE CAST(o_orderdate AS DATE) >= DATE '$Q4Start'
+       |  AND CAST(o_orderdate AS DATE) < DATE '$Q4End'
+       |  AND EXISTS (
+       |   SELECT 1 FROM lineitem l
+       |   WHERE l.l_orderkey = o.o_orderkey
+       |     AND CAST(l.l_shipdate AS DATE) >
+       |         CAST(o.o_orderdate AS DATE) + INTERVAL $Q4LateDays DAY)
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  /** Priority class excluded from Q13's per-customer counts (the fixture
+    * stand-in for TPC-H's `o_comment NOT LIKE '%special%requests%'`).
+    */
+  val Q13ExcludedPriority = "5-LOW"
+
+  /** q_tpch_q13 — customer order-count distribution: how many customers
+    * placed 0, 1, 2… qualifying orders. The ONLY aggregate-over-outer-join
+    * shape in the surface: customers with no orders must survive as
+    * c_count = 0 (count(o_orderkey) over the null-extended rows), which an
+    * inner join silently drops — the exact bug class this query pins.
+    *
+    * Scale notes: the filter on the orders side sits in the JOIN condition
+    * (not a WHERE after the join, which would turn left-outer into inner);
+    * both aggregates are hash aggregates with map-side partials, and the
+    * second one runs over at most |distinct counts| rows.
+    */
+  def tpchQ13(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderpriority" =!= Q13ExcludedPriority)
+      .select($"o_orderkey", $"o_custkey")
+    val perCust = Tables.customer(spark, dir).select($"c_custkey")
+      .join(ord, $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+    perCust.groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  val tpchQ13Sql: String =
+    s"""SELECT c_count, count(*) AS custdist
+       |FROM (
+       | SELECT c_custkey, count(o_orderkey) AS c_count
+       | FROM customer LEFT OUTER JOIN orders
+       |  ON c_custkey = o_custkey AND o_orderpriority <> '$Q13ExcludedPriority'
+       | GROUP BY c_custkey)
+       |GROUP BY c_count
+       |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** q_tpch_q19 — discounted revenue over an OR of per-branch conjunctions
+    * spanning BOTH join sides (brand+size from part, quantity from
+    * lineitem). The disjunctive-pushdown probe: Catalyst must extract the
+    * common per-side implications (brand IN (...), size ≤ max, quantity
+    * within the union range) and push them into BOTH scans while keeping
+    * the exact disjunction as the residual join filter — no other declared
+    * query pushes an OR of conjunctions. Revenue is exact integer
+    * micro-cents (the Q3 recipe).
+    */
+  def tpchQ19(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val part = Tables.part(spark, dir).select($"p_partkey", $"p_brand", $"p_size")
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_quantity",
+        (Det.cents($"l_extendedprice") *
+          (lit(100L) - round($"l_discount" * 100).cast("long"))).as("rev_ucents"))
+    def branch(brand: String, sizeMax: Int, qLo: Int, qHi: Int) =
+      $"p_brand" === brand && $"p_size".between(1, sizeMax) &&
+        $"l_quantity".between(qLo, qHi)
+    li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .filter(branch("Brand#12", 15, 1, 11) ||
+        branch("Brand#23", 25, 10, 20) ||
+        branch("Brand#34", 35, 20, 30))
+      .agg(sum($"rev_ucents").as("revenue_ucents"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val tpchQ19Sql: String =
+    """SELECT
+      | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |          * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+      |  AS revenue_ucents,
+      | count(*) AS n_lines
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q4" -> (tpchQ4 _),
+    "q_tpch_q13" -> (tpchQ13 _),
+    "q_tpch_q19" -> (tpchQ19 _),
     "q_tpch_q7" -> (tpchQ7 _),
     "q_tpch_q5" -> (tpchQ5 _),
     "q_tpch_q3" -> (tpchQ3 _),
@@ -348,6 +482,9 @@ object Tpch {
     "q_moments" -> (moments _))
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_q4" -> tpchQ4Sql,
+    "q_tpch_q13" -> tpchQ13Sql,
+    "q_tpch_q19" -> tpchQ19Sql,
     "q_tpch_q7" -> tpchQ7Sql,
     "q_tpch_q5" -> tpchQ5Sql,
     "q_tpch_q3" -> tpchQ3Sql,

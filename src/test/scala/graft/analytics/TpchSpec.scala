@@ -41,4 +41,52 @@ class TpchSpec extends SparkSpec {
       .select($"revenue_ucents").as[Long].collect().toList
     assert(rev.length <= 10 && rev == rev.sorted.reverse)
   }
+
+  test("q_tpch_q4 semi-join counts orders once however many lines are late") {
+    val out = Tpch.tpchQ4(spark, dir)
+      .as[(String, Long)].collect().toMap
+    // independent formulation: distinct qualifying order keys per priority
+    val ord = Tables.orders(spark, dir)
+      .filter(to_date($"o_orderdate") >= lit(Tpch.Q4Start) &&
+        to_date($"o_orderdate") < lit(Tpch.Q4End))
+    val expected = ord
+      .join(Tables.lineitem(spark, dir),
+        $"o_orderkey" === $"l_orderkey" &&
+          to_date($"l_shipdate") > date_add(to_date($"o_orderdate"), Tpch.Q4LateDays))
+      .select($"o_orderpriority", $"o_orderkey").distinct()
+      .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(out == expected)
+  }
+
+  test("q_tpch_q13 keeps zero-order customers and conserves the population") {
+    val out = Tpch.tpchQ13(spark, dir)
+      .as[(Long, Long)].collect()
+    val nCust = Tables.customer(spark, dir).count()
+    assert(out.map(_._2).sum == nCust, "distribution must cover every customer")
+    // the excluded-priority filter guarantees some zero-count customers at
+    // this SF only if a customer's orders are all 5-LOW; just pin presence
+    // of the 0 bucket when any customer lacks qualifying orders
+    val withOrders = Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter($"o_orderpriority" =!= Tpch.Q13ExcludedPriority),
+        $"c_custkey" === $"o_custkey", "left_semi").count()
+    val zeroBucket = out.toMap.getOrElse(0L, 0L)
+    assert(zeroBucket == nCust - withOrders, "outer join dropped customers")
+  }
+
+  test("q_tpch_q19 disjunction equals the union of its branches") {
+    val one = Tpch.tpchQ19(spark, dir)
+      .as[(Long, Long)].collect().head
+    val li = Tables.lineitem(spark, dir)
+    val part = Tables.part(spark, dir)
+    val joined = li.join(part, $"l_partkey" === $"p_partkey")
+    def branch(b: String, sMax: Int, qLo: Int, qHi: Int) = joined
+      .filter($"p_brand" === b && $"p_size".between(1, sMax) &&
+        $"l_quantity".between(qLo, qHi))
+    val union = branch("Brand#12", 15, 1, 11)
+      .union(branch("Brand#23", 25, 10, 20))
+      .union(branch("Brand#34", 35, 20, 30))
+    assert(one._2 == union.count(), "branch disjointness (quantity ranges) broken")
+  }
 }
