@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
   * binary columns, partition-level batch processing via `mapPartitions` on a
   * typed Dataset (the JVM analogue of arrow-batched UDFs: one decoder
   * instantiation per partition, streamed row iterator, no per-row setup).
-  * The codec itself is a clearly-marked DETERMINISTIC FAKE — this container
-  * has no image/audio libraries, so "decode" parses our own synthetic header
-  * instead of a real JPEG/WAV; swap `FakeCodec` for a real one without
-  * touching any operator shape.
+  *
+  * Codecs: PNG decode/encode is REAL — `javax.imageio` ships in the JDK,
+  * no external dependency — so image assets round-trip through actual
+  * compressed bytes and [[decodeFrames]]/[[resize]] operate on true pixel
+  * grids. Formats the JDK lacks (audio/video) keep the clearly-marked
+  * DETERMINISTIC FAKE (`FakeCodec`'s GFT0 header); [[decodeFrames]] sniffs
+  * the magic bytes and routes per asset, so a mixed corpus decodes in one
+  * pass and a real JPEG/WAV codec drops in without touching operator shapes.
   */
 object Multimodal {
 
@@ -52,6 +56,62 @@ object Multimodal {
     }
   }
 
+  /** REAL PNG codec over the JDK's built-in `javax.imageio` — no external
+    * dependency. Pixels travel as row-major packed RGB (3 bytes/pixel), the
+    * layout [[resize]]'s 2-D nearest-neighbor path consumes.
+    */
+  object PngCodec {
+    def isPng(data: Array[Byte]): Boolean =
+      data.length >= 8 &&
+        (data(0) & 0xff) == 0x89 && data(1) == 'P' && data(2) == 'N' && data(3) == 'G'
+
+    /** Deterministic RGB test image (channels id/x/y-derived), PNG-encoded
+      * through the real encoder — the committed sample fixture and the
+      * synthetic PNG corpus both come from here.
+      */
+    def encode(assetId: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((assetId * 31 + x * 7 + y * 13) & 0xff).toInt
+          val g = (x * 5 + y * 3) & 0xff
+          val b = ((assetId + x + y * 11) & 0xff).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** (width, height, row-major packed RGB bytes). */
+    def decode(data: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+      require(img != null, "payload is not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val i = (y * w + x) * 3
+          out(i) = ((rgb >> 16) & 0xff).toByte
+          out(i + 1) = ((rgb >> 8) & 0xff).toByte
+          out(i + 2) = (rgb & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, out)
+    }
+  }
+
   /** Deterministic synthetic asset table (seed-free: id-derived). */
   def syntheticAssets(spark: SparkSession, n: Int): Dataset[Asset] = {
     import spark.implicits._
@@ -66,19 +126,41 @@ object Multimodal {
     }).repartition(4, col("asset_id")) // binary columns shuffle like any other
   }
 
+  /** Deterministic synthetic PNG corpus: REAL compressed image payloads
+    * (id-derived pixels through the real encoder), single-frame, format
+    * "png". Mixes freely with [[syntheticAssets]] — [[decodeFrames]]
+    * routes by magic bytes.
+    */
+  def syntheticPngAssets(spark: SparkSession, n: Int): Dataset[Asset] = {
+    import spark.implicits._
+    spark.createDataset((0 until n).map { i =>
+      val (w, h) = (32 + (i % 3) * 16, 24 + (i % 2) * 8)
+      Asset(i.toLong, "image", MediaMeta("png", w, h, 0L),
+        PngCodec.encode(i.toLong, w, h))
+    }).repartition(4, col("asset_id"))
+  }
+
   /** Decode: one codec per PARTITION (mapPartitions), frames streamed out.
     * This is the batch shape that matters at scale — per-row decoder setup
-    * would dominate on small assets.
+    * would dominate on small assets. Routing is per-asset by magic bytes:
+    * PNG payloads go through the REAL `javax.imageio` decoder (single
+    * frame, true w×h×3 RGB pixels), GFT0 payloads through the fake.
     */
   def decodeFrames(assets: Dataset[Asset]): Dataset[DecodedFrame] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
-      // per-partition decoder instantiation happens HERE (the fake has none)
+      // per-partition decoder instantiation happens HERE (ImageIO reader
+      // instances are created per call; the fake has none)
       it.flatMap { a =>
-        val (w, h, frames) = FakeCodec.decodeHeader(a.data)
-        (0 until frames).iterator.map { f =>
-          DecodedFrame(a.asset_id, f, w, h,
-            a.data.drop(16).map(b => (b + f).toByte))
+        if (PngCodec.isPng(a.data)) {
+          val (w, h, px) = PngCodec.decode(a.data)
+          Iterator.single(DecodedFrame(a.asset_id, 0, w, h, px))
+        } else {
+          val (w, h, frames) = FakeCodec.decodeHeader(a.data)
+          (0 until frames).iterator.map { f =>
+            DecodedFrame(a.asset_id, f, w, h,
+              a.data.drop(16).map(b => (b + f).toByte))
+          }
         }
       }
     }
@@ -91,8 +173,12 @@ object Multimodal {
     frames.filter(f => f.frame_idx % stride == 0)
   }
 
-  /** Resize: deterministic downscale stub — halves dimensions, subsamples
-    * pseudo-pixels (a real impl swaps the body, signature/meta stay).
+  /** Resize: deterministic nearest-neighbor downscale — halves dimensions
+    * until the longest side fits `maxSide`. Frames whose pixel buffer is a
+    * true w×h×3 RGB grid (the PNG decode path) are sampled in 2-D at
+    * (x·step, y·step); opaque fake-codec buffers keep the legacy strided
+    * subsample. Nearest-neighbor because it is exactly reproducible across
+    * engines and JVMs — no float filter kernels in a hash-gated pipeline.
     */
   def resize(frames: Dataset[DecodedFrame], maxSide: Int): Dataset[DecodedFrame] = {
     import frames.sparkSession.implicits._
@@ -102,12 +188,29 @@ object Multimodal {
       while (math.max(w, h) > maxSide && w > 1 && h > 1) {
         w /= 2; h /= 2; step *= 2
       }
-      // One strided copy for the whole downscale (keeps indices that are
-      // multiples of 2^halvings — identical to halving repeatedly, without
-      // per-halving intermediate allocations in the per-row hot path).
       val px =
         if (step == 1) f.pixels
-        else Array.tabulate((f.pixels.length + step - 1) / step)(i => f.pixels(i * step))
+        else if (f.pixels.length == f.width * f.height * 3) {
+          // real RGB grid: 2-D nearest neighbor, one pass
+          val out = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val src = (y * step * f.width + x * step) * 3
+              val dst = (y * w + x) * 3
+              out(dst) = f.pixels(src)
+              out(dst + 1) = f.pixels(src + 1)
+              out(dst + 2) = f.pixels(src + 2)
+              x += 1
+            }
+            y += 1
+          }
+          out
+        } else
+          // opaque pseudo-pixel buffer: strided copy (indices that are
+          // multiples of 2^halvings — identical to halving repeatedly)
+          Array.tabulate((f.pixels.length + step - 1) / step)(i => f.pixels(i * step))
       f.copy(width = w, height = h, pixels = px)
     }
   }

@@ -22,6 +22,11 @@ object WriteFixtures {
     Multimodal.syntheticAssets(spark, 24)
       .coalesce(1).write.mode("overwrite").parquet(out)
     println(s"wrote $out")
+    // Tiny committed PNG (real encoder, deterministic pixels): the fixture
+    // MultimodalSpec decodes to prove the real-codec path on committed bytes.
+    val png = new java.io.File(new java.io.File(out).getParentFile, "sample.png")
+    java.nio.file.Files.write(png.toPath, Multimodal.PngCodec.encode(7L, 48, 32))
+    println(s"wrote $png")
     spark.stop()
   }
 }

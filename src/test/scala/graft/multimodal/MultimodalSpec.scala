@@ -61,4 +61,58 @@ class MultimodalSpec extends SparkSpec {
     assert(wide.nonEmpty)
     assert(cat.filter($"kind" === "audio").select($"width").as[Int].collect().forall(_ == 0))
   }
+
+  test("real PNG payloads decode through javax.imageio to exact pixels") {
+    val assets = Multimodal.syntheticPngAssets(spark, 6)
+    val frames = Multimodal.decodeFrames(assets).collect()
+    assert(frames.length == 6, "PNG assets are single-frame")
+    frames.foreach { f =>
+      assert(f.pixels.length == f.width * f.height * 3, "true RGB grid")
+      // distributed decode ≡ local decode of the same payload
+      val local = Multimodal.PngCodec.decode(
+        Multimodal.PngCodec.encode(f.asset_id, f.width, f.height))
+      assert(local._3.sameElements(f.pixels), s"asset ${f.asset_id} pixels differ")
+      // and the pixels are the DETERMINISTIC pattern, not whatever the
+      // encoder round-tripped: spot-check (0,0)'s red channel
+      assert((f.pixels(0) & 0xff) == ((f.asset_id * 31) & 0xff).toInt)
+    }
+  }
+
+  test("mixed PNG + fake-codec corpus decodes in one pass via magic sniffing") {
+    val fake = Multimodal.syntheticAssets(spark, 9)
+    val png = Multimodal.syntheticPngAssets(spark, 3)
+      .map(a => a.copy(asset_id = a.asset_id + 100))
+    val frames = Multimodal.decodeFrames(fake.union(png)).collect()
+    assert(frames.count(_.asset_id >= 100) == 3)
+    assert(frames.count(_.asset_id < 100) > 9, "videos contribute multiple frames")
+  }
+
+  test("resize on real frames is 2-D nearest-neighbor at (x*step, y*step)") {
+    val assets = Multimodal.syntheticPngAssets(spark, 2)
+    val resized = Multimodal.resize(Multimodal.decodeFrames(assets), 16)
+      .collect().sortBy(_.asset_id)
+    val originals = Multimodal.decodeFrames(assets).collect()
+      .map(f => f.asset_id -> f).toMap
+    resized.foreach { r =>
+      val o = originals(r.asset_id)
+      assert(math.max(r.width, r.height) <= 16)
+      val step = o.width / r.width
+      assert(r.pixels.length == r.width * r.height * 3)
+      // every sampled pixel equals the source at the strided 2-D index
+      for (y <- 0 until r.height; x <- 0 until r.width; c <- 0 until 3)
+        assert(r.pixels((y * r.width + x) * 3 + c) ==
+          o.pixels((y * step * o.width + x * step) * 3 + c))
+    }
+  }
+
+  test("committed sample.png decodes to its pinned dimensions and pattern") {
+    val path = new java.io.File(
+      new java.io.File(Multimodal.FixturePath).getParentFile, "sample.png")
+    assert(path.exists(), s"committed PNG fixture missing at $path")
+    val (w, h, px) = Multimodal.PngCodec.decode(
+      java.nio.file.Files.readAllBytes(path.toPath))
+    assert(w == 48 && h == 32)
+    assert(px.sameElements(Multimodal.PngCodec.decode(
+      Multimodal.PngCodec.encode(7L, 48, 32))._3))
+  }
 }
