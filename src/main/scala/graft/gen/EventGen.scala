@@ -1,6 +1,6 @@
 package graft.gen
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Synthetic clickstream event generation + replay — the engine-side
@@ -89,6 +89,27 @@ object EventGen {
   def jsonEnvelope(df: DataFrame): DataFrame =
     df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
 
+  /** Reference-parity Kafka envelope — byte-identical to the producer's
+    * `json.dumps(row).encode('utf-8')` (kafka_stream.pyc @ 42-43) for
+    * ASCII rows: Python's default separators (`", "`, `": "`), keys in
+    * dict insertion order = this frame's column order, and every value a
+    * JSON STRING (the reference sends `csv.DictReader` rows untouched
+    * @ 69-74, and its generated events are all strings @ 32-37). Escaping
+    * backslash-first then quotes, matching json.dumps for the ASCII set;
+    * non-ASCII would need \\uXXXX (ensure_ascii) — the fixture domains and
+    * the REES46 schema are ASCII, so parity holds where the contract does.
+    */
+  def pyJsonEnvelope(df: DataFrame): DataFrame = {
+    def esc(c: Column): Column =
+      call_function("replace",
+        call_function("replace", c.cast("string"), lit("\\"), lit("\\\\")),
+        lit("\""), lit("\\\""))
+    val pieces = df.columns.map { name =>
+      concat(lit("\"" + name + "\": \""), esc(col(name)), lit("\""))
+    }
+    df.select(concat(lit("{"), concat_ws(", ", pieces: _*), lit("}")).as("value"))
+  }
+
   /** The public REES46 clickstream CSV schema (B3 in FIXTURES.md; the file
     * the reference replays, kafka_stream.pyc @ 61).
     */
@@ -113,8 +134,13 @@ object EventGen {
 
   /** Kafka sink wiring (unkeyed JSON values on a topic, the reference's
     * producer contract). NOTE: this container ships no spark-sql-kafka jar,
-    * so this is exercised only where the connector exists; the envelope and
-    * replay logic above are the tested parts.
+    * so the `.save()` itself is exercised only where the connector exists;
+    * the VALUE BYTES are contract-tested broker-free — EventGenSpec pins
+    * [[pyJsonEnvelope]] byte-identical to the reference serializer's
+    * `json.dumps(row).encode('utf-8')`. A reference-parity producer calls
+    * `writeKafka(pyJsonEnvelope(df), …)` (single `value` column — passes
+    * through untouched); typed in-house topics use the default
+    * [[jsonEnvelope]].
     */
   def writeKafka(df: DataFrame, brokers: String, topic: String): Unit = {
     // An already-enveloped frame (single string `value` column — csvReplay's

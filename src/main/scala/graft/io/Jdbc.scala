@@ -6,9 +6,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * leg (the spark-submit packages `org.postgresql:postgresql:42.7.7`,
   * kafka_stream.pyc @ 91; SURVEY.md §2.3 daily_kpis writes JDBC).
   *
-  * NOTE: this container ships no JDBC driver jars, so these builders are
-  * exercised only where a driver exists; the option plumbing (partitioned
-  * parallel reads, batched writes) is the part that matters at scale.
+  * Runtime-exercised broker-free: Spark's own distribution ships Apache
+  * Derby (the metastore's embedded pure-JVM database), so JdbcSpec
+  * round-trips a partitioned write and a predicate-pushdown parallel read
+  * through these exact builders against `jdbc:derby:memory:` — same code
+  * path a Postgres deployment takes, different driver string. The option
+  * plumbing (partitioned parallel reads, batched writes) is the part that
+  * matters at scale: without partitionColumn bounds a JDBC read is a
+  * single-task bottleneck regardless of cluster size.
   */
 object Jdbc {
 

@@ -56,4 +56,53 @@ class EventGenSpec extends SparkSpec {
     assert(vals.head.contains("\"brand\":\"shiseido\""))
     assert(vals(1).contains("\"event_type\":\"cart\""))
   }
+
+  test("pyJsonEnvelope is byte-identical to the reference json.dumps envelope") {
+    // Expected byte strings are the literal output of CPython's
+    // json.dumps(row).encode('utf-8') for these rows — the serializer the
+    // reference producer installs (kafka_stream.pyc @ 42-43) — computed
+    // once offline and pinned here. Key order = column order; default
+    // separators put a space after ':' and ','.
+    val events = Seq(
+      ("user_3", "click", "/cart", "2025-07-28T00:00:00Z", "google"),
+      ("user_0", "page_view", "/home", "2025-07-28T01:02:03Z", "organic"))
+      .toDF("user_id", "event_type", "url", "timestamp", "utm_source")
+    val got = EventGen.pyJsonEnvelope(events).as[String].collect()
+    val want = Seq(
+      """{"user_id": "user_3", "event_type": "click", "url": "/cart", "timestamp": "2025-07-28T00:00:00Z", "utm_source": "google"}""",
+      """{"user_id": "user_0", "event_type": "page_view", "url": "/home", "timestamp": "2025-07-28T01:02:03Z", "utm_source": "organic"}""")
+    assert(got.toSet == want.toSet)
+    got.zip(got.map(_.getBytes("UTF-8"))).foreach { case (s, b) =>
+      assert(s.getBytes("UTF-8").sameElements(b)) // ASCII: bytes == chars
+    }
+
+    // the CSV-replay contract: a DictReader row is ALL strings in header
+    // order, empty fields stay empty strings
+    val rees46 = Seq((
+      "2019-10-01 00:00:00 UTC", "view", "44600062", "2103807459595387724",
+      "", "shiseido", "35.79", "541312140",
+      "72d76fde-8bb3-4e00-8c23-a032dfed738c"))
+      .toDF("event_time", "event_type", "product_id", "category_id",
+        "category_code", "brand", "price", "user_id", "user_session")
+    assert(EventGen.pyJsonEnvelope(rees46).as[String].head() ==
+      """{"event_time": "2019-10-01 00:00:00 UTC", "event_type": "view", "product_id": "44600062", "category_id": "2103807459595387724", "category_code": "", "brand": "shiseido", "price": "35.79", "user_id": "541312140", "user_session": "72d76fde-8bb3-4e00-8c23-a032dfed738c"}""")
+
+    // escaping parity: backslash first, then quotes (json.dumps order)
+    val tricky = Seq("a\"b\\c").toDF("k")
+    assert(EventGen.pyJsonEnvelope(tricky).as[String].head() ==
+      "{\"k\": \"a\\\"b\\\\c\"}")
+  }
+
+  test("writeKafka passes a pre-enveloped single-value frame through untouched") {
+    // The reference topic contract: writeKafka(pyJsonEnvelope(df), ...)
+    // must ship exactly the envelope bytes. The kafka connector jar is
+    // absent here, so pin the pass-through seam writeKafka applies before
+    // the sink: an already-enveloped frame is NOT re-wrapped.
+    val df = Seq(("u1", "click")).toDF("user_id", "event_type")
+    val env = EventGen.pyJsonEnvelope(df)
+    assert(env.columns.sameElements(Array("value")))
+    val twice = EventGen.pyJsonEnvelope(env.toDF())
+    assert(twice.as[String].head() != env.as[String].head(),
+      "double-enveloping must differ — the guard in writeKafka is load-bearing")
+  }
 }
