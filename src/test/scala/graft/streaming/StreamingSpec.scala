@@ -304,4 +304,64 @@ class StreamingSpec extends SparkSpec {
         "dominant token lost from every shard sketch")
     } finally q.stop()
   }
+
+  test("stream/batch parity: session_window through the sink equals the oracle-gated batch tier") {
+    // THE equivalence claim of the streaming tier: the same fixture events
+    // sessionized (30-min gap) through MemoryStream → session_window →
+    // foreachBatch parquet sink → batch read-back must agree per session
+    // with the DuckDB-hash-gated batch query (Sessions.sessionStats's
+    // lag+running-sum form). Typed MemoryStream (no JSON hop) so
+    // microsecond timestamps survive bit-exact. One semantic note: the
+    // batch form keeps events at EXACTLY gap distance in one session
+    // (`> gap` splits), session_window's half-open [t, t+gap) splits them —
+    // the fixture's microsecond timestamps make an exact-30:00.000000 gap
+    // a non-event.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.io.Tables.events(spark, dir)
+      .select($"ts".cast("timestamp").as("ts"), $"user_id", $"value")
+      .as[(java.sql.Timestamp, Long, Double)].collect()
+
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val stats = Streaming.sessionStats(
+      input.toDF().toDF("ts", "user_id", "value"),
+      gap = "30 minutes", watermark = "0 seconds")
+    val outRoot = java.nio.file.Files.createTempDirectory("parity_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("parity_ckpt").toString
+    val q = stats.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        Streaming.writeBatch(batch, batchId, outRoot)
+      }
+      .start()
+    try {
+      input.addData(rows.toSeq)
+      q.processAllAvailable()
+      // sentinel far past every fixture session: advances the watermark so
+      // the last open sessions finalize and reach the sink
+      input.addData(Seq((java.sql.Timestamp.valueOf("2099-01-01 00:00:00"), 999999L, 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = Streaming.readSink(spark, outRoot)
+      .filter($"user_id" =!= 999999L)
+      .select($"user_id", $"n_events", $"session_value",
+        // span = end - start - gap (session_window end = last event + gap)
+        (org.apache.spark.sql.functions.unix_micros($"session_end") -
+          org.apache.spark.sql.functions.unix_micros($"session_start") -
+          30L * 60 * 1000000).as("span_us"))
+      .as[(Long, Long, Double, Long)].collect()
+
+    val batch = graft.analytics.Sessions.sessionStats(spark, dir)
+      .select($"user_id", $"n_events", $"session_value", $"span_us")
+      .as[(Long, Long, Double, Long)].collect()
+
+    // per-session multiset equality (session ids are tier-local labels)
+    def key(t: (Long, Long, Double, Long)) = t
+    assert(streamed.length == batch.length,
+      s"${streamed.length} streamed sessions vs ${batch.length} batch")
+    assert(streamed.groupBy(key).view.mapValues(_.length).toMap ==
+      batch.groupBy(key).view.mapValues(_.length).toMap)
+  }
 }
