@@ -469,7 +469,100 @@ object Tpch {
       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
       |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  /** Q16's excluded brand and admitted size set. */
+  val Q16ExcludedBrand = "Brand#45"
+  val Q16Sizes: Seq[Int] = Seq(1, 5, 9, 14, 19, 23, 36, 45)
+
+  /** q_tpch_q16 — supplier breadth per (brand, size): how many DISTINCT
+    * suppliers ship each admitted part group, excluding one brand. The
+    * NOT-equal + IN-list pushdown pair plus the only
+    * countDistinct-under-grouped-aggregate shape in the surface (planned
+    * as Expand + two-phase aggregate — partials stay mergeable, no
+    * whole-group row collection). The fixture has no partsupp table, so the
+    * supplier relation comes from lineitem's (partkey, suppkey) pairs —
+    * same join/aggregate geometry, fixture-expressible.
+    */
+  def tpchQ16(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val part = Tables.part(spark, dir)
+      .filter($"p_brand" =!= Q16ExcludedBrand && $"p_size".isin(Q16Sizes: _*))
+      .select($"p_partkey", $"p_brand", $"p_size")
+    Tables.lineitem(spark, dir).select($"l_partkey", $"l_suppkey")
+      .join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_size")
+  }
+
+  val tpchQ16Sql: String =
+    s"""SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE p_brand <> '$Q16ExcludedBrand'
+       |  AND p_size IN (${Q16Sizes.mkString(", ")})
+       |GROUP BY p_brand, p_size
+       |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
+
+  /** q_tpch_q21 — suppliers who single-handedly held up multi-supplier
+    * orders: per supplier, the number of orders where THIS supplier shipped
+    * late (the [[Q4LateDays]] proxy), at least one OTHER supplier has a
+    * line in the order (EXISTS), and NO other supplier shipped late
+    * (NOT EXISTS). The double-correlation shape — a semi-join and an
+    * anti-join against the same fact table keyed by the same order —
+    * that TPC-H's hardest optimizer query exercises.
+    *
+    * Scale notes: one narrow (orderkey, suppkey, late) projection is
+    * localCheckpointed and reused by all three roles (base, exists-other,
+    * exists-other-late); both correlations are shuffle joins on
+    * l_orderkey — the same key, so the exchanges line up; the top-level
+    * aggregate is per supplier.
+    */
+  def tpchQ21(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).select($"o_orderkey",
+        to_date($"o_orderdate").as("o_date")),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_suppkey",
+        (to_date($"l_shipdate") > date_add($"o_date", Q4LateDays)).as("late"))
+      .localCheckpoint()
+    val lateLines = li.filter($"late")
+      .select($"l_orderkey", $"l_suppkey").distinct()
+    val othersExist = li.select($"l_orderkey".as("o2"), $"l_suppkey".as("s2"))
+    val othersLate = li.filter($"late")
+      .select($"l_orderkey".as("o3"), $"l_suppkey".as("s3"))
+    lateLines
+      .join(othersExist,
+        $"l_orderkey" === $"o2" && $"l_suppkey" =!= $"s2", "left_semi")
+      .join(othersLate,
+        $"l_orderkey" === $"o3" && $"l_suppkey" =!= $"s3", "left_anti")
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"l_suppkey")
+  }
+
+  val tpchQ21Sql: String =
+    s"""WITH li AS (
+       | SELECT l_orderkey, l_suppkey,
+       |  CAST(l_shipdate AS DATE) >
+       |    CAST(o_orderdate AS DATE) + INTERVAL $Q4LateDays DAY AS late
+       | FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+       |late_sup AS (
+       | SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late)
+       |SELECT s.l_suppkey, count(*) AS numwait
+       |FROM late_sup s
+       |WHERE EXISTS (
+       |  SELECT 1 FROM li o
+       |  WHERE o.l_orderkey = s.l_orderkey AND o.l_suppkey <> s.l_suppkey)
+       | AND NOT EXISTS (
+       |  SELECT 1 FROM li o
+       |  WHERE o.l_orderkey = s.l_orderkey AND o.l_suppkey <> s.l_suppkey
+       |    AND o.late)
+       |GROUP BY s.l_suppkey
+       |ORDER BY numwait DESC, s.l_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q16" -> (tpchQ16 _),
+    "q_tpch_q21" -> (tpchQ21 _),
     "q_tpch_q4" -> (tpchQ4 _),
     "q_tpch_q13" -> (tpchQ13 _),
     "q_tpch_q19" -> (tpchQ19 _),
@@ -482,6 +575,8 @@ object Tpch {
     "q_moments" -> (moments _))
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_q16" -> tpchQ16Sql,
+    "q_tpch_q21" -> tpchQ21Sql,
     "q_tpch_q4" -> tpchQ4Sql,
     "q_tpch_q13" -> tpchQ13Sql,
     "q_tpch_q19" -> tpchQ19Sql,

@@ -75,6 +75,42 @@ class TpchSpec extends SparkSpec {
     assert(zeroBucket == nCust - withOrders, "outer join dropped customers")
   }
 
+  test("q_tpch_q16 counts distinct suppliers within the admitted part groups") {
+    val out = Tpch.tpchQ16(spark, dir)
+      .as[(String, Int, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (brand, size, _) =>
+      brand != Tpch.Q16ExcludedBrand && Tpch.Q16Sizes.contains(size) })
+    // independent recount for one group
+    val (b0, s0, n0) = out.head
+    val recount = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), $"l_partkey" === $"p_partkey")
+      .filter($"p_brand" === b0 && $"p_size" === s0)
+      .select($"l_suppkey").distinct().count()
+    assert(n0 == recount)
+  }
+
+  test("q_tpch_q21 blames only the sole late supplier of multi-supplier orders") {
+    val out = Tpch.tpchQ21(spark, dir).as[(Long, Long)].collect().toMap
+    // reconstruct per-order fault sets independently
+    val li = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .select($"o_orderkey", to_date($"o_orderdate").as("o_date")),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_suppkey",
+        (to_date($"l_shipdate") > date_add($"o_date", Tpch.Q4LateDays)).as("late"))
+      .as[(Long, Long, Boolean)].collect()
+    val byOrder = li.groupBy(_._1)
+    val expected = scala.collection.mutable.Map.empty[Long, Long]
+    byOrder.foreach { case (_, lines) =>
+      val sups = lines.map(_._2).distinct
+      val lateSups = lines.filter(_._3).map(_._2).distinct
+      if (sups.length > 1 && lateSups.length == 1)
+        expected(lateSups.head) = expected.getOrElse(lateSups.head, 0L) + 1
+    }
+    assert(out == expected.toMap)
+  }
+
   test("q_tpch_q19 disjunction equals the union of its branches") {
     val one = Tpch.tpchQ19(spark, dir)
       .as[(Long, Long)].collect().head
