@@ -510,11 +510,18 @@ object Tpch {
     * anti-join against the same fact table keyed by the same order —
     * that TPC-H's hardest optimizer query exercises.
     *
-    * Scale notes: one narrow (orderkey, suppkey, late) projection is
-    * localCheckpointed and reused by all three roles (base, exists-other,
-    * exists-other-late); both correlations are shuffle joins on
-    * l_orderkey — the same key, so the exchanges line up; the top-level
-    * aggregate is per supplier.
+    * Scale notes: the TEXTBOOK plan (a semi-join and an anti-join against
+    * the fact table, which is what the oracle SQL literally states)
+    * re-shuffles lineitem three times and sort-merges twice — measured 6
+    * exchanges + SMJ here. But both correlations are per-ORDER questions,
+    * and an order's lines are basket-bounded (≤7 at any SF), so ONE
+    * group-bounded aggregate answers them: per order, the distinct
+    * supplier count and the set of late suppliers; "sole late supplier of
+    * a multi-supplier order" is then a row filter. Two exchanges total
+    * (orderkey, then suppkey), no join at all, and the hash gate proves it
+    * equivalent to the oracle's EXISTS/NOT-EXISTS form — the same
+    * correlated-to-aggregate rewrite a 100 TB deployment wants, done in
+    * the declarative layer.
     */
   def tpchQ21(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -524,17 +531,12 @@ object Tpch {
         $"l_orderkey" === $"o_orderkey")
       .select($"l_orderkey", $"l_suppkey",
         (to_date($"l_shipdate") > date_add($"o_date", Q4LateDays)).as("late"))
-      .localCheckpoint()
-    val lateLines = li.filter($"late")
-      .select($"l_orderkey", $"l_suppkey").distinct()
-    val othersExist = li.select($"l_orderkey".as("o2"), $"l_suppkey".as("s2"))
-    val othersLate = li.filter($"late")
-      .select($"l_orderkey".as("o3"), $"l_suppkey".as("s3"))
-    lateLines
-      .join(othersExist,
-        $"l_orderkey" === $"o2" && $"l_suppkey" =!= $"s2", "left_semi")
-      .join(othersLate,
-        $"l_orderkey" === $"o3" && $"l_suppkey" =!= $"s3", "left_anti")
+    li.groupBy($"l_orderkey")
+      .agg(size(collect_set($"l_suppkey")).as("n_sup"),
+        // collect_set ignores the when()'s nulls: only late suppliers land
+        collect_set(when($"late", $"l_suppkey")).as("late_sups"))
+      .filter($"n_sup" > 1 && size($"late_sups") === 1)
+      .select(element_at($"late_sups", 1).as("l_suppkey"))
       .groupBy($"l_suppkey")
       .agg(count(lit(1)).as("numwait"))
       .orderBy($"numwait".desc, $"l_suppkey")
