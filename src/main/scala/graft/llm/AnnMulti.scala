@@ -199,9 +199,113 @@ object AnnMulti {
        |LEFT JOIN ov ON ov.query_id = tc.query_id
        |ORDER BY tc.query_id""".stripMargin
 
+  /** x_ann_multiprobe_topk — the multi-probe route as a first-class SEARCH
+    * query, not just its eval: per probe vector, the top-[[Similarity.RecallK]]
+    * candidates from the [[MultiNProbe]] nearest coarse cells, ranked by
+    * exact integer micro-cosine. Complements x_ivf_topk (whose oracle
+    * leg is exhaustive-probe = brute force): here the APPROXIMATE route
+    * itself is oracle-gated, because stride-seeded centroids + 6 dp
+    * routing are DuckDB-expressible — the hash gate pins cell assignment,
+    * routing, and ranking end to end at nprobe < nlist.
+    */
+  def multiprobeTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+
+    val n = e.count()
+    val stride = math.max(1L, n / MultiNList)
+    val seeds = e.filter(pmod($"vec_id", lit(stride)) === 0)
+      .orderBy($"vec_id").limit(MultiNList)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val coarse = broadcast(
+      seeds.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+        .toSeq.toDF("ccid", "cv"))
+
+    val cass = e.crossJoin(coarse)
+      .withColumn("sim", round(cosineFast(spark, $"v", $"cv"), 6) + lit(0.0))
+      .groupBy($"vec_id")
+      .agg(max_by($"ccid", struct($"sim", -$"ccid")).as("ccid"))
+    val lists = cass.join(e, Seq("vec_id"))
+      .select($"ccid", $"vec_id".as("neighbor_id"), $"v".as("nv"))
+
+    val probes = broadcast(e.filter($"vec_id" < Similarity.RecallProbes)
+      .select($"vec_id".as("query_id"), $"v".as("qv")))
+    val wCell = Window.partitionBy($"query_id").orderBy($"csim".desc, $"ccid".asc)
+    val pcell = probes.crossJoin(coarse)
+      .withColumn("csim", round(cosineFast(spark, $"qv", $"cv"), 6) + lit(0.0))
+      .withColumn("prn", row_number().over(wCell))
+      .filter($"prn" <= MultiNProbe)
+      .select($"query_id", $"qv", $"ccid")
+
+    val scored = broadcast(pcell).join(lists, Seq("ccid"))
+      .filter($"neighbor_id" =!= $"query_id")
+      .select($"query_id", $"neighbor_id",
+        round(cosineFast(spark, $"qv", $"nv") * 1000000L).cast("long").as("micro_sim"))
+    // bounded native top-k aggregate: the shuffle carries O(probes·k) rows,
+    // never a window over every scored candidate
+    scored.groupBy($"query_id")
+      .agg(call_function("top_k_rows", $"micro_sim", $"neighbor_id",
+        lit(Similarity.RecallK)).as("top"))
+      .select($"query_id", posexplode($"top").as(Seq("p", "x")))
+      // top_k_rows returns best-first (ord DESC, ties tag ASC): position IS rank
+      .select($"query_id", $"x.tag".as("neighbor_id"),
+        ($"p" + 1).cast("long").as("rnk"), $"x.ord".as("micro_sim"))
+      .orderBy($"query_id", $"rnk")
+  }
+
+  val multiprobeTopKSql: String =
+    s"""WITH e AS (
+       | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       | FROM embeddings),
+       |cst AS (SELECT greatest(CAST(count(*) // $MultiNList AS BIGINT), 1) AS stride FROM e),
+       |cseeds AS (
+       | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ccid, v AS cv
+       | FROM (SELECT vec_id, v FROM e, cst WHERE vec_id % stride = 0
+       |       ORDER BY vec_id LIMIT $MultiNList)),
+       |cass AS (
+       | SELECT vec_id, ccid FROM (
+       |  SELECT e.vec_id, s.ccid,
+       |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |    round(
+       |     list_sum(list_transform(list_zip(e.v, s.cv), p -> p[1] * p[2])) /
+       |     sqrt(list_sum(list_transform(e.v, x -> x * x)) * list_sum(list_transform(s.cv, x -> x * x))),
+       |     6) + 0.0 DESC, s.ccid) AS rk
+       |  FROM e, cseeds s) WHERE rk = 1),
+       |p AS (SELECT vec_id AS query_id, v AS qv FROM e
+       |      WHERE vec_id < ${Similarity.RecallProbes}),
+       |pcell AS (
+       | SELECT query_id, ccid FROM (
+       |  SELECT p.query_id, s.ccid,
+       |   row_number() OVER (PARTITION BY p.query_id ORDER BY
+       |    round(
+       |     list_sum(list_transform(list_zip(p.qv, s.cv), x -> x[1] * x[2])) /
+       |     sqrt(list_sum(list_transform(p.qv, x -> x * x)) * list_sum(list_transform(s.cv, x -> x * x))),
+       |     6) + 0.0 DESC, s.ccid) AS prn
+       |  FROM p, cseeds s) WHERE prn <= $MultiNProbe),
+       |cs AS (
+       | SELECT p.query_id, ca.vec_id AS neighbor_id,
+       |  CAST(round(1000000 *
+       |   list_sum(list_transform(list_zip(p.qv, c.v), q -> q[1] * q[2])) /
+       |   sqrt(list_sum(list_transform(p.qv, x -> x * x)) * list_sum(list_transform(c.v, x -> x * x)))) AS BIGINT) AS micro_sim
+       | FROM p
+       | JOIN pcell pc ON pc.query_id = p.query_id
+       | JOIN cass ca ON ca.ccid = pc.ccid AND ca.vec_id != p.query_id
+       | JOIN e c ON c.vec_id = ca.vec_id)
+       |SELECT query_id, neighbor_id,
+       | CAST(row_number() OVER (PARTITION BY query_id
+       |   ORDER BY micro_sim DESC, neighbor_id) AS BIGINT) AS rnk,
+       | micro_sim
+       |FROM cs
+       |QUALIFY rnk <= ${Similarity.RecallK}
+       |ORDER BY query_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x_ann_recall_multi" -> (annRecallMulti _))
+    "x_ann_recall_multi" -> (annRecallMulti _),
+    "x_ann_multiprobe_topk" -> (multiprobeTopK _))
 
   val oracles: Map[String, String] = Map(
-    "x_ann_recall_multi" -> annRecallMultiSql)
+    "x_ann_recall_multi" -> annRecallMultiSql,
+    "x_ann_multiprobe_topk" -> multiprobeTopKSql)
 }

@@ -25,6 +25,25 @@ class AnnMultiSpec extends SparkSpec {
     }
   }
 
+  test("multiprobe search ranks agree with the recall eval's overlap") {
+    val topk = AnnMulti.multiprobeTopK(spark, sf)
+      .select($"query_id", $"neighbor_id", $"rnk")
+      .as[(Long, Long, Long)].collect()
+    val perQuery = topk.groupBy(_._1)
+    assert(perQuery.keySet == (0L until Similarity.RecallProbes).toSet)
+    perQuery.values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length))
+      assert(rows.map(_._2).distinct.length == rows.length)
+    }
+    // the search's result set IS what the eval counted as n_approx
+    val eval = AnnMulti.annRecallMulti(spark, sf)
+      .select($"query_id", $"n_approx").as[(Long, Long)].collect().toMap
+    perQuery.foreach { case (q, rows) =>
+      assert(rows.length.toLong == eval(q),
+        s"query $q: search returned ${rows.length}, eval counted ${eval(q)}")
+    }
+  }
+
   test("probed cells bound the candidate set by construction") {
     val rows = AnnMulti.annRecallMulti(spark, sf)
       .select($"n_cand").as[Long].collect()
