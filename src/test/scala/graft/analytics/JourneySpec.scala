@@ -100,8 +100,13 @@ class JourneySpec extends SparkSpec {
       r.getAs[Long]("exact_union"))
     assert(eu >= math.max(ea, eb) - 1e-9, "union >= each side")
     assert(xu <= xa + xb)
-    // KMV with k=256 over a few hundred distinct users: generous 30% band
-    assert(math.abs(eu - xu) / xu < 0.3, s"union est $eu vs exact $xu")
+    // At this fixture every slice has fewer than K=256 distinct users, so
+    // the sketches are non-full and the estimator returns the EXACT count
+    // (round-4 advice: a non-full KMV contains every hash) — the former
+    // 30% band existed only because the old formula extrapolated here.
+    assert(eu == xu.toDouble, s"non-full union sketch must be exact: $eu vs $xu")
+    assert(ea == xa.toDouble && eb == xb.toDouble,
+      s"non-full side sketches must be exact: $ea/$xa, $eb/$xb")
     val ei = r.getAs[Double]("est_inter")
     assert(ei == ea + eb - eu)
   }
