@@ -562,7 +562,219 @@ object Tpch {
        |GROUP BY s.l_suppkey
        |ORDER BY numwait DESC, s.l_suppkey""".stripMargin
 
+  /** q_tpch_q6 — the forecasting-revenue-change scan: pure predicate
+    * aggregate, no join. Discount matching uses the rounded integer
+    * percentage (exact for 2-decimal fixture discounts), revenue is the
+    * exact integer `cents(price) · disc_pct` — TPC-H's one
+    * full-scan-with-tight-filters shape, the query that shows whether
+    * predicates reach the scan (all three push down; see docs/PLANS.md).
+    */
+  def tpchQ6(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter(year(to_date($"l_shipdate")) === 1997 &&
+        round($"l_discount" * 100).cast("long").between(5L, 7L) &&
+        $"l_quantity" < 24)
+      .agg(sum(Det.cents($"l_extendedprice") *
+        round($"l_discount" * 100).cast("long")).as("revenue_ucents"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val tpchQ6Sql: String =
+    """SELECT
+      | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |          * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+      |  AS revenue_ucents,
+      | count(*) AS n_lines
+      |FROM lineitem
+      |WHERE year(CAST(l_shipdate AS DATE)) = 1997
+      |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      |  AND l_quantity < 24""".stripMargin
+
+  /** q_tpch_q10 — returned-item revenue per customer for one quarter: the
+    * 4-table star (customer ⋈ orders ⋈ lineitem ⋈ nation) feeding a top-k,
+    * with the returnflag filter on the fact side and the date window on
+    * orders — Q3's geometry plus a second dimension hop. Exact integer
+    * micro-cents; top 20 by lost revenue.
+    */
+  def tpchQ10(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .filter(to_date($"o_orderdate") >= lit(Q4Start) &&
+        to_date($"o_orderdate") < lit(Q4End))
+      .select($"o_orderkey", $"o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey",
+        (Det.cents($"l_extendedprice") *
+          (lit(100L) - round($"l_discount" * 100).cast("long"))).as("rev_ucents"))
+    val custN = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_name", $"n_name")
+    ord.join(li, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_custkey")
+      .agg(sum($"rev_ucents").as("revenue_ucents"))
+      .join(broadcast(custN), $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"n_name", $"revenue_ucents")
+      .orderBy($"revenue_ucents".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  val tpchQ10Sql: String =
+    s"""SELECT c_custkey, c_name, n_name,
+       | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+       |          * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+       |  AS revenue_ucents
+       |FROM customer
+       |JOIN nation ON n_nationkey = c_nationkey
+       |JOIN orders ON o_custkey = c_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE l_returnflag = 'R'
+       |  AND CAST(o_orderdate AS DATE) >= DATE '$Q4Start'
+       |  AND CAST(o_orderdate AS DATE) < DATE '$Q4End'
+       |GROUP BY c_custkey, c_name, n_name
+       |ORDER BY revenue_ucents DESC, c_custkey
+       |LIMIT 20""".stripMargin
+
+  /** q_tpch_q15 — top supplier(s) by quarter revenue: the grouped-revenue
+    * frame compared against ITS OWN maximum (TPC-H's view + scalar
+    * subquery). The max is a 1-row aggregate broadcast back over the
+    * per-supplier frame — no window over a global sort, and ties (all
+    * suppliers at the max) survive, exactly as the spec requires.
+    */
+  def tpchQ15(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.lineitem(spark, dir)
+      .filter(to_date($"l_shipdate") >= lit(Q4Start) &&
+        to_date($"l_shipdate") < lit(Q4End))
+      .groupBy($"l_suppkey")
+      .agg(sum(Det.cents($"l_extendedprice") *
+        (lit(100L) - round($"l_discount" * 100).cast("long"))).as("total_ucents"))
+    rev.crossJoin(broadcast(rev.agg(max($"total_ucents").as("mx"))))
+      .filter($"total_ucents" === $"mx")
+      .select($"l_suppkey".as("s_suppkey"), $"total_ucents")
+      .orderBy($"s_suppkey")
+  }
+
+  val tpchQ15Sql: String =
+    s"""WITH rev AS (
+       | SELECT l_suppkey,
+       |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+       |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+       |   AS total_ucents
+       | FROM lineitem
+       | WHERE CAST(l_shipdate AS DATE) >= DATE '$Q4Start'
+       |   AND CAST(l_shipdate AS DATE) < DATE '$Q4End'
+       | GROUP BY l_suppkey)
+       |SELECT l_suppkey AS s_suppkey, total_ucents
+       |FROM rev
+       |WHERE total_ucents = (SELECT max(total_ucents) FROM rev)
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** Q17's brand under the microscope. */
+  val Q17Brand = "Brand#23"
+
+  /** q_tpch_q17 — small-quantity-order revenue for one brand: lineitems
+    * whose quantity sits under 20% of their part's average quantity. The
+    * correlated scalar aggregate (avg per part) decorrelates into a
+    * per-part aggregate joined back to the facts; the sub-average test is
+    * done in EXACT INTEGERS — `l_quantity < 0.2·avg(qty)` ⟺
+    * `5·qty·cnt < Σqty` (fixture quantities are integral) — so the
+    * boundary never depends on float rounding, and the one emitted double
+    * (avg yearly loss = total/7) is a single division.
+    */
+  def tpchQ17(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = Tables.part(spark, dir)
+      .filter($"p_brand" === Q17Brand).select($"p_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", $"l_quantity".cast("long").as("qty"),
+        Det.cents($"l_extendedprice").as("price_cents"))
+    val avgQ = li.groupBy($"l_partkey")
+      .agg(sum($"qty").as("qty_sum"), count(lit(1)).as("cnt"))
+    li.join(broadcast(avgQ), Seq("l_partkey"))
+      .filter($"qty" * 5L * $"cnt" < $"qty_sum")
+      .agg(coalesce(sum($"price_cents"), lit(0L)).as("total_cents"),
+        count(lit(1)).as("n_lines"))
+      .withColumn("avg_yearly", $"total_cents".cast("double") / 7.0)
+  }
+
+  val tpchQ17Sql: String =
+    s"""WITH li AS (
+       | SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+       |  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+       | FROM lineitem JOIN part ON p_partkey = l_partkey
+       | WHERE p_brand = '$Q17Brand'),
+       |avgq AS (
+       | SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS qty_sum,
+       |  count(*) AS cnt
+       | FROM li GROUP BY l_partkey)
+       |SELECT CAST(coalesce(sum(price_cents), 0) AS BIGINT) AS total_cents,
+       | count(*) AS n_lines,
+       | CAST(coalesce(sum(price_cents), 0) AS DOUBLE) / 7.0 AS avg_yearly
+       |FROM li JOIN avgq USING (l_partkey)
+       |WHERE qty * 5 * cnt < qty_sum""".stripMargin
+
+  /** Q22's dormancy cutoff: a qualifying customer has placed NO order on
+    * or after this date (the fixture's order history covers every
+    * customer, so TPC-H's literal "no orders ever" would be empty).
+    */
+  val Q22DormantSince = "2000-01-01"
+
+  /** q_tpch_q22 — dormant high-balance customers per nation: balance above
+    * the average POSITIVE balance (the scalar subquery), no RECENT orders
+    * (the anti-join, date-filtered on the build side). The above-average
+    * test is exact integers —
+    * `bal > avg(pos bals)` ⟺ `cents(bal)·n_pos > Σcents(pos)` — so both
+    * engines admit identical customers; the fixture's nation name stands
+    * in for TPC-H's phone country code.
+    */
+  def tpchQ22(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_nationkey", Det.cents($"c_acctbal").as("bal_cents"))
+    val posAvg = cust.filter($"bal_cents" > 0L)
+      .agg(sum($"bal_cents").as("pos_sum"), count(lit(1)).as("n_pos"))
+    cust.crossJoin(broadcast(posAvg))
+      .filter($"bal_cents" * $"n_pos" > $"pos_sum")
+      .join(Tables.orders(spark, dir)
+          .filter(to_date($"o_orderdate") >= lit(Q22DormantSince))
+          .select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("numcust"), sum($"bal_cents").as("totacctbal_cents"))
+      .orderBy($"n_name")
+  }
+
+  val tpchQ22Sql: String =
+    s"""WITH cust AS (
+      | SELECT c_custkey, c_nationkey,
+      |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      | FROM customer),
+      |pos AS (
+      | SELECT CAST(sum(bal_cents) AS BIGINT) AS pos_sum, count(*) AS n_pos
+      | FROM cust WHERE bal_cents > 0)
+      |SELECT n_name, count(*) AS numcust,
+      | CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+      |FROM cust, pos
+      |JOIN nation ON n_nationkey = c_nationkey
+      |WHERE bal_cents * n_pos > pos_sum
+      |  AND NOT EXISTS (
+      |   SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |    AND CAST(o_orderdate AS DATE) >= DATE '$Q22DormantSince')
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q6" -> (tpchQ6 _),
+    "q_tpch_q10" -> (tpchQ10 _),
+    "q_tpch_q15" -> (tpchQ15 _),
+    "q_tpch_q17" -> (tpchQ17 _),
+    "q_tpch_q22" -> (tpchQ22 _),
     "q_tpch_q16" -> (tpchQ16 _),
     "q_tpch_q21" -> (tpchQ21 _),
     "q_tpch_q4" -> (tpchQ4 _),
@@ -577,6 +789,11 @@ object Tpch {
     "q_moments" -> (moments _))
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_q6" -> tpchQ6Sql,
+    "q_tpch_q10" -> tpchQ10Sql,
+    "q_tpch_q15" -> tpchQ15Sql,
+    "q_tpch_q17" -> tpchQ17Sql,
+    "q_tpch_q22" -> tpchQ22Sql,
     "q_tpch_q16" -> tpchQ16Sql,
     "q_tpch_q21" -> tpchQ21Sql,
     "q_tpch_q4" -> tpchQ4Sql,

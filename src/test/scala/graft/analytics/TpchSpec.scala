@@ -111,6 +111,37 @@ class TpchSpec extends SparkSpec {
     assert(out == expected.toMap)
   }
 
+  test("q_tpch_q15 returns exactly the argmax suppliers (ties survive)") {
+    val out = Tpch.tpchQ15(spark, dir).as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    val totals = out.map(_._2).distinct
+    assert(totals.length == 1, "every returned supplier shares the max total")
+    // no supplier anywhere beats the returned total
+    val all = Tables.lineitem(spark, dir)
+      .filter(to_date($"l_shipdate") >= lit(Tpch.Q4Start) &&
+        to_date($"l_shipdate") < lit(Tpch.Q4End))
+      .groupBy($"l_suppkey")
+      .agg(sum(graft.util.Det.cents($"l_extendedprice") *
+        (lit(100L) - round($"l_discount" * 100).cast("long"))).as("t"))
+      .agg(max($"t")).as[Long].head()
+    assert(totals.head == all)
+  }
+
+  test("q_tpch_q17 integer sub-average test admits exactly qty < 0.2*avg") {
+    val li = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).filter($"p_brand" === Tpch.Q17Brand),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", $"l_quantity".cast("long").as("qty"))
+      .as[(Long, Long)].collect()
+    val byPart = li.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val expected = li.count { case (pk, q) =>
+      val qs = byPart(pk); q.toDouble < 0.2 * (qs.sum.toDouble / qs.length)
+    }
+    val got = Tpch.tpchQ17(spark, dir)
+      .select($"n_lines").as[Long].head()
+    assert(got == expected, s"integer form admitted $got, float definition $expected")
+  }
+
   test("q_tpch_q19 disjunction equals the union of its branches") {
     val one = Tpch.tpchQ19(spark, dir)
       .as[(Long, Long)].collect().head
