@@ -210,14 +210,28 @@ object AnnMulti {
     */
   def multiprobeTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    searchOver(spark, e,
+      e.filter($"vec_id" < Similarity.RecallProbes)
+        .select($"vec_id".as("query_id"), $"v".as("qv")),
+      MultiNList, MultiNProbe, Similarity.RecallK)
+  }
+
+  /** The multi-probe search over any (vec_id, v) corpus and (query_id, qv)
+    * probe frame — the seam the scale-stress scenario drives 200k-vector
+    * synthetic corpora through (nlist ≈ √N there; the declared query pins
+    * the fixture constants).
+    */
+  def searchOver(spark: SparkSession, e: DataFrame, probesDf: DataFrame,
+      nlist: Int, nProbe: Int, topK: Int): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
 
     val n = e.count()
-    val stride = math.max(1L, n / MultiNList)
+    val stride = math.max(1L, n / nlist)
     val seeds = e.filter(pmod($"vec_id", lit(stride)) === 0)
-      .orderBy($"vec_id").limit(MultiNList)
+      .orderBy($"vec_id").limit(nlist)
       .as[(Long, Seq[Double])].collect().sortBy(_._1)
     val coarse = broadcast(
       seeds.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
@@ -230,13 +244,12 @@ object AnnMulti {
     val lists = cass.join(e, Seq("vec_id"))
       .select($"ccid", $"vec_id".as("neighbor_id"), $"v".as("nv"))
 
-    val probes = broadcast(e.filter($"vec_id" < Similarity.RecallProbes)
-      .select($"vec_id".as("query_id"), $"v".as("qv")))
+    val probes = broadcast(probesDf)
     val wCell = Window.partitionBy($"query_id").orderBy($"csim".desc, $"ccid".asc)
     val pcell = probes.crossJoin(coarse)
       .withColumn("csim", round(cosineFast(spark, $"qv", $"cv"), 6) + lit(0.0))
       .withColumn("prn", row_number().over(wCell))
-      .filter($"prn" <= MultiNProbe)
+      .filter($"prn" <= nProbe)
       .select($"query_id", $"qv", $"ccid")
 
     val scored = broadcast(pcell).join(lists, Seq("ccid"))
@@ -247,7 +260,7 @@ object AnnMulti {
     // never a window over every scored candidate
     scored.groupBy($"query_id")
       .agg(call_function("top_k_rows", $"micro_sim", $"neighbor_id",
-        lit(Similarity.RecallK)).as("top"))
+        lit(topK)).as("top"))
       .select($"query_id", posexplode($"top").as(Seq("p", "x")))
       // top_k_rows returns best-first (ord DESC, ties tag ASC): position IS rank
       .select($"query_id", $"x.tag".as("neighbor_id"),

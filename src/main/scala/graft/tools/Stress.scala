@@ -171,6 +171,48 @@ object Stress {
     ok
   }
 
+  /** Multi-probe ANN recovery stress: the [[runIvfPq]] vector generator
+    * plants an EXACT twin at every `id ≡ 1 (mod 100)` (the vector copies
+    * id−1's coordinates), so the true nearest neighbor of every probe is
+    * id−1 at cosine exactly 1.0 — and an identical vector provably lands
+    * in the SAME coarse cell (identical rounded cosines, identical
+    * tie-break), which multi-probe routing always probes first. The
+    * invariant is therefore exact at any scale: every probe's rank-1 must
+    * be id−1 with micro_sim 1 000 000. This pins the whole route (cell
+    * assignment → routing → candidate join → bounded top-k) at ~100× the
+    * fixture's vector count, where a single-partition regression or a
+    * bucket blow-up would be minutes, not milliseconds.
+    */
+  def runMultiprobe(spark: SparkSession, n: Long): Boolean = {
+    import spark.implicits._
+    def timed[T](what: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[stress] $what: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+    }
+    val base = when(pmod($"id", lit(100)) === 1, $"id" - 1).otherwise($"id")
+    val vecs = spark.range(n).select($"id".as("vec_id"),
+        transform(sequence(lit(0), lit(63)), j =>
+          (pmod(hash(base * 31 + j, lit(11)), lit(1000)).cast("double") / 1000.0)
+            - 0.5).as("v"))
+      .localCheckpoint()
+    val probes = vecs.filter(pmod($"vec_id", lit(100)) === 1)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val nlist = math.max(16, math.sqrt(n.toDouble).toInt)
+    val top1 = timed(s"multiprobe search (nlist=$nlist, nprobe=8) over $n vectors, ${n / 100} probes") {
+      graft.llm.AnnMulti.searchOver(spark, vecs, probes, nlist, nProbe = 8, topK = 10)
+        .filter($"rnk" === 1)
+        .select($"query_id", $"neighbor_id", $"micro_sim")
+        .localCheckpoint()
+    }
+    val nProbes = top1.count()
+    val bad = top1.filter($"neighbor_id" =!= $"query_id" - 1 ||
+      $"micro_sim" =!= 1000000L).count()
+    println(s"[stress] probes=$nProbes twin-missed=$bad")
+    val ok = bad == 0 && nProbes == n / 100
+    println(s"[stress] structure recovered: ${if (ok) "YES" else "NO"}")
+    ok
+  }
+
   /** PPJoin losslessness stress: the [[corpus]] generator's planted groups
     * have intra-group shingle Jaccard ≈ 0.73 (documented above), well over
     * SimJoin's τ = 0.6 — so EVERY one of the C(4,2)=6 intra-group pairs
@@ -225,6 +267,10 @@ object Stress {
     }
     if (scenario == "ivfpq") {
       val ok = runIvfPq(spark, n)
+      spark.stop(); if (!ok) sys.exit(1); return
+    }
+    if (scenario == "multiprobe") {
+      val ok = runMultiprobe(spark, n)
       spark.stop(); if (!ok) sys.exit(1); return
     }
     if (scenario == "ppjoin") {
