@@ -511,7 +511,49 @@ object Dedup {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** x_dedup_keep_best — quality-aware exact dedup: per canonical
+    * fingerprint group, KEEP THE LONGEST copy (ties to the lowest doc_id)
+    * instead of an arbitrary one — the heuristic a crawl dedup actually
+    * ships, because the longest duplicate is the least-truncated one. One
+    * argmax hash aggregate on the fingerprint (struct-max rides the
+    * map-side combine; no window over the corpus), emitting the kept doc,
+    * the group size, and the chars the group discards — the direct input
+    * to "dedup keeps the best N% of bytes" reporting.
+    */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars",
+        md5(TextClean.canonicalize($"text")).as("fp"))
+      .groupBy($"fp")
+      .agg(count(lit(1)).as("n_copies"),
+        max_by(struct($"doc_id".as("id"), $"n_chars".as("nc")),
+          struct($"n_chars", -$"doc_id")).as("k"),
+        sum($"n_chars").as("group_chars"))
+      .select($"fp", $"k.id".as("kept_doc_id"), $"k.nc".as("kept_n_chars"),
+        $"n_copies", ($"group_chars" - $"k.nc").as("discarded_chars"))
+      .orderBy($"kept_doc_id")
+  }
+
+  val dedupKeepBestSql: String =
+    s"""WITH f AS (
+       | SELECT doc_id, n_chars,
+       |  md5(lower(trim(regexp_replace(text, '${TextClean.WsRe}', ' ', 'g')))) AS fp
+       | FROM documents),
+       |r AS (
+       | SELECT fp, doc_id, n_chars,
+       |  row_number() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id) AS rk,
+       |  count(*) OVER (PARTITION BY fp) AS n_copies,
+       |  CAST(sum(n_chars) OVER (PARTITION BY fp) AS BIGINT) AS group_chars
+       | FROM f)
+       |SELECT fp, doc_id AS kept_doc_id, n_chars AS kept_n_chars,
+       | CAST(n_copies AS BIGINT) AS n_copies,
+       | group_chars - n_chars AS discarded_chars
+       |FROM r WHERE rk = 1
+       |ORDER BY kept_doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_dedup_keep_best" -> (dedupKeepBest _),
     "x_chunk_dedup" -> (chunkDedup _),
     "x_dedup_incr" -> (dedupIncr _),
     "x_dedup_exact" -> (dedupExact _),
@@ -522,6 +564,7 @@ object Dedup {
     "x_cross_dedup" -> (crossDedup _))
 
   val oracles: Map[String, String] = Map(
+    "x_dedup_keep_best" -> dedupKeepBestSql,
     "x_chunk_dedup" -> chunkDedupSql,
     "x_dedup_incr" -> dedupIncrSql,
     "x_dedup_exact" -> dedupExactSql,

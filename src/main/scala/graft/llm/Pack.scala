@@ -366,7 +366,61 @@ object Pack {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** Per-source token budget for [[tokenBudget]]. */
+  val SourceTokenBudget = 1000L
+
+  /** x_token_budget — budgeted admission per source: walk each source's
+    * docs in a DETERMINISTIC shuffled order (md5(doc_id) — append-stable,
+    * partition-independent) and admit until the running token total
+    * crosses [[SourceTokenBudget]], the way a trainer caps an
+    * over-represented source without biasing toward any crawl order. The
+    * running sum is a window per source (parallel across sources, never
+    * SinglePartition); output is the per-source admission report: docs and
+    * tokens admitted vs total — the mixing dashboard's first table.
+    * Boundary rule pinned on both engines: a doc is admitted iff the
+    * running total THROUGH it stays ≤ budget (the straddling doc is
+    * rejected, later smaller docs may still fit).
+    */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"source")
+      .orderBy($"h".asc, $"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("ntok"),
+        md5($"doc_id".cast("string")).as("h"))
+      .withColumn("run", sum($"ntok").over(w))
+      .withColumn("admitted", ($"run" <= SourceTokenBudget).cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"ntok").as("total_tokens"),
+        sum($"admitted").as("n_admitted"),
+        sum($"admitted" * $"ntok").as("admitted_tokens"))
+      .orderBy($"source")
+  }
+
+  val tokenBudgetSql: String =
+    s"""WITH d AS (
+       | SELECT doc_id, source,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+       |  md5(CAST(doc_id AS VARCHAR)) AS h
+       | FROM documents),
+       |r AS (
+       | SELECT *, CAST(sum(ntok) OVER (PARTITION BY source
+       |   ORDER BY h, doc_id
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+       | FROM d)
+       |SELECT source, count(*) AS n_docs,
+       | CAST(sum(ntok) AS BIGINT) AS total_tokens,
+       | CAST(sum(CASE WHEN run <= $SourceTokenBudget THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+       | CAST(sum(CASE WHEN run <= $SourceTokenBudget THEN ntok ELSE 0 END) AS BIGINT) AS admitted_tokens
+       |FROM r
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_token_budget" -> (tokenBudget _),
     "x_pack_stats" -> (packStats _),
     "x_split_assign" -> (splitAssign _),
     "x_repetition_filter" -> (repetitionFilter _),
@@ -376,6 +430,7 @@ object Pack {
     "x_doc_split" -> (docSplit _))
 
   val oracles: Map[String, String] = Map(
+    "x_token_budget" -> tokenBudgetSql,
     "x_pack_stats" -> packStatsSql,
     "x_split_assign" -> splitAssignSql,
     "x_repetition_filter" -> repetitionFilterSql,

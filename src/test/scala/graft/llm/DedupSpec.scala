@@ -155,4 +155,27 @@ class DedupSpec extends SparkSpec {
     val expected = (for { a <- 0 until 5; b <- a + 1 until 5 } yield (a.toLong, b.toLong)).toSet
     assert(pairs == expected)
   }
+
+  test("dedupKeepBest keeps the longest copy and accounts every char") {
+    import graft.io.Tables
+    val dir = "/root/testdata/sf0.001"
+    val out = Dedup.dedupKeepBest(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val totalChars = Tables.documents(spark, dir)
+      .agg(sum($"n_chars")).as[Long].head()
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(out.map(_._4).sum == nDocs, "every doc belongs to one group")
+    assert(out.map(r => r._3 + r._5).sum == totalChars, "chars conserved")
+    out.foreach { case (_, _, keptChars, _, _) => assert(keptChars >= 0) }
+    // the kept doc really is the group maximum
+    val fps = Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars",
+        md5(graft.llm.TextClean.canonicalize($"text")).as("fp"))
+      .as[(Long, Long, String)].collect().groupBy(_._3)
+    out.foreach { case (fp, kid, kch, _, _) =>
+      val grp = fps(fp)
+      val best = grp.minBy { case (id, nc, _) => (-nc, id) }
+      assert((best._1, best._2) == ((kid, kch)), s"group $fp kept wrong doc")
+    }
+  }
 }

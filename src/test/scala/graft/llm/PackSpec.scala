@@ -1,5 +1,7 @@
 package graft.llm
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 /** Batch-assembly operators ([[Pack]]) on the sf0.001 fixtures: packing
@@ -166,5 +168,30 @@ class PackSpec extends SparkSpec {
       .flatMap(_.split(" ").sliding(8).map(_.mkString(" "))).toSet
     assert(row._2 == trainGrams.intersect(evalGrams).size)
     assert(row._3 == 2L)
+  }
+
+  test("tokenBudget admits the prefix that fits and skips the straddler") {
+    import graft.io.Tables
+    val out = Pack.tokenBudget(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (src, nDocs, total, nAdm, admTok) =>
+      assert(admTok <= Pack.SourceTokenBudget, s"$src exceeded budget")
+      assert(nAdm <= nDocs && admTok <= total)
+    }
+    // independent replay of the admission walk for one source
+    val (src0, _, _, nAdm0, admTok0) = out.head
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter($"source" === src0)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("ntok"),
+        md5($"doc_id".cast("string")).as("h"))
+      .as[(Long, Long, String)].collect()
+      .sortBy { case (id, _, h) => (h, id) }
+    var run = 0L; var n = 0L; var tok = 0L
+    docs.foreach { case (_, ntok, _) =>
+      run += ntok
+      if (run <= Pack.SourceTokenBudget) { n += 1; tok += ntok }
+    }
+    assert((n, tok) == ((nAdm0, admTok0)), s"$src0 admission walk differs")
   }
 }
