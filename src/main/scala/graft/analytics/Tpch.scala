@@ -769,7 +769,90 @@ object Tpch {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** Q8's market: region, window, part type, and the supplier nation whose
+    * share is measured.
+    */
+  val Q8Region = "EUROPE"
+  val Q8Type = "STANDARD"
+  val Q8Nation = "NATION_13"
+  val Q8Start = "1996-01-01"
+  val Q8End = "1998-01-01"
+
+  /** q_tpch_q8 — national market share: of all [[Q8Type]]-part revenue
+    * sold to [[Q8Region]] customers across two years, what fraction came
+    * from [[Q8Nation]]'s suppliers, per year. The widest dimension fan in
+    * the surface — lineitem against part, orders, customer, and BOTH
+    * nation roles (customer-side restricting the market, supplier-side
+    * tagging the share) — with every dimension broadcast and the fact
+    * table moved exactly once into the year aggregate. The share is exact
+    * integer micro-cents through ONE double division (the q_tpch_q14
+    * ratio recipe).
+    */
+  def tpchQ8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nat = Tables.nation(spark, dir)
+    val parts = Tables.part(spark, dir)
+      .filter($"p_type" === Q8Type).select($"p_partkey")
+    val custR = Tables.customer(spark, dir)
+      .join(broadcast(nat.join(broadcast(Tables.region(spark, dir)
+            .filter($"r_name" === Q8Region)),
+          $"n_regionkey" === $"r_regionkey")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey")
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(nat.select($"n_nationkey".as("sn_key"),
+        $"n_name".as("supp_nation"))), $"s_nationkey" === $"sn_key")
+      .select($"s_suppkey", $"supp_nation")
+    val ord = Tables.orders(spark, dir)
+      .filter(to_date($"o_orderdate") >= lit(Q8Start) &&
+        to_date($"o_orderdate") < lit(Q8End))
+      .select($"o_orderkey", $"o_custkey",
+        year(to_date($"o_orderdate")).cast("long").as("o_year"))
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+        (Det.cents($"l_extendedprice") *
+          (lit(100L) - round($"l_discount" * 100).cast("long"))).as("rev_ucents"))
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(custR), $"o_custkey" === $"c_custkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"o_year")
+      .agg(sum(when($"supp_nation" === Q8Nation, $"rev_ucents").otherwise(0L))
+          .as("nation_ucents"),
+        sum($"rev_ucents").as("total_ucents"))
+      .withColumn("mkt_share",
+        $"nation_ucents".cast("double") / $"total_ucents".cast("double"))
+      .orderBy($"o_year")
+  }
+
+  val tpchQ8Sql: String =
+    s"""WITH vol AS (
+       | SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
+       |  CAST(round(l_extendedprice * 100) AS BIGINT)
+       |    * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_ucents,
+       |  sn.n_name AS supp_nation
+       | FROM lineitem
+       | JOIN part ON p_partkey = l_partkey AND p_type = '$Q8Type'
+       | JOIN orders ON o_orderkey = l_orderkey
+       | JOIN customer ON c_custkey = o_custkey
+       | JOIN nation cn ON cn.n_nationkey = c_nationkey
+       | JOIN region ON r_regionkey = cn.n_regionkey AND r_name = '$Q8Region'
+       | JOIN supplier ON s_suppkey = l_suppkey
+       | JOIN nation sn ON sn.n_nationkey = s_nationkey
+       | WHERE CAST(o_orderdate AS DATE) >= DATE '$Q8Start'
+       |   AND CAST(o_orderdate AS DATE) < DATE '$Q8End')
+       |SELECT CAST(o_year AS BIGINT) AS o_year,
+       | CAST(sum(CASE WHEN supp_nation = '$Q8Nation' THEN rev_ucents ELSE 0 END) AS BIGINT)
+       |  AS nation_ucents,
+       | CAST(sum(rev_ucents) AS BIGINT) AS total_ucents,
+       | CAST(sum(CASE WHEN supp_nation = '$Q8Nation' THEN rev_ucents ELSE 0 END) AS DOUBLE)
+       |  / CAST(sum(rev_ucents) AS DOUBLE) AS mkt_share
+       |FROM vol
+       |GROUP BY o_year
+       |ORDER BY o_year""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q8" -> (tpchQ8 _),
     "q_tpch_q6" -> (tpchQ6 _),
     "q_tpch_q10" -> (tpchQ10 _),
     "q_tpch_q15" -> (tpchQ15 _),
@@ -789,6 +872,7 @@ object Tpch {
     "q_moments" -> (moments _))
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_q8" -> tpchQ8Sql,
     "q_tpch_q6" -> tpchQ6Sql,
     "q_tpch_q10" -> tpchQ10Sql,
     "q_tpch_q15" -> tpchQ15Sql,
