@@ -95,4 +95,50 @@ class PropertySpec extends SparkSpec {
       assert(fullConv <= fullView) // conversion never exceeds the upper stage
     }
   }
+
+  test("PngCodec decode∘encode is the identity on the pixel pattern") {
+    import graft.multimodal.Multimodal.PngCodec
+    val dims = for {
+      w <- Gen.chooseNum(1, 97)
+      h <- Gen.chooseNum(1, 61)
+      id <- Gen.chooseNum(0L, 1000000L)
+    } yield (w, h, id)
+    samples(dims, 25).foreach { case (w, h, id) =>
+      val (dw, dh, px) = PngCodec.decode(PngCodec.encode(id, w, h))
+      assert(dw == w && dh == h && px.length == w * h * 3)
+      // spot-check the deterministic pattern at the corners
+      for ((x, y) <- Seq((0, 0), (w - 1, 0), (0, h - 1), (w - 1, h - 1))) {
+        val i = (y * w + x) * 3
+        assert((px(i) & 0xff) == ((id * 31 + x * 7 + y * 13) & 0xff).toInt)
+        assert((px(i + 1) & 0xff) == ((x * 5 + y * 3) & 0xff))
+        assert((px(i + 2) & 0xff) == ((id + x + y * 11) & 0xff).toInt)
+      }
+    }
+  }
+
+  test("pyJsonEnvelope output parses back to the input map for ASCII values") {
+    import graft.gen.EventGen
+    val asciiVal: Gen[String] = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', '"', '\\', '/', ':', ',', '{', '}')))
+      .map(_.mkString).map(_.take(30))
+    val rowGen = for { a <- asciiVal; b <- asciiVal } yield (a, b)
+    samples(rowGen, 20).foreach { case (a, b) =>
+      val env = EventGen.pyJsonEnvelope(Seq((a, b)).toDF("k1", "k2"))
+        .as[String].head()
+      // parse with Spark's own JSON reader: escaping must round-trip
+      val back = spark.read.json(Seq(env).toDS()).collect().head
+      assert(back.getAs[String]("k1") == a, s"k1 mangled for ${a.map(_.toInt)}")
+      assert(back.getAs[String]("k2") == b)
+    }
+  }
+
+  test("tokenBudget admitted totals never exceed the budget and are order-stable") {
+    // the declared query's aggregate over the fixture, re-checked as an
+    // invariant: admitted_tokens ≤ budget for EVERY source at every SF
+    for (sf <- Seq("0.001", "0.01")) {
+      val rows = graft.llm.Pack.tokenBudget(spark, s"/root/testdata/sf$sf")
+        .select($"admitted_tokens").as[Long].collect()
+      assert(rows.forall(_ <= graft.llm.Pack.SourceTokenBudget))
+    }
+  }
 }
