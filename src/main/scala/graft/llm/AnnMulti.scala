@@ -314,11 +314,180 @@ object AnnMulti {
        |QUALIFY rnk <= ${Similarity.RecallK}
        |ORDER BY query_id, rnk""".stripMargin
 
+  /** The nprobe operating points the curve sweeps. */
+  val CurveProbes: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** x_ann_nprobe_curve — the recall-vs-scanned-fraction DIAL as one query:
+    * mean recall@10 and mean candidate count at nprobe ∈ [[CurveProbes]].
+    * The tuning table an ANN deployment reads before picking its operating
+    * point — and it costs ONE candidate scan, not four: every candidate
+    * (query, neighbor) pair belongs to exactly one coarse cell, so it
+    * carries the cell's routing rank `prn`; recall at nprobe = p is just
+    * the same scored frame filtered to prn ≤ p. The scored frame is
+    * localCheckpointed and the four operating points are a bounded
+    * explode over it — no re-route, no re-scan, no re-score.
+    */
+  def annNprobeCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+
+    val n = e.count()
+    val stride = math.max(1L, n / MultiNList)
+    val seeds = e.filter(pmod($"vec_id", lit(stride)) === 0)
+      .orderBy($"vec_id").limit(MultiNList)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val coarse = broadcast(
+      seeds.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+        .toSeq.toDF("ccid", "cv"))
+
+    val cass = e.crossJoin(coarse)
+      .withColumn("sim", round(cosineFast(spark, $"v", $"cv"), 6) + lit(0.0))
+      .groupBy($"vec_id")
+      .agg(max_by($"ccid", struct($"sim", -$"ccid")).as("ccid"))
+    val lists = cass.join(e, Seq("vec_id"))
+      .select($"ccid", $"vec_id".as("neighbor_id"), $"v".as("nv"))
+
+    val probes = broadcast(e.filter($"vec_id" < Similarity.RecallProbes)
+      .select($"vec_id".as("query_id"), $"v".as("qv")))
+    val wCell = Window.partitionBy($"query_id").orderBy($"csim".desc, $"ccid".asc)
+    // routing ranks for ALL cells up to the deepest operating point
+    val pcell = probes.crossJoin(coarse)
+      .withColumn("csim", round(cosineFast(spark, $"qv", $"cv"), 6) + lit(0.0))
+      .withColumn("prn", row_number().over(wCell))
+      .filter($"prn" <= CurveProbes.max)
+      .select($"query_id", $"qv", $"ccid", $"prn")
+
+    def microSim(a: Column, b: Column): Column =
+      round(cosineFast(spark, a, b) * 1000000L).cast("long")
+    // one scored frame, prn attached (each neighbor sits in exactly one cell)
+    val scored = broadcast(pcell).join(lists, Seq("ccid"))
+      .filter($"neighbor_id" =!= $"query_id")
+      .select($"query_id", $"prn", $"neighbor_id",
+        microSim($"qv", $"nv").as("s"))
+      .localCheckpoint()
+
+    val truth = probes.crossJoin(
+        e.select($"vec_id".as("neighbor_id"), $"v".as("nv")))
+      .filter($"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id", microSim($"qv", $"nv").as("s"))
+      .groupBy($"query_id")
+      .agg(call_function("top_k_rows", $"s", $"neighbor_id",
+        lit(Similarity.RecallK)).as("top"))
+      .select($"query_id", explode($"top").as("x"))
+      .select($"query_id", $"x.tag".as("neighbor_id"))
+
+    val points = CurveProbes.toDF("nprobe")
+    val approx = broadcast(points).join(scored, $"prn" <= $"nprobe")
+      .groupBy($"nprobe", $"query_id")
+      .agg(call_function("top_k_rows", $"s", $"neighbor_id",
+        lit(Similarity.RecallK)).as("top"),
+        count(lit(1)).as("n_cand"))
+      .localCheckpoint() // referenced twice (overlap + base): one computation
+    val overlap = approx
+      .select($"nprobe", $"query_id", explode($"top").as("x"))
+      .select($"nprobe", $"query_id", $"x.tag".as("neighbor_id"))
+      .join(broadcast(truth), Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy($"nprobe", $"query_id")
+      .agg(count(lit(1)).as("n_overlap"))
+    // LEFT join: a query whose top-k misses the truth entirely still counts
+    // in the mean with overlap 0 — dropping it would inflate recall.
+    approx.select($"nprobe", $"query_id", $"n_cand")
+      .join(broadcast(overlap), Seq("nprobe", "query_id"), "left")
+      .groupBy($"nprobe")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(coalesce($"n_overlap", lit(0L))).as("total_overlap"),
+        sum($"n_cand").as("total_cand"))
+      .withColumn("mean_recall", $"total_overlap".cast("double") /
+        (lit(Similarity.RecallK) * $"n_queries").cast("double"))
+      .orderBy($"nprobe")
+  }
+
+  val annNprobeCurveSql: String =
+    s"""WITH e AS (
+       | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       | FROM embeddings),
+       |cst AS (SELECT greatest(CAST(count(*) // $MultiNList AS BIGINT), 1) AS stride FROM e),
+       |cseeds AS (
+       | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ccid, v AS cv
+       | FROM (SELECT vec_id, v FROM e, cst WHERE vec_id % stride = 0
+       |       ORDER BY vec_id LIMIT $MultiNList)),
+       |cass AS (
+       | SELECT vec_id, ccid FROM (
+       |  SELECT e.vec_id, s.ccid,
+       |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |    round(
+       |     list_sum(list_transform(list_zip(e.v, s.cv), p -> p[1] * p[2])) /
+       |     sqrt(list_sum(list_transform(e.v, x -> x * x)) * list_sum(list_transform(s.cv, x -> x * x))),
+       |     6) + 0.0 DESC, s.ccid) AS rk
+       |  FROM e, cseeds s) WHERE rk = 1),
+       |p AS (SELECT vec_id AS query_id, v AS qv FROM e
+       |      WHERE vec_id < ${Similarity.RecallProbes}),
+       |pcell AS (
+       | SELECT query_id, ccid, prn FROM (
+       |  SELECT p.query_id, s.ccid,
+       |   row_number() OVER (PARTITION BY p.query_id ORDER BY
+       |    round(
+       |     list_sum(list_transform(list_zip(p.qv, s.cv), x -> x[1] * x[2])) /
+       |     sqrt(list_sum(list_transform(p.qv, x -> x * x)) * list_sum(list_transform(s.cv, x -> x * x))),
+       |     6) + 0.0 DESC, s.ccid) AS prn
+       |  FROM p, cseeds s) WHERE prn <= ${CurveProbes.max}),
+       |scored AS (
+       | SELECT p.query_id, pc.prn, ca.vec_id AS neighbor_id,
+       |  CAST(round(1000000 *
+       |   list_sum(list_transform(list_zip(p.qv, c.v), q -> q[1] * q[2])) /
+       |   sqrt(list_sum(list_transform(p.qv, x -> x * x)) * list_sum(list_transform(c.v, x -> x * x)))) AS BIGINT) AS s
+       | FROM p
+       | JOIN pcell pc ON pc.query_id = p.query_id
+       | JOIN cass ca ON ca.ccid = pc.ccid AND ca.vec_id != p.query_id
+       | JOIN e c ON c.vec_id = ca.vec_id),
+       |ts AS (
+       | SELECT p.query_id, c.vec_id AS neighbor_id,
+       |  CAST(round(1000000 *
+       |   list_sum(list_transform(list_zip(p.qv, c.v), q -> q[1] * q[2])) /
+       |   sqrt(list_sum(list_transform(p.qv, x -> x * x)) * list_sum(list_transform(c.v, x -> x * x)))) AS BIGINT) AS s
+       | FROM p, e c WHERE c.vec_id != p.query_id),
+       |truth AS (
+       | SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |   row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rk
+       |  FROM ts) WHERE rk <= ${Similarity.RecallK}),
+       |pts AS (SELECT unnest([${CurveProbes.mkString(", ")}]) AS nprobe),
+       |cand AS (
+       | SELECT pts.nprobe, sc.query_id, sc.neighbor_id, sc.s
+       | FROM pts JOIN scored sc ON sc.prn <= pts.nprobe),
+       |ccount AS (
+       | SELECT nprobe, query_id, count(*) AS n_cand
+       | FROM cand GROUP BY 1, 2),
+       |approx AS (
+       | SELECT nprobe, query_id, neighbor_id FROM (
+       |  SELECT nprobe, query_id, neighbor_id,
+       |   row_number() OVER (PARTITION BY nprobe, query_id
+       |    ORDER BY s DESC, neighbor_id) AS rk
+       |  FROM cand) WHERE rk <= ${Similarity.RecallK}),
+       |hits AS (
+       | SELECT a.nprobe, a.query_id, count(*) AS n_overlap
+       | FROM approx a JOIN truth t
+       |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+       | GROUP BY 1, 2)
+       |SELECT cc.nprobe, count(*) AS n_queries,
+       | CAST(sum(coalesce(h.n_overlap, 0)) AS BIGINT) AS total_overlap,
+       | CAST(sum(cc.n_cand) AS BIGINT) AS total_cand,
+       | CAST(sum(coalesce(h.n_overlap, 0)) AS DOUBLE)
+       |  / (${Similarity.RecallK} * count(*)) AS mean_recall
+       |FROM ccount cc
+       |LEFT JOIN hits h ON h.nprobe = cc.nprobe AND h.query_id = cc.query_id
+       |GROUP BY cc.nprobe
+       |ORDER BY cc.nprobe""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_ann_recall_multi" -> (annRecallMulti _),
-    "x_ann_multiprobe_topk" -> (multiprobeTopK _))
+    "x_ann_multiprobe_topk" -> (multiprobeTopK _),
+    "x_ann_nprobe_curve" -> (annNprobeCurve _))
 
   val oracles: Map[String, String] = Map(
     "x_ann_recall_multi" -> annRecallMultiSql,
-    "x_ann_multiprobe_topk" -> multiprobeTopKSql)
+    "x_ann_multiprobe_topk" -> multiprobeTopKSql,
+    "x_ann_nprobe_curve" -> annNprobeCurveSql)
 }

@@ -44,6 +44,20 @@ class AnnMultiSpec extends SparkSpec {
     }
   }
 
+  test("nprobe curve is monotone in both recall and scanned candidates") {
+    val rows = AnnMulti.annNprobeCurve(spark, sf)
+      .select($"nprobe", $"mean_recall", $"total_cand")
+      .as[(Int, Double, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == AnnMulti.CurveProbes)
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._2 >= lo._2, s"recall dropped ${lo._1}→${hi._1}")
+      assert(hi._3 >= lo._3, s"candidates shrank ${lo._1}→${hi._1}")
+    }
+    // the deepest point must agree with the standalone eval's route
+    val deep = rows.last
+    assert(deep._1 == AnnMulti.MultiNProbe)
+  }
+
   test("probed cells bound the candidate set by construction") {
     val rows = AnnMulti.annRecallMulti(spark, sf)
       .select($"n_cand").as[Long].collect()
