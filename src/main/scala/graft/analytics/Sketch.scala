@@ -273,13 +273,92 @@ object Sketch {
        |HAVING count(*) * $HhPhiDen > n.n_total
        |ORDER BY n DESC, token""".stripMargin
 
+  /** Sample rate denominator for [[quantileSample]]: md5 2-hex prefix
+    * "00" admits 1/256 of rows, deterministically and append-stably.
+    */
+  val QSampleDen = 256
+
+  /** x_quantile_sample — hash-sampled quantiles against exact, the KMV
+    * pattern applied to rank statistics: p50/p90/p99 of order value from a
+    * deterministic 1/[[QSampleDen]] md5 sample, side by side with the
+    * exact quantiles and the signed cent errors. The point at 100 TB: the
+    * EXACT side needs a global sort (the single-partition window below is
+    * deliberately the anti-pattern, kept as the measuring stick at
+    * fixture scale), while the SAMPLE side sorts 1/256 of the data for
+    * bounded rank error — the trade every percentile dashboard on a big
+    * fact table actually makes. All quantile values are exact integer
+    * cents; the md5 sample is partition-layout-independent, so the
+    * sampled ranks are reproducible anywhere. At tiny inputs the 1/256
+    * sample may be empty — estimates go NULL identically on both engines
+    * (the gate pins that too), which is the honest answer a sampler gives
+    * below its operating range.
+    */
+  def quantileSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.orders(spark, dir)
+      .select(graft.util.Det.cents($"o_totalprice").as("cents"),
+        md5($"o_orderkey".cast("string")).as("h"))
+    def picks(df: DataFrame, tag: String): DataFrame = {
+      val w = Window.orderBy($"cents", $"h")
+      df.select($"cents",
+          row_number().over(w).as("rn"),
+          count(lit(1)).over(Window.partitionBy()).as("n"))
+        .groupBy()
+        .agg(max($"n").as(s"n_$tag"),
+          max(when($"rn" === floor(($"n" + 1) / 2.0), $"cents")).as(s"p50_$tag"),
+          max(when($"rn" === floor(($"n" * 9 + 9) / 10.0), $"cents")).as(s"p90_$tag"),
+          max(when($"rn" === floor(($"n" * 99 + 99) / 100.0), $"cents")).as(s"p99_$tag"))
+    }
+    picks(base, "exact")
+      .crossJoin(broadcast(picks(
+        base.filter(substring($"h", 1, 2) === "00"), "samp")))
+      .select($"n_exact", $"n_samp",
+        $"p50_exact", $"p50_samp", ($"p50_samp" - $"p50_exact").as("err_p50"),
+        $"p90_exact", $"p90_samp", ($"p90_samp" - $"p90_exact").as("err_p90"),
+        $"p99_exact", $"p99_samp", ($"p99_samp" - $"p99_exact").as("err_p99"))
+  }
+
+  val quantileSampleSql: String =
+    """WITH base AS (
+      | SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |  md5(CAST(o_orderkey AS VARCHAR)) AS h
+      | FROM orders),
+      |re AS (
+      | SELECT cents, row_number() OVER (ORDER BY cents, h) AS rn,
+      |  count(*) OVER () AS n
+      | FROM base),
+      |ex AS (
+      | SELECT max(n) AS n_exact,
+      |  max(CASE WHEN rn = floor((n + 1) / 2.0) THEN cents END) AS p50_exact,
+      |  max(CASE WHEN rn = floor((n * 9 + 9) / 10.0) THEN cents END) AS p90_exact,
+      |  max(CASE WHEN rn = floor((n * 99 + 99) / 100.0) THEN cents END) AS p99_exact
+      | FROM re),
+      |rs AS (
+      | SELECT cents, row_number() OVER (ORDER BY cents, h) AS rn,
+      |  count(*) OVER () AS n
+      | FROM base WHERE substr(h, 1, 2) = '00'),
+      |sa AS (
+      | SELECT max(n) AS n_samp,
+      |  max(CASE WHEN rn = floor((n + 1) / 2.0) THEN cents END) AS p50_samp,
+      |  max(CASE WHEN rn = floor((n * 9 + 9) / 10.0) THEN cents END) AS p90_samp,
+      |  max(CASE WHEN rn = floor((n * 99 + 99) / 100.0) THEN cents END) AS p99_samp
+      | FROM rs)
+      |SELECT n_exact, n_samp,
+      | p50_exact, p50_samp, p50_samp - p50_exact AS err_p50,
+      | p90_exact, p90_samp, p90_samp - p90_exact AS err_p90,
+      | p99_exact, p99_samp, p99_samp - p99_exact AS err_p99
+      |FROM ex, sa""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_quantile_sample" -> (quantileSample _),
     "x_kmv_distinct" -> (kmvDistinct _),
     "x_kmv_merge" -> (kmvMerge _),
     "x_cms_freq" -> (cmsFreq _),
     "x_heavy_hitters" -> (heavyHitters _))
 
   val oracles: Map[String, String] = Map(
+    "x_quantile_sample" -> quantileSampleSql,
     "x_kmv_distinct" -> kmvDistinctSql,
     "x_kmv_merge" -> kmvMergeSql,
     "x_cms_freq" -> cmsFreqSql,
