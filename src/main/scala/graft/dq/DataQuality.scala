@@ -317,7 +317,82 @@ object DataQuality {
       | CAST(max(CAST(ts AS DATE)) AS VARCHAR) AS newest_day
       |FROM events""".stripMargin
 
+  /** Expected lineitem contract for [[schemaDriftQuery]] — deliberately
+    * one column short (no `l_tax`, so the landed file reports it
+    * `unexpected`) and one column over (`l_comment`, which the fixture
+    * never carries, reporting `missing`), so all three drift statuses are
+    * exercised deterministically. Types are DuckDB names — the neutral
+    * vocabulary both engines can emit.
+    */
+  val ExpectedLineitemSchema: Seq[(String, String)] = Seq(
+    "l_orderkey" -> "BIGINT", "l_partkey" -> "BIGINT",
+    "l_suppkey" -> "BIGINT", "l_linenumber" -> "INTEGER",
+    "l_quantity" -> "DOUBLE", "l_extendedprice" -> "DOUBLE",
+    "l_discount" -> "DOUBLE",
+    // contract drift planted on purpose (see scaladoc):
+    "l_returnflag" -> "VARCHAR", "l_linestatus" -> "VARCHAR",
+    "l_shipdate" -> "TIMESTAMP", "l_comment" -> "VARCHAR")
+
+  /** Spark type → DuckDB type-name vocabulary for the drift compare. */
+  private val SparkToDuck: Map[String, String] = Map(
+    "LongType" -> "BIGINT", "IntegerType" -> "INTEGER",
+    "DoubleType" -> "DOUBLE", "FloatType" -> "FLOAT",
+    "StringType" -> "VARCHAR", "TimestampType" -> "TIMESTAMP",
+    // parquet files with no UTC-adjustment flag read as NTZ in Spark 4 and
+    // as plain TIMESTAMP in DuckDB — same stored instants, one vocabulary
+    "TimestampNTZType" -> "TIMESTAMP",
+    "BooleanType" -> "BOOLEAN", "DateType" -> "DATE",
+    "BinaryType" -> "BLOB")
+
+  /** dq_schema_drift — the check a scheduled pipeline runs BEFORE trusting
+    * a landed file: the actual parquet schema against the pinned contract,
+    * one row per column with status `ok` / `type_changed` / `missing`
+    * (contracted but absent) / `unexpected` (landed but uncontracted).
+    * Spark reads the footer (a metadata op — no data scan at any size);
+    * the oracle derives the same actual schema via DuckDB's DESCRIBE, both
+    * normalized to DuckDB's type vocabulary. Pure metadata → identical at
+    * every SF, and O(columns) whether the file is 1 MB or 100 TB.
+    */
+  def schemaDriftQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val actual = spark.read.parquet(s"$dir/lineitem.parquet").schema.fields
+      .map(f => (f.name, SparkToDuck.getOrElse(f.dataType.toString,
+        f.dataType.sql))).toSeq
+    val a = actual.toDF("column_name", "actual_type")
+    val e = ExpectedLineitemSchema.toDF("column_name", "expected_type")
+    e.join(a, Seq("column_name"), "full_outer")
+      .select($"column_name",
+        coalesce($"expected_type", lit("-")).as("expected_type"),
+        coalesce($"actual_type", lit("-")).as("actual_type"),
+        when($"expected_type".isNull, "unexpected")
+          .when($"actual_type".isNull, "missing")
+          .when($"expected_type" === $"actual_type", "ok")
+          .otherwise("type_changed").as("status"))
+      .orderBy($"column_name")
+  }
+
+  val schemaDriftSql: String = {
+    val expected = ExpectedLineitemSchema
+      .map { case (c, t) => s"('$c', '$t')" }.mkString(", ")
+    s"""WITH actual AS (
+       | SELECT column_name, column_type AS actual_type
+       | FROM (DESCRIBE SELECT * FROM lineitem)),
+       |expected AS (
+       | SELECT * FROM (VALUES $expected) AS t(column_name, expected_type))
+       |SELECT coalesce(e.column_name, a.column_name) AS column_name,
+       | coalesce(e.expected_type, '-') AS expected_type,
+       | coalesce(a.actual_type, '-') AS actual_type,
+       | CASE WHEN e.expected_type IS NULL THEN 'unexpected'
+       |      WHEN a.actual_type IS NULL THEN 'missing'
+       |      WHEN e.expected_type = a.actual_type THEN 'ok'
+       |      ELSE 'type_changed' END AS status
+       |FROM expected e FULL OUTER JOIN actual a
+       | ON a.column_name = e.column_name
+       |ORDER BY column_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_schema_drift" -> (schemaDriftQuery _),
     "dq_freshness" -> (freshnessQuery _),
     "dq_min_row_count" -> (minRowCountQuery _),
     "dq_required_columns" -> (requiredColumnsQuery _),
@@ -328,6 +403,7 @@ object DataQuality {
     "dq_verdict" -> (verdictQuery _))
 
   val oracles: Map[String, String] = Map(
+    "dq_schema_drift" -> schemaDriftSql,
     "dq_freshness" -> freshnessSql,
     "dq_min_row_count" -> minRowCountSql,
     "dq_required_columns" -> requiredColumnsSql,
