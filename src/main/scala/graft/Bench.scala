@@ -30,6 +30,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    // SPARK_GRAFT_BENCH_REPEAT=N (default 1): run the WHOLE suite N times in
+    // one JVM and write a per-query pass-over-pass delta artifact
+    // (`bench_stability.json`) alongside the primary one — the round-5
+    // builder-vs-driver confusion (same commit, 3.3 s vs 18.9 s x_triangles)
+    // is only diagnosable when drift is measured first-class, not inferred
+    // from two differently-warmed runs.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -62,35 +69,51 @@ object Bench {
     val only = args.headOption.map(_.split(',').toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
-      val nRuns = if (NoisyQueries(name)) 3 else 2
-      val times = (1 to nRuns).flatMap { _ =>
-        // Before each run (outside the measured window): drop dead
-        // localCheckpoint blocks. Several queries pin lineage-truncation
-        // blocks in executor storage; the ContextCleaner frees them only
-        // after the owning RDD is GC'd, so prior runs' storage pressure
-        // bleeds into later measurements (observed: x_pagerank 5.4 s
-        // isolated vs 14.9 s mid-suite). Unpersist is deterministic where
-        // System.gc() is advisory; the gc still helps with non-storage heap.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
-        System.gc()
-        val t0 = System.nanoTime()
-        try {
-          exec(fn(spark, sfDir))
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-            None
+    // One full measurement pass over the suite. The stat label is derived
+    // from the SURVIVING run count (median2/min1/...), not the intended one,
+    // so a query that throws on some-but-not-all runs can never bench as a
+    // healthy "median3" — partial failures surface in the "flaky" list.
+    def runPass(): Seq[(String, Double, String, Seq[Double], Int)] =
+      selected.map { case (name, fn) =>
+        val nRuns = if (NoisyQueries(name)) 3 else 2
+        val times = (1 to nRuns).flatMap { _ =>
+          // Before each run (outside the measured window): drop dead
+          // localCheckpoint blocks. Several queries pin lineage-truncation
+          // blocks in executor storage; the ContextCleaner frees them only
+          // after the owning RDD is GC'd, so prior runs' storage pressure
+          // bleeds into later measurements (observed: x_pagerank 5.4 s
+          // isolated vs 14.9 s mid-suite). Unpersist is deterministic where
+          // System.gc() is advisory; the gc still helps with non-storage heap.
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          System.gc()
+          val t0 = System.nanoTime()
+          try {
+            exec(fn(spark, sfDir))
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+              None
+          }
         }
+        val stat =
+          if (times.isEmpty) "none"
+          else if (NoisyQueries(name)) s"median${times.size}"
+          else s"min${times.size}"
+        val secs =
+          if (times.isEmpty) -1.0
+          else if (NoisyQueries(name)) times.sorted.apply(times.size / 2)
+          else times.min
+        (name, secs, stat, times, nRuns)
       }
-      val stat = if (NoisyQueries(name)) "median3" else "min2"
-      val secs =
-        if (times.isEmpty) -1.0
-        else if (NoisyQueries(name)) times.sorted.apply(times.size / 2)
-        else times.min
-      (name, secs, stat, times)
+
+    val passes = (1 to repeat).map(_ => runPass())
+    // The primary artifact reports pass 1 — the same warmth profile as a
+    // single-pass (driver) invocation, so numbers stay comparable.
+    val results = passes.head.map { case (n, s, st, t, _) => (n, s, st, t) }
+    val flakyNames = passes.head.collect {
+      case (n, _, _, t, nRuns) if t.nonEmpty && t.size < nRuns => n
     }
 
     def fmt(d: Double): String = BigDecimal(d)
@@ -116,10 +139,39 @@ object Bench {
          |"unit":"sec",
          |"total":${fmt(total)},
          |"failed":[${failedNames.map("\"" + _ + "\"").mkString(",")}],
+         |"flaky":[${flakyNames.map("\"" + _ + "\"").mkString(",")}],
          |"queries":$perQuery
          |}""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       artifact.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    // Stability artifact (repeat >= 2): chosen stat per pass, absolute delta
+    // and worst/best ratio per query — drift is a first-class measurement,
+    // not something reconstructed from two differently-warmed bench files.
+    if (repeat >= 2) {
+      val byName = passes.map(_.map(r => r._1 -> r).toMap)
+      val rows = selected.map(_._1).map { name =>
+        val secs = byName.map(_(name)._2)
+        val delta = secs.max - secs.min
+        val ratio =
+          if (secs.exists(_ <= 0)) -1.0
+          else secs.max / secs.min
+        s"""  "$name": {"passes":[${secs.map(fmt).mkString(",")}],""" +
+          s""""delta":${fmt(delta)},"ratio":${fmt(ratio)}}"""
+      }.mkString("{\n", ",\n", "\n}")
+      val totals = passes.map(p => fmt(p.map(_._2).sum)).mkString(",")
+      val stab =
+        s"""{
+           |"sf":"$sfDir",
+           |"unit":"sec",
+           |"repeat":$repeat,
+           |"totals":[$totals],
+           |"queries":$rows
+           |}""".stripMargin
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_stability.json"),
+        stab.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
 
     // The driver's stdout capture keeps only a bounded TAIL: 3-decimal
     // seconds keep the one-line summary well inside it (full precision
@@ -127,7 +179,8 @@ object Bench {
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val flaky = flakyNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

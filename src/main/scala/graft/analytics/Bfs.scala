@@ -2,6 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.io.Tables
 
@@ -37,8 +38,13 @@ object Bfs {
     import spark.implicits._
     // One narrow (orderkey, partkey) frame feeds both joins of every hop —
     // materialize it once so the parquet scan+project runs once, not 6×.
+    // DISK_ONLY: the lineitem-sized incidence frame is the one block set
+    // here big enough to feel storage eviction (the graph-tail stability
+    // fix — see Triangles/PageRank); the node-bounded frontiers below stay
+    // at the default level.
     val li = Tables.lineitem(spark, dir)
-      .select($"l_orderkey", $"l_partkey").localCheckpoint()
+      .select($"l_orderkey", $"l_partkey")
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
     val seeds = li
       .select($"l_partkey".as("node")).filter($"node" < SeedMax).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint()

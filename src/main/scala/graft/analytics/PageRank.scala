@@ -2,6 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.io.Tables
 
@@ -76,7 +77,13 @@ object PageRank {
     // list re-shuffles once per iteration (the dominant data movement here;
     // measured 7.7 s -> 5.6 s at sf0.1, then -> 4.9 s with the partition-
     // local dedup in edges()).
-    val e = edges(spark, dir).localCheckpoint()
+    // DISK_ONLY: the default (deserialized MEMORY_AND_DISK) pinned ~|E| rows
+    // of java objects in the storage region, and under suite-level heap
+    // pressure eviction + GC inflated this query 4-6x run-to-run (round-5
+    // driver bench: 20.4/14.6/12.4 s vs 3.6 s isolated). Serialized disk
+    // blocks cost one stable re-read per iteration and CANNOT be evicted
+    // mid-query, making the cost insensitive to suite position.
+    val e = edges(spark, dir).localCheckpoint(true, StorageLevel.DISK_ONLY)
     val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
     val nNodes = deg.agg(count(lit(1)).as("n"))
     // The static (node, deg, n) frame is materialized once; each iteration
@@ -91,7 +98,8 @@ object PageRank {
     // frame inherits src-partitioning through the aliasing projection —
     // which is exactly what the next iteration's rank ⋈ edges join needs.
     // Steady state: ONE exchange per iteration (the inflow aggregate).
-    val degN = deg.crossJoin(broadcast(nNodes)).repartition($"src").localCheckpoint()
+    val degN = deg.crossJoin(broadcast(nNodes)).repartition($"src")
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
     var r = degN.select($"src".as("part"), $"deg",
       expr(s"$TotalMass DIV n").as("rank"))
     for (_ <- 1 to Iterations) {

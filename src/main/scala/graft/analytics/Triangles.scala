@@ -2,6 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.io.Tables
 
@@ -71,7 +72,12 @@ object Triangles {
     */
   def triangles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val und = undirected(spark, dir).localCheckpoint()
+    // DISK_ONLY checkpoints (here and for adj below): deserialized in-memory
+    // blocks made this query hostage to suite-level storage eviction — the
+    // round-5 driver bench medianed 18.9 s (runs 25.6/4.4/18.9) vs 3.3 s
+    // isolated, same commit. Serialized disk blocks have a fixed re-read
+    // cost and cannot be evicted mid-query.
+    val und = undirected(spark, dir).localCheckpoint(true, StorageLevel.DISK_ONLY)
     val deg = und.select($"u".as("n")).union(und.select($"v".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("d"))
     // Orient x -> y iff (d(x), x) < (d(y), y): join both endpoint degrees in
@@ -105,7 +111,8 @@ object Triangles {
     // adjacency instead of the |E|-row edge frame (measured at sf0.1:
     // whole-query 5.7 s → 3.3 s).
     val adj = o.groupBy($"src")
-      .agg(array_sort(collect_list($"dst")).as("nbrs")).localCheckpoint()
+      .agg(array_sort(collect_list($"dst")).as("nbrs"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
     val contrib = adj
       .select($"src", $"nbrs".as("na"), explode($"nbrs").as("dst"))
       .join(broadcast(adj.select($"src".as("dst"), $"nbrs".as("nb"))),
