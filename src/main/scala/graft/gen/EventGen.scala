@@ -95,15 +95,28 @@ object EventGen {
     * dict insertion order = this frame's column order, and every value a
     * JSON STRING (the reference sends `csv.DictReader` rows untouched
     * @ 69-74, and its generated events are all strings @ 32-37). Escaping
-    * backslash-first then quotes, matching json.dumps for the ASCII set;
-    * non-ASCII would need \\uXXXX (ensure_ascii) — the fixture domains and
-    * the REES46 schema are ASCII, so parity holds where the contract does.
+    * matches json.dumps over the full ASCII range: backslash first, then
+    * quote, the five C0 shorthands (\b \f \n \r \t), and every other
+    * control char below 0x20 as \u00XX. Non-ASCII would need ensure_ascii
+    * \uXXXX — the fixture domains and the REES46 schema are ASCII, so
+    * parity holds where the contract does. NULL policy: a NULL column
+    * value serializes as the empty string (`coalesce` before escaping) —
+    * the DictReader contract is all-strings, so a null has no reference
+    * counterpart and silently dropping the key (what a bare concat_ws
+    * would do) is the one behavior that can never be right.
     */
   def pyJsonEnvelope(df: DataFrame): DataFrame = {
+    // Chained literal replaces keep this inside codegen; backslash MUST be
+    // first or it would re-escape the escapes it just introduced.
+    val escapes: Seq[(String, String)] =
+      Seq("\\" -> "\\\\", "\"" -> "\\\"", "\b" -> "\\b", "\f" -> "\\f",
+        "\n" -> "\\n", "\r" -> "\\r", "\t" -> "\\t") ++
+        (0x00 until 0x20).filterNot(Set(0x08, 0x09, 0x0a, 0x0c, 0x0d))
+          .map(i => i.toChar.toString -> f"\\u$i%04x")
     def esc(c: Column): Column =
-      call_function("replace",
-        call_function("replace", c.cast("string"), lit("\\"), lit("\\\\")),
-        lit("\""), lit("\\\""))
+      escapes.foldLeft(coalesce(c.cast("string"), lit(""))) {
+        case (acc, (from, to)) => call_function("replace", acc, lit(from), lit(to))
+      }
     val pieces = df.columns.map { name =>
       concat(lit("\"" + name + "\": \""), esc(col(name)), lit("\""))
     }

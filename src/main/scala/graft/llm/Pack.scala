@@ -377,9 +377,12 @@ object Pack {
     * running sum is a window per source (parallel across sources, never
     * SinglePartition); output is the per-source admission report: docs and
     * tokens admitted vs total — the mixing dashboard's first table.
-    * Boundary rule pinned on both engines: a doc is admitted iff the
-    * running total THROUGH it stays ≤ budget (the straddling doc is
-    * rejected, later smaller docs may still fit).
+    * Boundary rule pinned on both engines: PREFIX CUTOFF — a doc is
+    * admitted iff the running total through it (accumulated over ALL
+    * walked docs, admitted or not) stays ≤ budget, so the straddling doc
+    * and everything after it are rejected. Skip-the-straddler-and-continue
+    * would need the running sum over admitted docs only, which is not a
+    * plain window sum.
     */
   def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -166,7 +166,9 @@ object Stress {
       .filter($"adcs" =!= $"floor_s").count()
     val nProbes = top1.count()
     println(s"[stress] probes=$nProbes top1!=floor=$bad")
-    val ok = bad == 0 && nProbes == n / 100
+    // ids ≡ 1 (mod 100) below n number ceil((n-1)/100) — equal to n/100
+    // only when 100 divides n, so the literal n/100 spuriously failed odd n.
+    val ok = bad == 0 && nProbes == (n + 98) / 100
     println(s"[stress] structure recovered: ${if (ok) "YES" else "NO"}")
     ok
   }
@@ -208,7 +210,9 @@ object Stress {
     val bad = top1.filter($"neighbor_id" =!= $"query_id" - 1 ||
       $"micro_sim" =!= 1000000L).count()
     println(s"[stress] probes=$nProbes twin-missed=$bad")
-    val ok = bad == 0 && nProbes == n / 100
+    // ids ≡ 1 (mod 100) below n number ceil((n-1)/100) — equal to n/100
+    // only when 100 divides n, so the literal n/100 spuriously failed odd n.
+    val ok = bad == 0 && nProbes == (n + 98) / 100
     println(s"[stress] structure recovered: ${if (ok) "YES" else "NO"}")
     ok
   }

@@ -91,6 +91,22 @@ class EventGenSpec extends SparkSpec {
     val tricky = Seq("a\"b\\c").toDF("k")
     assert(EventGen.pyJsonEnvelope(tricky).as[String].head() ==
       "{\"k\": \"a\\\"b\\\\c\"}")
+
+    // control chars: json.dumps emits the C0 shorthands for \b\f\n\r\t and
+    // \u00XX for the rest — CPython: json.dumps({"k": "x\ny\tz"}) ==
+    // '{"k": "x\\ny\\tz"}', json.dumps({"k": "a\x01b"}) == '{"k": "a\\u0001b"}'
+    val ctl = Seq("x\ny\tz").toDF("k")
+    assert(EventGen.pyJsonEnvelope(ctl).as[String].head() ==
+      "{\"k\": \"x\\ny\\tz\"}")
+    val ctlLow = Seq("a\u0001b\u001fc").toDF("k")
+    assert(EventGen.pyJsonEnvelope(ctlLow).as[String].head() ==
+      "{\"k\": \"a\\u0001b\\u001fc\"}")
+
+    // null policy: a NULL value serializes as the empty string (the
+    // DictReader contract is all-strings; the key must never vanish)
+    val withNull = Seq((Option.empty[String], "v")).toDF("a", "b")
+    assert(EventGen.pyJsonEnvelope(withNull).as[String].head() ==
+      """{"a": "", "b": "v"}""")
   }
 
   test("writeKafka passes a pre-enveloped single-value frame through untouched") {
