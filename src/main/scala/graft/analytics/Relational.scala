@@ -128,11 +128,22 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
-  /** q_join_anti — customers with no orders, counted per market segment. */
+  /** Anti-join recency cutoff: the fixture assigns orders to (nearly) every
+    * customer over the full 1995–2001 span, so "no orders ever" is vacuous
+    * at every SF — the dormancy window makes the gate non-empty at all
+    * three (32 / 322 / 3255 customers at sf0.001/0.01/0.1) while keeping
+    * the plan an anti-join with the filter pushed to the scan.
+    */
+  val AntiJoinCutoff = "2000-08-01"
+
+  /** q_join_anti — dormant customers (no orders in the dataset's final
+    * year), counted per market segment.
+    */
   def joinAnti(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val c = Tables.customer(spark, dir)
     val o = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit(AntiJoinCutoff).cast("date"))
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_customers"))
@@ -140,9 +151,10 @@ object Relational {
   }
 
   val joinAntiSql: String =
-    """SELECT c_mktsegment, count(*) AS n_customers
+    s"""SELECT c_mktsegment, count(*) AS n_customers
       |FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderdate >= DATE '$AntiJoinCutoff')
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
@@ -273,18 +285,29 @@ object Relational {
       |SELECT s_nationkey FROM supplier
       |ORDER BY nationkey""".stripMargin
 
-  /** q_except — customer nation keys with no supplier presence. */
+  /** EXCEPT right-side gate: suppliers cover every customer nation at
+    * sf0.01+, so a plain nation-vs-nation EXCEPT is vacuous there; keying
+    * the right side on top-tier suppliers (acctbal ≥ 9900, the fixture
+    * distribution's last half-percent) keeps the result non-empty at all
+    * SFs (25 / 24 / 19 nations) and makes the EXCEPT actually remove rows
+    * at sf0.01+.
+    */
+  val ExceptAcctbalFloor = 9900.0
+
+  /** q_except — customer nation keys with no top-tier supplier presence. */
   def exceptKeys(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val c = Tables.customer(spark, dir).select($"c_nationkey".as("nationkey"))
-    val s = Tables.supplier(spark, dir).select($"s_nationkey".as("nationkey"))
+    val s = Tables.supplier(spark, dir)
+      .filter($"s_acctbal" >= ExceptAcctbalFloor)
+      .select($"s_nationkey".as("nationkey"))
     c.except(s).orderBy($"nationkey")
   }
 
   val exceptKeysSql: String =
-    """SELECT c_nationkey AS nationkey FROM customer
+    s"""SELECT c_nationkey AS nationkey FROM customer
       |EXCEPT
-      |SELECT s_nationkey FROM supplier
+      |SELECT s_nationkey FROM supplier WHERE s_acctbal >= $ExceptAcctbalFloor
       |ORDER BY nationkey""".stripMargin
 
   /** q_intersect — nation keys having both customers and suppliers. */

@@ -136,7 +136,16 @@ object Similarity {
       |FROM pairs WHERE sim >= 0.2
       |ORDER BY vec_a, vec_b""".stripMargin
 
-  val EmbedDupThreshold = 0.9
+  /** Fixture-calibrated: the synthetic embeddings are near-random, so
+    * bucketed-candidate cosines top out at ~0.47/0.51/0.53 at
+    * sf0.001/0.01/0.1 — a production near-dup threshold (0.9) gates on a
+    * provably empty set at every SF and the query proves nothing. 0.44
+    * keeps every stage of the route (4-table banding, bucket equi-join,
+    * cross-table DISTINCT, exact-cosine filter) exercised with non-empty
+    * output at all three SFs; a real corpus with actual duplicates would
+    * set 0.9 here.
+    */
+  val EmbedDupThreshold = 0.44
   val EmbedTables = 4  // sign-LSH tables
   val EmbedBits = 6    // bits per table: recall for cos≥0.9 ≈ 1-(1-0.39)^4 ≈ 0.86
 
