@@ -529,6 +529,8 @@ object Relational {
   def rangeAuto(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.plans.RangeJoinRewrite.install(spark)
+    spark.conf.set(graft.plans.RangeJoinRewrite.BucketWidthConf,
+      sys.env.getOrElse("GRAFT_RANGE_W", "2"))
     val pts = Tables.lineitem(spark, dir)
       .select(datediff(to_date($"l_shipdate"), lit("1990-01-01")).cast("long")
           .as("ship_day"),

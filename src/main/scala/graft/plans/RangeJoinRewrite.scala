@@ -38,11 +38,24 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] {
 
-  /** Bucket width in point-domain units. On day-grids (this repo's declared
-    * query) 8 days ≈ the interval length keeps replication ≤ 2 copies per
-    * interval; a production install would size W from interval-length stats.
+  /** Bucket width in point-domain units, read from the session conf at
+    * optimize time so the CALLER — who knows (or has measured) the interval
+    * length distribution — can size it per query. The cost model: an
+    * interval of length L replicates to (L+W)/W bucket copies, and every
+    * point probes ~(L+W) interval-replica rows in its bucket, so the join
+    * intermediate is N·(L+W) — monotonically GROWING in W. Small W is
+    * always better for the probe side; the only reason to widen is to cap
+    * interval-side replication (I·(L+W)/W) when the interval side is also
+    * huge. W = median interval length bounds replication at ~2× while
+    * keeping the probe fan-out within ~2× of optimal — the balanced default
+    * when both sides are 100 TB facts; a caller with a small interval side
+    * (this repo's declared query: 2.4k calendar windows) should set W well
+    * below L and buy an almost-lossless bucket join instead.
     */
-  val BucketWidth = 8L
+  val BucketWidthConf = "spark.graft.rangeJoin.bucketWidth"
+  val DefaultBucketWidth = 8L
+  private def bucketWidth: Long =
+    conf.getConfString(BucketWidthConf, DefaultBucketWidth.toString).toLong
 
   /** Opt-in marker: the rewrite only fires when the interval bounds are
     * columns literally named [[LoMarker]]/[[HiMarker]]. `install` puts the
@@ -79,8 +92,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       else j
   }
 
-  private def bucketOf(e: Expression): Expression =
-    IntegralDivide(e, Literal(BucketWidth))
+  private def bucketOf(e: Expression, w: Long): Expression =
+    IntegralDivide(e, Literal(w))
 
   private def rewrite(
       j: Join,
@@ -91,7 +104,9 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       hi: Expression,
       pointOnLeft: Boolean,
       hint: JoinHint): LogicalPlan = {
-    val ptBucket = Alias(bucketOf(pt), "__graft_pt_bucket")()
+    // One conf read per rewrite: both sides MUST bucket on the same width.
+    val w = bucketWidth
+    val ptBucket = Alias(bucketOf(pt, w), "__graft_pt_bucket")()
     val pointB = Project(pointSide.output :+ ptBucket, pointSide)
 
     val ivBucket = AttributeReference("__graft_iv_bucket", LongType, nullable = true)()
@@ -100,8 +115,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     // An inverted interval (lo > hi) matches nothing in the naive join, but
     // Sequence THROWS on descending bounds with step 1 — guard to an empty
     // array so the explode drops the row instead of crashing the job.
-    val loB = bucketOf(lo)
-    val hiB = bucketOf(hi)
+    val loB = bucketOf(lo, w)
+    val hiB = bucketOf(hi, w)
     val seq = Sequence(loB, hiB, Some(Literal(1L)), Some(conf.sessionLocalTimeZone))
     val emptyArr = Literal.create(Array.emptyLongArray, ArrayType(LongType, containsNull = false))
     val gen = Explode(If(LessThanOrEqual(loB, hiB), seq, emptyArr))
