@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{AsOf, Bfs, BloomJoin, Diff, Journey, PageRank, PrefixSum, Relational, Sessions, Sketch, Skew, Tpch, Triangles, Upsert, Warehouse}
+import graft.analytics.{AsOf, Bfs, BloomJoin, Diff, Journey, PageRank, PrefixSum, Relational, Sessions, Sketch, Skew, Tpch, TpchPs, Triangles, Upsert, Warehouse}
 import graft.dq.DataQuality
 import graft.io.Ingest
 import graft.llm.{AnnMulti, Cluster, CorpusFilter, DataCard, Dedup, Drift, Ivf, IvfPq, LangId, Pack, Pq, Privacy, Semantic, SimHash, SimJoin, Similarity, Terms, TextClean, TextOps}
@@ -33,6 +33,7 @@ object SparkEntry {
       PrefixSum.queries ++
       Triangles.queries ++
       Tpch.queries ++
+      TpchPs.queries ++
       Journey.queries ++
       Sketch.queries ++
       Sessions.queries ++
@@ -75,6 +76,7 @@ object SparkEntry {
       PrefixSum.oracles ++
       Triangles.oracles ++
       Tpch.oracles ++
+      TpchPs.oracles ++
       Journey.oracles ++
       Sketch.oracles ++
       Sessions.oracles ++

@@ -1,0 +1,304 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.util.Det
+
+/** The four TPC-H shapes that need `partsupp` — a table the driver's
+  * fixtures do not carry. Rather than leave Q2/Q9/Q11/Q20 "fixture-blocked"
+  * (round-5 verdict item #3), we DERIVE a deterministic partsupp from the
+  * tables that do exist, using the public dbgen association: each part gets
+  * 4 suppliers at strides of ~S/4 through the supplier space,
+  * `s_i = (p + i·(S/4 + p/S)) mod S, i ∈ 0..3` — the 0-based adaptation of
+  * dbgen's `PS_SUPPKEY` formula. `ps_availqty`/`ps_supplycost` are fixed
+  * integer congruences of (partkey, suppkey), so BOTH engines rebuild the
+  * identical table from first principles: the oracle SQL opens with the
+  * same CTE, and the hash gate proves the two derivations agree before it
+  * proves anything about the queries.
+  *
+  * At toy S (sf0.001 has 10 suppliers) the dbgen stride can collide
+  * (`d·(S/4 + k) ≡ 0 mod S` for d ≤ 3, even collapsing to ONE supplier
+  * when the stride itself is ≡ 0 mod S), so a part may carry 1–3 distinct
+  * suppliers instead of 4; the DISTINCT keeps the pair-set well-defined
+  * and both engines agree (700 pairs at sf0.001, exactly 4·|part| at
+  * sf0.01+ where S ≥ 100 makes collisions impossible for k ≤ 19).
+  *
+  * Scale: partsupp is |part|×4 narrow rows — at 100 TB it synthesizes as
+  * one projection + one pair-DISTINCT shuffle bounded by its own (small)
+  * size, and every consumer below joins it on its natural keys. Costs are
+  * exact integer CENTS end-to-end (Det.cents convention), so map-side
+  * partial aggregation is lossless and the DuckDB comparison is
+  * bit-stable.
+  */
+object TpchPs {
+
+  /** Q2 filters: mid-band size in one type, EUROPE suppliers — sized to be
+    * non-vacuous at every fixture SF (9/31/100 rows), unlike the official
+    * `p_size = 15` point filter which selects zero parts at sf0.001.
+    */
+  val Q2Region = "EUROPE"
+  val Q2Type = "ECONOMY"
+  val Q2SizeLo = 10
+  val Q2SizeHi = 20
+
+  /** Q9: product-line profit; fixture part names are "adjective noun". */
+  val Q9NamePart = "gear"
+
+  /** Q11: stock-value concentration inside one nation; the 1/1000 fraction
+    * replaces the official 0.0001/SF (which is vacuous under ~1k parts).
+    * NATION_13 carries suppliers at all three fixture SFs.
+    */
+  val Q11Nation = "NATION_13"
+  val Q11Per = 1000L
+
+  /** Q20: excess-stock suppliers. Region-scoped (EUROPE) rather than the
+    * official single-nation scope: one nation holds 1–2 suppliers at small
+    * SF and the availqty>½·shipped predicate then selects nothing at
+    * sf0.01.
+    */
+  val Q20Name = "hot"
+  val Q20Region = "EUROPE"
+  val Q20Start = "1998-01-01"
+  val Q20End = "1999-01-01"
+
+  /** Synthetic partsupp: (ps_partkey, ps_suppkey, ps_availqty,
+    * ps_supplycost_cents). The supplier count enters the plan as a
+    * broadcast 1-row aggregate — no driver action, the formula stays fully
+    * declarative (and at cluster scale the count is one map-side-combined
+    * aggregate over the supplier table).
+    */
+  def partsupp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sCnt = Tables.supplier(spark, dir).agg(count(lit(1)).as("s_cnt"))
+    Tables.part(spark, dir)
+      .select($"p_partkey")
+      .crossJoin(broadcast(sCnt))
+      .select($"p_partkey", $"s_cnt",
+        explode(array((0 to 3).map(i => lit(i.toLong)): _*)).as("i"))
+      .select($"p_partkey".as("ps_partkey"),
+        expr("(p_partkey + i * ((s_cnt div 4) + (p_partkey div s_cnt))) % s_cnt")
+          .as("ps_suppkey"))
+      .distinct()
+      .select($"ps_partkey", $"ps_suppkey",
+        (($"ps_partkey" * 31L + $"ps_suppkey" * 17L) % 9999L + 1L).as("ps_availqty"),
+        (($"ps_partkey" * 7919L + $"ps_suppkey" * 104729L) % 99901L + 100L)
+          .as("ps_supplycost_cents"))
+  }
+
+  /** The shared oracle CTE — the DuckDB-side twin of [[partsupp]]. */
+  val psSql: String =
+    """WITH sc AS (SELECT count(*) AS s_cnt FROM supplier),
+      |ps0 AS (
+      | SELECT p_partkey AS ps_partkey,
+      |        (p_partkey + i.i * (sc.s_cnt // 4 + p_partkey // sc.s_cnt)) % sc.s_cnt AS ps_suppkey
+      | FROM part CROSS JOIN sc CROSS JOIN (VALUES (0),(1),(2),(3)) AS i(i)),
+      |partsupp AS (
+      | SELECT DISTINCT ps_partkey, ps_suppkey,
+      |        (ps_partkey*31 + ps_suppkey*17) % 9999 + 1 AS ps_availqty,
+      |        (ps_partkey*7919 + ps_suppkey*104729) % 99901 + 100 AS ps_supplycost_cents
+      | FROM ps0)""".stripMargin
+
+  /** q_tpch_q2 — minimum-cost supplier: for each qualifying part, the
+    * EUROPE supplier(s) quoting the region-minimum supplycost. The official
+    * correlated `= (SELECT min …)` becomes a window-min over the
+    * region-scoped partsupp partitioned by part — one shuffle on
+    * ps_partkey, ties kept exactly like the textbook subquery keeps them.
+    * nation/region broadcast; the size/type-filtered part side broadcasts
+    * into the final join.
+    */
+  def tpchQ2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nat = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter($"r_name" === Q2Region)),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val eu = partsupp(spark, dir)
+      .join(Tables.supplier(spark, dir), $"ps_suppkey" === $"s_suppkey")
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .select($"ps_partkey", $"ps_suppkey", $"ps_supplycost_cents",
+        $"s_name", $"s_acctbal", $"n_name")
+    val minCost = min($"ps_supplycost_cents")
+      .over(Window.partitionBy($"ps_partkey"))
+    val prt = Tables.part(spark, dir)
+      .filter($"p_size".between(Q2SizeLo, Q2SizeHi) && $"p_type" === Q2Type)
+      .select($"p_partkey", $"p_brand")
+    eu.withColumn("min_cost", minCost)
+      .filter($"ps_supplycost_cents" === $"min_cost")
+      .join(broadcast(prt), $"ps_partkey" === $"p_partkey")
+      .select($"s_acctbal", $"s_name", $"ps_suppkey".as("s_suppkey"), $"n_name",
+        $"p_partkey", $"p_brand", $"ps_supplycost_cents".as("supplycost_cents"))
+      .orderBy($"s_acctbal".desc, $"p_partkey", $"s_suppkey")
+      .limit(100)
+  }
+
+  val tpchQ2Sql: String =
+    psSql +
+      s""",
+         |eu AS (
+         | SELECT ps_partkey, ps_suppkey, ps_supplycost_cents, s_name, s_acctbal, n_name
+         | FROM partsupp
+         | JOIN supplier ON s_suppkey = ps_suppkey
+         | JOIN nation ON n_nationkey = s_nationkey
+         | JOIN region ON r_regionkey = n_regionkey AND r_name = '$Q2Region')
+         |SELECT s_acctbal, s_name, ps_suppkey AS s_suppkey, n_name, p_partkey, p_brand,
+         | CAST(eu.ps_supplycost_cents AS BIGINT) AS supplycost_cents
+         |FROM part JOIN eu ON ps_partkey = p_partkey
+         |WHERE p_size BETWEEN $Q2SizeLo AND $Q2SizeHi AND p_type = '$Q2Type'
+         |  AND ps_supplycost_cents = (SELECT min(e2.ps_supplycost_cents) FROM eu e2
+         |                             WHERE e2.ps_partkey = p_partkey)
+         |ORDER BY s_acctbal DESC, p_partkey, s_suppkey
+         |LIMIT 100""".stripMargin
+
+  /** q_tpch_q9 — product-line profit by supplier nation and order year.
+    * Profit per line is exact integer micro-cents:
+    * `cents(extprice)·(100−disc_pct) − supplycost_cents·cents(qty)` — both
+    * terms are 10⁻⁴-dollar units, so the whole aggregate is a lossless
+    * BIGINT sum (map-side partials safe). The name-filtered part keys
+    * broadcast into the lineitem scan; lineitem⋈partsupp shuffles once on
+    * the composite key — the join you cannot avoid at 100 TB, and the only
+    * exchange besides the final group-by.
+    */
+  def tpchQ9(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val prt = Tables.part(spark, dir)
+      .filter($"p_name".contains(Q9NamePart))
+      .select($"p_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(prt), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+        (Det.cents($"l_extendedprice") *
+          (lit(100L) - round($"l_discount" * 100).cast("long"))).as("rev_ucents"),
+        Det.cents($"l_quantity").as("qty_cents"))
+    li.join(partsupp(spark, dir),
+        $"l_partkey" === $"ps_partkey" && $"l_suppkey" === $"ps_suppkey")
+      .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
+      .join(Tables.orders(spark, dir).select($"o_orderkey",
+          year(to_date($"o_orderdate")).cast("long").as("o_year")),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"n_name".as("nation"), $"o_year")
+      .agg(sum($"rev_ucents" - $"ps_supplycost_cents" * $"qty_cents")
+        .as("profit_ucents"))
+      .orderBy($"nation", $"o_year".desc)
+  }
+
+  val tpchQ9Sql: String =
+    psSql +
+      s"""
+         |SELECT n_name AS nation, CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+         | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))
+         |     - ps_supplycost_cents * CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS profit_ucents
+         |FROM lineitem
+         |JOIN part ON p_partkey = l_partkey AND p_name LIKE '%$Q9NamePart%'
+         |JOIN supplier ON s_suppkey = l_suppkey
+         |JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+         |JOIN orders ON o_orderkey = l_orderkey
+         |JOIN nation ON n_nationkey = s_nationkey
+         |GROUP BY 1, 2
+         |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** q_tpch_q11 — stock-value concentration: parts whose stock value inside
+    * one nation exceeds 1/[[Q11Per]] of that nation's total. The official
+    * scalar subquery becomes a broadcast 1-row aggregate crossed into the
+    * HAVING; the threshold compare is exact integer
+    * (`value·1000 > total` — ≤8·10¹⁶ at sf0.1, far inside Long). Two
+    * aggregates over one shared nation-scoped frame, no second scan of
+    * anything big.
+    */
+  def tpchQ11(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nat = partsupp(spark, dir)
+      .join(Tables.supplier(spark, dir), $"ps_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(spark, dir).filter($"n_name" === Q11Nation)),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"ps_partkey", ($"ps_supplycost_cents" * $"ps_availqty").as("v"))
+    val total = nat.agg(sum($"v").as("total_v"))
+    nat.groupBy($"ps_partkey")
+      .agg(sum($"v").as("value_cents"))
+      .crossJoin(broadcast(total))
+      .filter($"value_cents" * Q11Per > $"total_v")
+      .select($"ps_partkey", $"value_cents")
+      .orderBy($"value_cents".desc, $"ps_partkey")
+  }
+
+  val tpchQ11Sql: String =
+    psSql +
+      s""",
+         |nat AS (
+         | SELECT ps_partkey, ps_supplycost_cents * ps_availqty AS v
+         | FROM partsupp
+         | JOIN supplier ON s_suppkey = ps_suppkey
+         | JOIN nation ON n_nationkey = s_nationkey AND n_name = '$Q11Nation')
+         |SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS value_cents
+         |FROM nat
+         |GROUP BY ps_partkey
+         |HAVING sum(v) * $Q11Per > (SELECT sum(v) FROM nat)
+         |ORDER BY value_cents DESC, ps_partkey""".stripMargin
+
+  /** q_tpch_q20 — excess-stock suppliers: EUROPE suppliers holding more
+    * than half a year's shipments of some name-matched part
+    * (`availqty > ½·Σqty` ⟺ `availqty·200 > Σqty_cents`, exact integers).
+    * The year of lineitem pre-aggregates by (partkey, suppkey) BEFORE
+    * touching partsupp — the one fact-side shuffle; part names and
+    * nation/region broadcast.
+    */
+  def tpchQ20(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val shipped = Tables.lineitem(spark, dir)
+      .filter(to_date($"l_shipdate") >= lit(Q20Start) &&
+        to_date($"l_shipdate") < lit(Q20End))
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(sum(Det.cents($"l_quantity")).as("qty_cents"))
+    val prt = Tables.part(spark, dir)
+      .filter($"p_name".startsWith(Q20Name))
+      .select($"p_partkey")
+    val nat = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter($"r_name" === Q20Region)),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey")
+    partsupp(spark, dir)
+      .join(broadcast(prt), $"ps_partkey" === $"p_partkey")
+      .join(shipped,
+        $"ps_partkey" === $"l_partkey" && $"ps_suppkey" === $"l_suppkey")
+      .filter($"ps_availqty" * 200L > $"qty_cents")
+      .join(Tables.supplier(spark, dir), $"ps_suppkey" === $"s_suppkey")
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name")
+      .distinct()
+      .orderBy($"s_suppkey")
+  }
+
+  val tpchQ20Sql: String =
+    psSql +
+      s""",
+         |shipped AS (
+         | SELECT l_partkey, l_suppkey, sum(CAST(round(l_quantity*100) AS BIGINT)) AS qty_cents
+         | FROM lineitem
+         | WHERE CAST(l_shipdate AS DATE) >= DATE '$Q20Start'
+         |   AND CAST(l_shipdate AS DATE) < DATE '$Q20End'
+         | GROUP BY 1, 2)
+         |SELECT DISTINCT s_suppkey, s_name
+         |FROM partsupp
+         |JOIN part ON p_partkey = ps_partkey AND p_name LIKE '$Q20Name%'
+         |JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+         |JOIN supplier ON s_suppkey = ps_suppkey
+         |JOIN nation ON n_nationkey = s_nationkey
+         |JOIN region ON r_regionkey = n_regionkey AND r_name = '$Q20Region'
+         |WHERE ps_availqty * 200 > qty_cents
+         |ORDER BY s_suppkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q2" -> (tpchQ2 _),
+    "q_tpch_q9" -> (tpchQ9 _),
+    "q_tpch_q11" -> (tpchQ11 _),
+    "q_tpch_q20" -> (tpchQ20 _))
+
+  val oracles: Map[String, String] = Map(
+    "q_tpch_q2" -> tpchQ2Sql,
+    "q_tpch_q9" -> tpchQ9Sql,
+    "q_tpch_q11" -> tpchQ11Sql,
+    "q_tpch_q20" -> tpchQ20Sql)
+}
