@@ -46,6 +46,102 @@ object AnnMulti {
   val MultiNList = 16
   val MultiNProbe = 8
 
+  /** Lloyd refinement passes over the stride seeds (round-6 upgrade). Two
+    * iterations move the mid-dial most (nprobe=4 recall 0.52 → 0.60 at
+    * sf0.1, docs/ANN_RECALL.md); the nprobe=8 point is already at the
+    * fixture's ceiling (~0.79; best-of-5 restarts with Lloyd-5 top out at
+    * 0.835 — random 64-dim vectors have no cluster structure to find).
+    *
+    * The refinement is FIXED-POINT so the oracle reproduces it bit-exactly:
+    * per (cell, dim) the mean accumulates `round(x·10⁶)` BIGINTs (exact,
+    * order-independent — a float mean's partial sums are neither) and the
+    * centroid component is the single division `Σ/(10⁶·n)`; both factors
+    * are exactly representable doubles, so Spark and DuckDB round
+    * identically. Cells that lose all members keep their previous centroid.
+    */
+  val LloydIters = 2
+
+  /** Stride seeds + [[LloydIters]] fixed-point Lloyd passes. Centroids are
+    * driver-local between passes (nlist rows — the k-means shape: centroids
+    * on the driver, data distributed, every use a broadcast); each pass is
+    * one map-side-combined argmax + one exact integer aggregate.
+    */
+  private[llm] def refinedCentroids(spark: SparkSession, e: DataFrame,
+      nlist: Int): DataFrame = {
+    import spark.implicits._
+    val n = e.count()
+    val stride = math.max(1L, n / nlist)
+    val seeds = e.filter(pmod($"vec_id", lit(stride)) === 0)
+      .orderBy($"vec_id").limit(nlist)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    var cent: Seq[(Long, Seq[Double])] =
+      seeds.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }.toSeq
+    (1 to LloydIters).foreach { _ =>
+      val cdf = broadcast(cent.toDF("ccid", "cv"))
+      val refined = e.crossJoin(cdf)
+        .withColumn("sim", round(cosineFast(spark, $"v", $"cv"), 6) + lit(0.0))
+        .groupBy($"vec_id")
+        .agg(max_by($"ccid", struct($"sim", -$"ccid")).as("ccid"))
+        .join(e, Seq("vec_id"))
+        .select($"ccid", posexplode($"v").as(Seq("pos", "x")))
+        .groupBy($"ccid", $"pos")
+        .agg(sum(round($"x" * 1000000L).cast("long")).as("sx"),
+          count(lit(1)).as("cnt"))
+        .groupBy($"ccid")
+        .agg(array_sort(collect_list(struct($"pos",
+          ($"sx".cast("double") / ($"cnt" * 1000000L).cast("double")).as("m"))))
+          .as("pm"))
+        .select($"ccid", transform($"pm", p => p.getField("m")).as("cv"))
+        .as[(Long, Seq[Double])].collect().toMap
+      cent = cent.map { case (id, v) => (id, refined.getOrElse(id, v)) }
+    }
+    cent.toDF("ccid", "cv")
+  }
+
+  /** The oracle-side twin of [[refinedCentroids]]: CTEs `e`, `cst`,
+    * `cseeds0` (stride seeds) and [[LloydIters]] unrolled fixed-point
+    * passes, ending in a CTE named `cseeds` the downstream query text
+    * references exactly as before.
+    */
+  private def coarseSqlCtes(nlist: Int): String = {
+    val head =
+      s"""WITH e AS (
+         | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         | FROM embeddings),
+         |cst AS (SELECT greatest(CAST(count(*) // $nlist AS BIGINT), 1) AS stride FROM e),
+         |cseeds0 AS (
+         | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ccid, v AS cv
+         | FROM (SELECT vec_id, v FROM e, cst WHERE vec_id % stride = 0
+         |       ORDER BY vec_id LIMIT $nlist))""".stripMargin
+    val iters = (1 to LloydIters).map { k =>
+      s""",
+         |cass$k AS (
+         | SELECT vec_id, ccid FROM (
+         |  SELECT e.vec_id, s.ccid,
+         |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |    round(
+         |     list_sum(list_transform(list_zip(e.v, s.cv), p -> p[1] * p[2])) /
+         |     sqrt(list_sum(list_transform(e.v, x -> x * x)) * list_sum(list_transform(s.cv, x -> x * x))),
+         |     6) + 0.0 DESC, s.ccid) AS rk
+         |  FROM e, cseeds${k - 1} s) WHERE rk = 1),
+         |cm$k AS (
+         | SELECT ccid, pos,
+         |  CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS DOUBLE)
+         |   / CAST(count(*) * 1000000 AS DOUBLE) AS m
+         | FROM (SELECT ca.ccid, generate_subscripts(e.v, 1) AS pos, unnest(e.v) AS x
+         |       FROM cass$k ca JOIN e ON e.vec_id = ca.vec_id)
+         | GROUP BY ccid, pos),
+         |cref$k AS (SELECT ccid, list(m ORDER BY pos) AS cv FROM cm$k GROUP BY ccid),
+         |cseeds$k AS (
+         | SELECT s.ccid, COALESCE(r.cv, s.cv) AS cv
+         | FROM cseeds${k - 1} s LEFT JOIN cref$k r ON r.ccid = s.ccid)""".stripMargin
+    }.mkString
+    val tail =
+      s""",
+         |cseeds AS (SELECT ccid, cv FROM cseeds$LloydIters)""".stripMargin
+    head + iters + tail
+  }
+
   /** x_ann_recall_multi — recall@[[Similarity.RecallK]] of the multi-probe
     * IVF route vs exact brute force, per probe: (query_id, n_true, n_cand,
     * n_approx, n_overlap, recall).
@@ -56,15 +152,8 @@ object AnnMulti {
     val e = Tables.embeddings(spark, dir)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
 
-    // stride-seeded coarse centroids (IvfPq recipe — oracle-expressible)
-    val n = e.count()
-    val stride = math.max(1L, n / MultiNList)
-    val seeds = e.filter(pmod($"vec_id", lit(stride)) === 0)
-      .orderBy($"vec_id").limit(MultiNList)
-      .as[(Long, Seq[Double])].collect().sortBy(_._1)
-    val coarse = broadcast(
-      seeds.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
-        .toSeq.toDF("ccid", "cv"))
+    // stride-seeded + Lloyd-refined coarse centroids (oracle-expressible)
+    val coarse = broadcast(refinedCentroids(spark, e, MultiNList))
 
     // every vector → nearest cell, map-side-combined argmax
     val cass = e.crossJoin(coarse)
@@ -127,14 +216,8 @@ object AnnMulti {
   }
 
   val annRecallMultiSql: String =
-    s"""WITH e AS (
-       | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       | FROM embeddings),
-       |cst AS (SELECT greatest(CAST(count(*) // $MultiNList AS BIGINT), 1) AS stride FROM e),
-       |cseeds AS (
-       | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ccid, v AS cv
-       | FROM (SELECT vec_id, v FROM e, cst WHERE vec_id % stride = 0
-       |       ORDER BY vec_id LIMIT $MultiNList)),
+    coarseSqlCtes(MultiNList) +
+    s""",
        |cass AS (
        | SELECT vec_id, ccid FROM (
        |  SELECT e.vec_id, s.ccid,
@@ -228,14 +311,7 @@ object AnnMulti {
     import spark.implicits._
     GraftFunctions.register(spark)
 
-    val n = e.count()
-    val stride = math.max(1L, n / nlist)
-    val seeds = e.filter(pmod($"vec_id", lit(stride)) === 0)
-      .orderBy($"vec_id").limit(nlist)
-      .as[(Long, Seq[Double])].collect().sortBy(_._1)
-    val coarse = broadcast(
-      seeds.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
-        .toSeq.toDF("ccid", "cv"))
+    val coarse = broadcast(refinedCentroids(spark, e, nlist))
 
     val cass = e.crossJoin(coarse)
       .withColumn("sim", round(cosineFast(spark, $"v", $"cv"), 6) + lit(0.0))
@@ -269,14 +345,8 @@ object AnnMulti {
   }
 
   val multiprobeTopKSql: String =
-    s"""WITH e AS (
-       | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       | FROM embeddings),
-       |cst AS (SELECT greatest(CAST(count(*) // $MultiNList AS BIGINT), 1) AS stride FROM e),
-       |cseeds AS (
-       | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ccid, v AS cv
-       | FROM (SELECT vec_id, v FROM e, cst WHERE vec_id % stride = 0
-       |       ORDER BY vec_id LIMIT $MultiNList)),
+    coarseSqlCtes(MultiNList) +
+    s""",
        |cass AS (
        | SELECT vec_id, ccid FROM (
        |  SELECT e.vec_id, s.ccid,
@@ -333,14 +403,7 @@ object AnnMulti {
     val e = Tables.embeddings(spark, dir)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
 
-    val n = e.count()
-    val stride = math.max(1L, n / MultiNList)
-    val seeds = e.filter(pmod($"vec_id", lit(stride)) === 0)
-      .orderBy($"vec_id").limit(MultiNList)
-      .as[(Long, Seq[Double])].collect().sortBy(_._1)
-    val coarse = broadcast(
-      seeds.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
-        .toSeq.toDF("ccid", "cv"))
+    val coarse = broadcast(refinedCentroids(spark, e, MultiNList))
 
     val cass = e.crossJoin(coarse)
       .withColumn("sim", round(cosineFast(spark, $"v", $"cv"), 6) + lit(0.0))
@@ -405,14 +468,8 @@ object AnnMulti {
   }
 
   val annNprobeCurveSql: String =
-    s"""WITH e AS (
-       | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       | FROM embeddings),
-       |cst AS (SELECT greatest(CAST(count(*) // $MultiNList AS BIGINT), 1) AS stride FROM e),
-       |cseeds AS (
-       | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ccid, v AS cv
-       | FROM (SELECT vec_id, v FROM e, cst WHERE vec_id % stride = 0
-       |       ORDER BY vec_id LIMIT $MultiNList)),
+    coarseSqlCtes(MultiNList) +
+    s""",
        |cass AS (
        | SELECT vec_id, ccid FROM (
        |  SELECT e.vec_id, s.ccid,
