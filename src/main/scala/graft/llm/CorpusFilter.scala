@@ -236,17 +236,77 @@ object CorpusFilter {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** x_pareto_front — the Pareto-optimal documents under two curation
+    * criteria: MAXIMIZE vocabulary richness (distinct tokens), MINIMIZE
+    * length (n_chars) — the "richest vocabulary per byte" density frontier
+    * a curator reads before setting per-axis thresholds. A doc is dominated
+    * iff some other doc is at least as rich AND at least as short, strictly
+    * better on one axis; equal (vocab, chars) twins do not dominate each
+    * other and both survive.
+    *
+    * Shape: the naive test is the oracle's quadratic NOT EXISTS — at 100 TB
+    * that is N² and dead. The skyline decomposes:
+    * `dominated(i) ⟺ min{chars : vocab > vocab_i} ≤ chars_i
+    *               ∨ min{chars : vocab = vocab_i} < chars_i`,
+    * so (1) one map-side-combined groupBy(vocab) min — parallel, corpus
+    * moves once; (2) a strictly-greater-vocab suffix-min window over the
+    * AGGREGATED frame only — its single partition is bounded by the score
+    * domain's cardinality (distinct vocab values: ≤ a few thousand for any
+    * integer quality score), never by corpus size (the PrefixSum 32-row
+    * pattern, not a corpus-wide window); (3) the tiny frontier table
+    * broadcasts back into one equi-join. O(N) + O(|domain| log |domain|).
+    */
+  def paretoFront(spark: SparkSession, dir: String): DataFrame =
+    paretoFrontOver(Tables.documents(spark, dir))
+
+  /** Same skyline over any (doc_id, text, n_chars) frame — the spec's seam. */
+  def paretoFrontOver(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    val d = documents
+      .select($"doc_id",
+        size(array_distinct(split($"text", " "))).cast("long").as("vocab"),
+        $"n_chars")
+    val byVocab = d.groupBy($"vocab").agg(min($"n_chars").as("mn"))
+    // rangeBetween(1, ∞) on an integer key = all rows with vocab STRICTLY
+    // greater; null sufmin (no richer doc exists) can never dominate
+    val wSuffix = org.apache.spark.sql.expressions.Window
+      .orderBy($"vocab".asc)
+      .rangeBetween(1L, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val frontier = byVocab.withColumn("sufmin", min($"mn").over(wSuffix))
+    d.join(broadcast(frontier), Seq("vocab"))
+      .filter(!(coalesce($"sufmin" <= $"n_chars", lit(false)) ||
+        $"mn" < $"n_chars"))
+      .select($"doc_id", $"vocab", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  val paretoFrontSql: String =
+    """WITH d AS (
+      | SELECT doc_id,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS vocab,
+      |  n_chars
+      | FROM documents)
+      |SELECT doc_id, vocab, n_chars
+      |FROM d
+      |WHERE NOT EXISTS (
+      | SELECT 1 FROM d e
+      | WHERE e.vocab >= d.vocab AND e.n_chars <= d.n_chars
+      |   AND (e.vocab > d.vocab OR e.n_chars < d.n_chars))
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_token_hist" -> (tokenHist _),
     "x_bigram_stats" -> (bigramStats _),
     "x_oov_rate" -> (oovRate _),
     "x_lm_rarity" -> (lmRarity _),
-    "x_quality_filter" -> (qualityFilter _))
+    "x_quality_filter" -> (qualityFilter _),
+    "x_pareto_front" -> (paretoFront _))
 
   val oracles: Map[String, String] = Map(
     "x_token_hist" -> tokenHistSql,
     "x_bigram_stats" -> bigramStatsSql,
     "x_oov_rate" -> oovRateSql,
     "x_lm_rarity" -> lmRaritySql,
-    "x_quality_filter" -> qualityFilterSql)
+    "x_quality_filter" -> qualityFilterSql,
+    "x_pareto_front" -> paretoFrontSql)
 }
