@@ -290,15 +290,111 @@ object TpchPs {
          |WHERE ps_availqty * 200 > qty_cents
          |ORDER BY s_suppkey""".stripMargin
 
+  /** Q12 fixture window: receipt year chosen inside the fixture's
+    * 1995–2001 shipdate span so every SF is non-vacuous
+    * (31/264/3,070 qualifying lines at sf0.001/0.01/0.1).
+    */
+  val Q12Start = "1997-01-01"
+  val Q12End = "1998-01-01"
+
+  /** The seven dbgen ship modes, indexed by the derivation congruence. */
+  private val ShipModes =
+    Seq("MAIL", "SHIP", "AIR", "RAIL", "TRUCK", "FOB", "REG AIR")
+
+  /** Derived lineitem shipping columns — the Q12 twin of [[partsupp]].
+    * The fixture's lineitem carries no `l_shipmode`/`l_commitdate`/
+    * `l_receiptdate`, so we derive all three as fixed integer congruences
+    * of the line's natural key `(l_orderkey, l_linenumber)`, mirroring
+    * dbgen's semantics in shape: a uniform 7-way mode pick, a receipt lag
+    * of 1–30 days after ship, and a commit date anywhere in ship ± 30 days
+    * (so both "late" `commit < receipt` and "kept" lines exist). Both
+    * engines rebuild the identical extension — the oracle opens on the
+    * same CTE — so the hash gate proves the derivations agree before it
+    * proves the query. Zero extra shuffles: the extension is a pure
+    * projection over the scan.
+    */
+  def lineitemExt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey",
+        element_at(
+          array(ShipModes.map(lit): _*),
+          (($"l_orderkey" * 7L + $"l_linenumber" * 3L) % 7L).cast("int") + 1)
+          .as("l_shipmode"),
+        to_date($"l_shipdate").as("l_sd"),
+        date_add(to_date($"l_shipdate"),
+          (($"l_orderkey" + $"l_linenumber" * 5L) % 30L).cast("int") + 1)
+          .as("l_receiptdate"),
+        date_add(to_date($"l_shipdate"),
+          (($"l_orderkey" * 3L + $"l_linenumber") % 61L).cast("int") - 30)
+          .as("l_commitdate"))
+  }
+
+  /** The shared oracle CTE — the DuckDB-side twin of [[lineitemExt]]. */
+  val liExtSql: String =
+    """WITH li_ext AS (
+      | SELECT l_orderkey,
+      |   CASE (l_orderkey*7 + l_linenumber*3) % 7
+      |     WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' WHEN 2 THEN 'AIR'
+      |     WHEN 3 THEN 'RAIL' WHEN 4 THEN 'TRUCK' WHEN 5 THEN 'FOB'
+      |     ELSE 'REG AIR' END AS l_shipmode,
+      |   CAST(l_shipdate AS DATE) AS l_sd,
+      |   CAST(l_shipdate AS DATE)
+      |     + CAST((l_orderkey + l_linenumber*5) % 30 + 1 AS INTEGER) AS l_receiptdate,
+      |   CAST(l_shipdate AS DATE)
+      |     + CAST((l_orderkey*3 + l_linenumber) % 61 - 30 AS INTEGER) AS l_commitdate
+      | FROM lineitem)""".stripMargin
+
+  /** q_tpch_q12 — shipping modes and order priority: late lines
+    * (commit < receipt, shipped before commit) received in one year over
+    * the MAIL/SHIP modes, split into high/low priority counts. One shuffle
+    * (the orders join on orderkey — at TPC-H cardinality lineitem⋈orders
+    * is the join you keep shuffled, both sides huge) plus the final 2-row
+    * aggregate; the mode/date predicates all sit on the derived projection
+    * directly over the scan, so the fact table is filtered before the
+    * exchange. Closes the last of the 22 classic shapes.
+    */
+  def tpchQ12(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = lineitemExt(spark, dir)
+      .filter($"l_shipmode".isin("MAIL", "SHIP") &&
+        $"l_commitdate" < $"l_receiptdate" && $"l_sd" < $"l_commitdate" &&
+        $"l_receiptdate" >= lit(Q12Start).cast("date") &&
+        $"l_receiptdate" < lit(Q12End).cast("date"))
+    val isHigh = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderpriority")
+      .join(li, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"l_shipmode")
+      .agg(sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy($"l_shipmode")
+  }
+
+  val tpchQ12Sql: String =
+    liExtSql +
+      s"""
+         |SELECT l_shipmode,
+         | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         | CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         |FROM orders JOIN li_ext ON o_orderkey = l_orderkey
+         |WHERE l_shipmode IN ('MAIL','SHIP')
+         |  AND l_commitdate < l_receiptdate AND l_sd < l_commitdate
+         |  AND l_receiptdate >= DATE '$Q12Start' AND l_receiptdate < DATE '$Q12End'
+         |GROUP BY l_shipmode
+         |ORDER BY l_shipmode""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q2" -> (tpchQ2 _),
     "q_tpch_q9" -> (tpchQ9 _),
     "q_tpch_q11" -> (tpchQ11 _),
+    "q_tpch_q12" -> (tpchQ12 _),
     "q_tpch_q20" -> (tpchQ20 _))
 
   val oracles: Map[String, String] = Map(
     "q_tpch_q2" -> tpchQ2Sql,
     "q_tpch_q9" -> tpchQ9Sql,
     "q_tpch_q11" -> tpchQ11Sql,
+    "q_tpch_q12" -> tpchQ12Sql,
     "q_tpch_q20" -> tpchQ20Sql)
 }

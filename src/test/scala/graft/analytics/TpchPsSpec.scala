@@ -82,6 +82,42 @@ class TpchPsSpec extends SparkSpec {
     assert(out.map(_._2).toList == out.map(_._2).toList.sorted.reverse)
   }
 
+  test("lineitemExt derivation: mode in domain, receipt lag 1-30, commit in ship±30") {
+    val ext = TpchPs.lineitemExt(spark, dir)
+      .select($"l_shipmode", datediff($"l_receiptdate", $"l_sd"),
+        datediff($"l_commitdate", $"l_sd"))
+      .as[(String, Int, Int)].collect()
+    assert(ext.nonEmpty)
+    val modes = Set("MAIL", "SHIP", "AIR", "RAIL", "TRUCK", "FOB", "REG AIR")
+    ext.foreach { case (m, rLag, cOff) =>
+      assert(modes.contains(m), s"mode $m")
+      assert(rLag >= 1 && rLag <= 30, s"receipt lag $rLag")
+      assert(cOff >= -30 && cOff <= 30, s"commit offset $cOff")
+    }
+    // all seven modes actually occur — the congruence isn't degenerate
+    assert(ext.map(_._1).toSet == modes)
+  }
+
+  test("q_tpch_q12 counts match a driver-side recomputation over the late lines") {
+    val out = TpchPs.tpchQ12(spark, dir)
+      .as[(String, Long, Long)].collect().toList
+    assert(out.nonEmpty && out.map(_._1) == out.map(_._1).sorted)
+    val prio = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderpriority")
+      .as[(Long, String)].collect().toMap
+    val late = TpchPs.lineitemExt(spark, dir)
+      .filter($"l_shipmode".isin("MAIL", "SHIP") &&
+        $"l_commitdate" < $"l_receiptdate" && $"l_sd" < $"l_commitdate" &&
+        $"l_receiptdate" >= lit(TpchPs.Q12Start).cast("date") &&
+        $"l_receiptdate" < lit(TpchPs.Q12End).cast("date"))
+      .select($"l_orderkey", $"l_shipmode").as[(Long, String)].collect()
+    val expected = late.groupBy(_._2).map { case (m, ls) =>
+      val high = ls.count(l => Set("1-URGENT", "2-HIGH").contains(prio(l._1)))
+      (m, high.toLong, (ls.length - high).toLong)
+    }.toList.sortBy(_._1)
+    assert(out == expected)
+  }
+
   test("q_tpch_q20 suppliers really hold excess stock of a matched part") {
     val out = TpchPs.tpchQ20(spark, dir).as[(Long, String)].collect()
     assert(out.nonEmpty)
