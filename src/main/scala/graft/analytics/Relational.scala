@@ -531,20 +531,29 @@ object Relational {
     graft.plans.RangeJoinRewrite.install(spark)
     spark.conf.set(graft.plans.RangeJoinRewrite.BucketWidthConf,
       sys.env.getOrElse("GRAFT_RANGE_W", "2"))
-    val pts = Tables.lineitem(spark, dir)
+    // Aggregation pushdown below the range join: the final aggregate is
+    // keyed on the point value itself (d_day ranges over exactly the ship
+    // days), and count/sum are distributive — so pre-aggregate the fact to
+    // one row per day FIRST (the only fact-sized shuffle), then range-join
+    // the tiny daily frame and sum partials. At 100 TB this is the shape
+    // that matters: the rewrite keeps the range join an equi join, and the
+    // pushdown keeps the fact out of it entirely (600k joined rows → 17k).
+    val daily = Tables.lineitem(spark, dir)
       .select(datediff(to_date($"l_shipdate"), lit("1990-01-01")).cast("long")
           .as("ship_day"),
         $"l_quantity")
-    val ivs = pts.select($"ship_day".as("d_day")).distinct()
+      .groupBy($"ship_day")
+      .agg(count(lit(1)).as("pn"), sum(Det.cents($"l_quantity")).as("pq"))
+    val ivs = daily.select($"ship_day".as("d_day"))
       .select($"d_day", $"d_day".as("__range_lo"), ($"d_day" + 6L).as("__range_hi"))
     // the __range_lo/__range_hi aliases are the rewrite's OPT-IN marker:
     // the rule is installed session-wide (laziness makes bracketed
     // install/uninstall meaningless), and only joins that name their bound
     // columns this way are touched — no other query in the session changes.
-    ivs.join(pts,
-        pts("ship_day") >= ivs("__range_lo") && pts("ship_day") <= ivs("__range_hi"))
+    ivs.join(daily,
+        daily("ship_day") >= ivs("__range_lo") && daily("ship_day") <= ivs("__range_hi"))
       .groupBy($"d_day")
-      .agg(count(lit(1)).as("n_ship"), sum(Det.cents($"l_quantity")).as("qty_cents"))
+      .agg(sum($"pn").as("n_ship"), sum($"pq").as("qty_cents"))
       .orderBy($"d_day")
   }
 
