@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.{AsOf, Bfs, BloomJoin, Diff, Journey, PageRank, PrefixSum, Relational, Sessions, Sketch, Skew, Tpch, TpchPs, Triangles, Upsert, Warehouse}
 import graft.dq.DataQuality
 import graft.io.Ingest
-import graft.llm.{AnnMulti, Cluster, CorpusFilter, DataCard, Dedup, Drift, Ivf, IvfPq, LangId, Pack, Pq, Privacy, Semantic, SimHash, SimJoin, Similarity, Terms, TextClean, TextOps}
+import graft.llm.{AnnMulti, Cluster, Contain, CorpusFilter, DataCard, Dedup, Drift, Ivf, IvfPq, LangId, Pack, Pq, Privacy, Semantic, SimHash, SimJoin, Similarity, Terms, TextClean, TextOps}
 import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -50,6 +50,7 @@ object SparkEntry {
       CorpusFilter.queries ++
       SimHash.queries ++
       SimJoin.queries ++
+      Contain.queries ++
       LangId.queries ++
       Similarity.queries ++
       Ivf.queries ++
@@ -93,6 +94,7 @@ object SparkEntry {
       CorpusFilter.oracles ++
       SimHash.oracles ++
       SimJoin.oracles ++
+      Contain.oracles ++
       LangId.oracles ++
       Similarity.oracles ++
       Ivf.oracles ++

@@ -294,13 +294,121 @@ object CorpusFilter {
       |   AND (e.vocab > d.vocab OR e.n_chars < d.n_chars))
       |ORDER BY doc_id""".stripMargin
 
+  /** Gopher-rule thresholds, calibrated to the fixture's distributions so
+    * every rule is NON-VACUOUS (rejects some docs, keeps most) at every SF:
+    * token counts span 10–99 (p10 = 20, p90 = 88), mean word length ~4.2–4.9
+    * (p10/p90 of 100×mean = 425/476), type-token ratio p10 ≈ 0.32, stopword
+    * permille p10 ≈ 14. All comparisons are integer cross-multiplications —
+    * no float boundary can disagree between engines.
+    */
+  val RuleMinToks = 20L
+  val RuleMaxToks = 90L
+  val RuleWlenLo = 425L  // 100 × mean word length lower bound
+  val RuleWlenHi = 476L  // 100 × mean word length upper bound
+  val RuleTtrLo = 320L   // 1000 × type-token ratio lower bound
+  val RuleStopLo = 14L   // 1000 × stopword ratio lower bound
+
+  /** x_gopher_rules — the per-rule rejection accounting panel (Rae et al.,
+    * "Scaling Language Models: … Gopher", arXiv:2112.11446 §A1.1 rule
+    * family, re-calibrated to this corpus): for each quality rule, how many
+    * documents does it alone reject, plus the union row. This is the "why
+    * did my corpus shrink" dashboard a curator reads BEFORE composing the
+    * retention filter ([[qualityFilter]] applies a decision; this query
+    * explains one).
+    *
+    * Execution shape: ONE scan → per-doc map-only flag struct → a single
+    * 1-row aggregate of conditional sums (map-side partials carry six
+    * longs, never text) → a 6-row stack. At 100 TB this is the cheapest
+    * possible full-corpus pass: no shuffle wider than six counters per
+    * partition. Rules: token count outside [[[RuleMinToks]], [[RuleMaxToks]]]
+    * (split low/high), 100×mean word length outside
+    * [[[RuleWlenLo]], [[RuleWlenHi]]], 1000×type-token ratio below
+    * [[RuleTtrLo]] (intra-doc repetition), 1000×stopword ratio below
+    * [[RuleStopLo]] (gibberish signal, [[TextOps.Stopwords]] list).
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = split($"text", " ")
+    val n = size(toks).cast("long")
+    // Σ word lengths via one fold — no second pass, no split-on-space
+    // length identity that would silently break on double spaces.
+    val sumWlen = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    val nStop = TextOps.stopwordCount(toks)
+    val flags = Tables.documents(spark, dir).select(
+      (n < RuleMinToks).as("f_short"),
+      (n > RuleMaxToks).as("f_long"),
+      (sumWlen * 100L < n * RuleWlenLo || sumWlen * 100L > n * RuleWlenHi)
+        .as("f_wlen"),
+      (nDistinct * 1000L < n * RuleTtrLo).as("f_ttr"),
+      (nStop * 1000L < n * RuleStopLo).as("f_stop"))
+    val one = flags.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when($"f_short", 1L).otherwise(0L)).as("c_short"),
+      sum(when($"f_long", 1L).otherwise(0L)).as("c_long"),
+      sum(when($"f_wlen", 1L).otherwise(0L)).as("c_wlen"),
+      sum(when($"f_ttr", 1L).otherwise(0L)).as("c_ttr"),
+      sum(when($"f_stop", 1L).otherwise(0L)).as("c_stop"),
+      sum(when($"f_short" || $"f_long" || $"f_wlen" || $"f_ttr" || $"f_stop",
+        1L).otherwise(0L)).as("c_any"))
+    one.select(expr(
+      """stack(6,
+        | 'any_rule', c_any,
+        | 'low_stopword_ratio', c_stop,
+        | 'low_type_token_ratio', c_ttr,
+        | 'mean_word_length', c_wlen,
+        | 'too_long', c_long,
+        | 'too_short', c_short) AS (rule, n_fail)""".stripMargin),
+      $"n_docs")
+      .select($"rule", $"n_fail",
+        ($"n_fail" * 1000L / $"n_docs").cast("long").as("fail_permille"))
+      .orderBy($"rule")
+  }
+
+  val gopherRulesSql: String =
+    s"""WITH d AS (
+       | SELECT len(t) AS n,
+       |   list_sum(list_transform(t, x -> len(x))) AS sum_wlen,
+       |   len(list_distinct(t)) AS n_distinct,
+       |   len(list_filter(t, x -> x IN ('the','a','of','and','in'))) AS n_stop
+       | FROM (SELECT string_split(text, ' ') AS t FROM documents)),
+       |f AS (
+       | SELECT n < $RuleMinToks AS f_short, n > $RuleMaxToks AS f_long,
+       |   sum_wlen*100 < $RuleWlenLo*n OR sum_wlen*100 > $RuleWlenHi*n AS f_wlen,
+       |   n_distinct*1000 < $RuleTtrLo*n AS f_ttr,
+       |   n_stop*1000 < $RuleStopLo*n AS f_stop
+       | FROM d),
+       |agg AS (
+       | SELECT count(*) AS n_docs,
+       |   sum(CASE WHEN f_short THEN 1 ELSE 0 END) AS c_short,
+       |   sum(CASE WHEN f_long THEN 1 ELSE 0 END) AS c_long,
+       |   sum(CASE WHEN f_wlen THEN 1 ELSE 0 END) AS c_wlen,
+       |   sum(CASE WHEN f_ttr THEN 1 ELSE 0 END) AS c_ttr,
+       |   sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS c_stop,
+       |   sum(CASE WHEN f_short OR f_long OR f_wlen OR f_ttr OR f_stop
+       |       THEN 1 ELSE 0 END) AS c_any
+       | FROM f),
+       |rows_ AS (
+       | SELECT 'any_rule' AS rule, c_any AS n_fail, n_docs FROM agg
+       | UNION ALL SELECT 'low_stopword_ratio', c_stop, n_docs FROM agg
+       | UNION ALL SELECT 'low_type_token_ratio', c_ttr, n_docs FROM agg
+       | UNION ALL SELECT 'mean_word_length', c_wlen, n_docs FROM agg
+       | UNION ALL SELECT 'too_long', c_long, n_docs FROM agg
+       | UNION ALL SELECT 'too_short', c_short, n_docs FROM agg)
+       |SELECT rule, CAST(n_fail AS BIGINT) AS n_fail,
+       | CAST(n_fail * 1000 // n_docs AS BIGINT) AS fail_permille
+       |FROM rows_
+       |ORDER BY rule""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_token_hist" -> (tokenHist _),
     "x_bigram_stats" -> (bigramStats _),
     "x_oov_rate" -> (oovRate _),
     "x_lm_rarity" -> (lmRarity _),
     "x_quality_filter" -> (qualityFilter _),
-    "x_pareto_front" -> (paretoFront _))
+    "x_pareto_front" -> (paretoFront _),
+    "x_gopher_rules" -> (gopherRules _))
 
   val oracles: Map[String, String] = Map(
     "x_token_hist" -> tokenHistSql,
@@ -308,5 +416,6 @@ object CorpusFilter {
     "x_oov_rate" -> oovRateSql,
     "x_lm_rarity" -> lmRaritySql,
     "x_quality_filter" -> qualityFilterSql,
-    "x_pareto_front" -> paretoFrontSql)
+    "x_pareto_front" -> paretoFrontSql,
+    "x_gopher_rules" -> gopherRulesSql)
 }

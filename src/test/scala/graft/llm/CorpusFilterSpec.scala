@@ -68,4 +68,20 @@ class CorpusFilterSpec extends SparkSpec {
     // on both axes; 5 ties vocab with the twins but is longer
     assert(keep == List(1L, 2L, 3L))
   }
+
+  test("gopherRules panel: union bounds, non-vacuity, permille arithmetic") {
+    val out = CorpusFilter.gopherRules(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long)].collect().toList
+    assert(out.map(_._1) == List("any_rule", "low_stopword_ratio",
+      "low_type_token_ratio", "mean_word_length", "too_long", "too_short"))
+    val byRule = out.map(r => r._1 -> r._2).toMap
+    val any = byRule("any_rule")
+    val singles = out.filter(_._1 != "any_rule").map(_._2)
+    // union is at least the largest single rule and at most their sum
+    assert(any >= singles.max && any <= singles.sum)
+    // calibration holds: every rule rejects someone, none rejects everyone
+    val nDocs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001").count()
+    singles.foreach(c => assert(c > 0 && c < nDocs))
+    out.foreach { case (_, nf, pm) => assert(pm == nf * 1000 / nDocs) }
+  }
 }
