@@ -384,6 +384,117 @@ object AnnMulti {
        |QUALIFY rnk <= ${Similarity.RecallK}
        |ORDER BY query_id, rnk""".stripMargin
 
+  /** Probe depth for the FILTERED search: the label predicate keeps ~1/10
+    * of each cell's list, so the filtered route probes every cell — the
+    * classic filtered-ANN trade (Milvus/FAISS "filtered search"): as the
+    * filter gets more selective, per-cell candidate yield drops and nprobe
+    * must rise to keep top-k full; at 10% selectivity × 16 cells, probing
+    * all 16 still scans only ~10% of the corpus.
+    */
+  val FilteredNProbe = 16
+
+  /** x_ann_filtered_topk — METADATA-FILTERED vector search: per probe, the
+    * top-[[Similarity.RecallK]] same-label neighbors from its
+    * [[FilteredNProbe]] nearest coarse cells. The constrained-search shape
+    * every production vector store exposes ("nearest within this tenant /
+    * class / date range"), absent from the plain top-k queries. The label
+    * predicate is applied to the INVERTED LISTS before scoring
+    * (post-routing pre-scoring — the IVF sweet spot: routing stays
+    * label-blind so one index serves every filter, but no excluded vector
+    * is ever scored), and it rides the candidate equi-join, not a
+    * post-hoc filter on scored output — at 100 TB that is the difference
+    * between scoring 10× too many candidates and scoring exactly the
+    * matching ones. Queries whose label is rare may return fewer than k
+    * rows; both engines agree, and that honesty is part of the contract.
+    */
+  def filteredTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val e = emb.select($"vec_id",
+      transform($"embedding", x => x.cast("double")).as("v"))
+
+    val coarse = broadcast(refinedCentroids(spark, e, MultiNList))
+
+    val cass = e.crossJoin(coarse)
+      .withColumn("sim", round(cosineFast(spark, $"v", $"cv"), 6) + lit(0.0))
+      .groupBy($"vec_id")
+      .agg(max_by($"ccid", struct($"sim", -$"ccid")).as("ccid"))
+    // label rides the inverted list rows — the filter column lives beside
+    // the vectors, so filtered candidate generation is one equi-join
+    val lists = cass.join(e, Seq("vec_id"))
+      .join(emb.select($"vec_id", $"label"), Seq("vec_id"))
+      .select($"ccid", $"vec_id".as("neighbor_id"), $"v".as("nv"), $"label")
+
+    val probes = broadcast(emb.filter($"vec_id" < Similarity.RecallProbes)
+      .select($"vec_id".as("query_id"),
+        transform($"embedding", x => x.cast("double")).as("qv"),
+        $"label".as("qlabel")))
+    val wCell = Window.partitionBy($"query_id").orderBy($"csim".desc, $"ccid".asc)
+    val pcell = probes.crossJoin(coarse)
+      .withColumn("csim", round(cosineFast(spark, $"qv", $"cv"), 6) + lit(0.0))
+      .withColumn("prn", row_number().over(wCell))
+      .filter($"prn" <= FilteredNProbe)
+      .select($"query_id", $"qv", $"qlabel", $"ccid")
+
+    val scored = broadcast(pcell).as("pc")
+      .join(lists.as("ls"),
+        $"pc.ccid" === $"ls.ccid" && $"pc.qlabel" === $"ls.label")
+      .filter($"ls.neighbor_id" =!= $"pc.query_id")
+      .select($"pc.query_id".as("query_id"), $"ls.neighbor_id".as("neighbor_id"),
+        round(cosineFast(spark, $"pc.qv", $"ls.nv") * 1000000L).cast("long")
+          .as("micro_sim"))
+    scored.groupBy($"query_id")
+      .agg(call_function("top_k_rows", $"micro_sim", $"neighbor_id",
+        lit(Similarity.RecallK)).as("top"))
+      .select($"query_id", posexplode($"top").as(Seq("p", "x")))
+      .select($"query_id", $"x.tag".as("neighbor_id"),
+        ($"p" + 1).cast("long").as("rnk"), $"x.ord".as("micro_sim"))
+      .orderBy($"query_id", $"rnk")
+  }
+
+  val filteredTopKSql: String =
+    coarseSqlCtes(MultiNList) +
+    s""",
+       |cass AS (
+       | SELECT vec_id, ccid FROM (
+       |  SELECT e.vec_id, s.ccid,
+       |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |    round(
+       |     list_sum(list_transform(list_zip(e.v, s.cv), p -> p[1] * p[2])) /
+       |     sqrt(list_sum(list_transform(e.v, x -> x * x)) * list_sum(list_transform(s.cv, x -> x * x))),
+       |     6) + 0.0 DESC, s.ccid) AS rk
+       |  FROM e, cseeds s) WHERE rk = 1),
+       |p AS (SELECT e.vec_id AS query_id, e.v AS qv, m.label AS qlabel
+       |      FROM e JOIN embeddings m ON m.vec_id = e.vec_id
+       |      WHERE e.vec_id < ${Similarity.RecallProbes}),
+       |pcell AS (
+       | SELECT query_id, ccid FROM (
+       |  SELECT p.query_id, s.ccid,
+       |   row_number() OVER (PARTITION BY p.query_id ORDER BY
+       |    round(
+       |     list_sum(list_transform(list_zip(p.qv, s.cv), x -> x[1] * x[2])) /
+       |     sqrt(list_sum(list_transform(p.qv, x -> x * x)) * list_sum(list_transform(s.cv, x -> x * x))),
+       |     6) + 0.0 DESC, s.ccid) AS prn
+       |  FROM p, cseeds s) WHERE prn <= $FilteredNProbe),
+       |cs AS (
+       | SELECT p.query_id, ca.vec_id AS neighbor_id,
+       |  CAST(round(1000000 *
+       |   list_sum(list_transform(list_zip(p.qv, c.v), q -> q[1] * q[2])) /
+       |   sqrt(list_sum(list_transform(p.qv, x -> x * x)) * list_sum(list_transform(c.v, x -> x * x)))) AS BIGINT) AS micro_sim
+       | FROM p
+       | JOIN pcell pc ON pc.query_id = p.query_id
+       | JOIN cass ca ON ca.ccid = pc.ccid AND ca.vec_id != p.query_id
+       | JOIN embeddings m ON m.vec_id = ca.vec_id AND m.label = p.qlabel
+       | JOIN e c ON c.vec_id = ca.vec_id)
+       |SELECT query_id, neighbor_id,
+       | CAST(row_number() OVER (PARTITION BY query_id
+       |   ORDER BY micro_sim DESC, neighbor_id) AS BIGINT) AS rnk,
+       | micro_sim
+       |FROM cs
+       |QUALIFY rnk <= ${Similarity.RecallK}
+       |ORDER BY query_id, rnk""".stripMargin
+
   /** The nprobe operating points the curve sweeps. */
   val CurveProbes: Seq[Int] = Seq(1, 2, 4, 8)
 
@@ -541,10 +652,12 @@ object AnnMulti {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_ann_recall_multi" -> (annRecallMulti _),
     "x_ann_multiprobe_topk" -> (multiprobeTopK _),
+    "x_ann_filtered_topk" -> (filteredTopK _),
     "x_ann_nprobe_curve" -> (annNprobeCurve _))
 
   val oracles: Map[String, String] = Map(
     "x_ann_recall_multi" -> annRecallMultiSql,
     "x_ann_multiprobe_topk" -> multiprobeTopKSql,
+    "x_ann_filtered_topk" -> filteredTopKSql,
     "x_ann_nprobe_curve" -> annNprobeCurveSql)
 }

@@ -65,4 +65,35 @@ class AnnMultiSpec extends SparkSpec {
     // corpus, and at least its own cell's members minus itself
     assert(rows.forall(_ > 0), "some query generated zero candidates")
   }
+
+  test("filtered search with nprobe = nlist equals brute-force same-label top-k") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = AnnMulti.filteredTopK(spark, dir)
+      .select($"query_id", $"neighbor_id", $"rnk")
+      .as[(Long, Long, Long)].collect().toSet
+    val emb = graft.io.Tables.embeddings(spark, dir)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"),
+        $"label")
+    val probes = emb.filter($"vec_id" < Similarity.RecallProbes)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"label".as("qlabel"))
+    // brute force: exact micro-cosine over ALL same-label vectors — the
+    // filtered route probes every cell, so it must reproduce this exactly
+    val w = Window.partitionBy($"query_id").orderBy($"s".desc, $"neighbor_id")
+    val brute = probes.join(emb.select($"vec_id".as("neighbor_id"),
+        $"v".as("nv"), $"label"), $"qlabel" === $"label")
+      .filter($"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        round(Similarity.cosineFast(spark, $"qv", $"nv") * 1000000L)
+          .cast("long").as("s"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= Similarity.RecallK)
+      .select($"query_id", $"neighbor_id", $"rnk")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == brute)
+    // and every result really carries the probe's own label
+    val labels = emb.select($"vec_id", $"label").as[(Long, Long)].collect().toMap
+    out.foreach { case (q, n, _) => assert(labels(q) == labels(n)) }
+  }
 }
