@@ -422,7 +422,97 @@ object Pack {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** Total document quota the largest-remainder allocation distributes. */
+  val QuotaTotal = 100L
+
+  /** x_quota_sample — EXACT-count corpus downsampling: allocate
+    * [[QuotaTotal]] document slots across sources by largest-remainder
+    * apportionment over sub-linear weights, then pick each source's
+    * winners in a deterministic md5 order. The third sampling guarantee in
+    * the set: `q_sample_stratified` gives per-stratum RATES (count varies
+    * with the md5 draw), `x_token_budget` admits by running token sum
+    * (count is whatever fits), this gives EXACT per-source COUNTS — what a
+    * curator needs when the downstream contract says "exactly N docs, mix
+    * fixed" (eval-set carving, labeling budgets).
+    *
+    * Mechanics, all engine-exact: weight w_i = ⌊√(Σ n_chars)⌋ per source
+    * (sub-linear — big sources capped, IEEE sqrt is correctly rounded so
+    * both engines floor identically); base_i = ⌊K·w_i / W⌋ via integer
+    * division; the K − Σ base_i leftover slots go to the largest
+    * remainders `(K·w_i) mod W`, ties to the lexicographically first
+    * source. Within a source, winners are the first quota_i docs by
+    * (md5(doc_id‖":quota"), doc_id) — repartition- and run-invariant.
+    * (NOT append-stable: the quota is fixed, so a newly arrived doc that
+    * hashes early displaces the current last pick — the exact-count
+    * guarantee and append-stability are mutually exclusive; callers who
+    * need the latter want the rate-based `q_sample_stratified`.)
+    *
+    * Scale shape: one fact-sized aggregate (per-source totals), a
+    * source-count-sized allocation frame (broadcast back), and one window
+    * rank partitioned by source for the pick — the window sorts only
+    * within sources, never globally. At 100 TB with huge per-source doc
+    * counts, swap the rank for the bounded `top_k_rows` aggregate keyed by
+    * negated hash; the declared K here keeps quotas window-cheap.
+    */
+  def quotaSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val srcw = Tables.documents(spark, dir)
+      .groupBy($"source")
+      .agg(sum($"n_chars").as("tc"))
+      .select($"source", floor(sqrt($"tc".cast("double"))).cast("long").as("w"))
+    val tot = srcw.agg(sum($"w").as("bigw"))
+    val alloc0 = srcw.crossJoin(broadcast(tot))
+      .select($"source",
+        expr(s"($QuotaTotal * w) div bigw").as("base"),
+        expr(s"($QuotaTotal * w) % bigw").as("rem"))
+    val spent = alloc0.agg(sum($"base").as("spent"))
+    val wRem = Window.orderBy($"rem".desc, $"source".asc)
+    // the allocation frame is |sources| rows — the driver-free window over
+    // it is a single tiny partition by construction, not a scale hazard
+    val quota = alloc0.crossJoin(broadcast(spent))
+      .withColumn("rrk", row_number().over(wRem))
+      .select($"source",
+        ($"base" + when($"rrk" <= lit(QuotaTotal) - $"spent", 1L).otherwise(0L))
+          .as("quota"))
+    val wPick = Window.partitionBy($"source")
+      .orderBy(md5(concat($"doc_id".cast("string"), lit(":quota"))), $"doc_id")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source")
+      .withColumn("pick_rank", row_number().over(wPick).cast("long"))
+      .join(broadcast(quota), Seq("source"))
+      .filter($"pick_rank" <= $"quota")
+      .select($"doc_id", $"source", $"pick_rank")
+      .orderBy($"doc_id")
+  }
+
+  val quotaSampleSql: String =
+    s"""WITH srcw AS (
+       | SELECT source, CAST(floor(sqrt(CAST(sum(n_chars) AS DOUBLE))) AS BIGINT) AS w
+       | FROM documents GROUP BY source),
+       |tot AS (SELECT sum(w) AS bigw FROM srcw),
+       |alloc0 AS (
+       | SELECT source, ($QuotaTotal * w) // bigw AS base,
+       |        ($QuotaTotal * w) % bigw AS rem
+       | FROM srcw, tot),
+       |spent AS (SELECT sum(base) AS spent FROM alloc0),
+       |quota AS (
+       | SELECT source,
+       |  base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+       |              <= $QuotaTotal - spent THEN 1 ELSE 0 END AS quota
+       | FROM alloc0, spent),
+       |ranked AS (
+       | SELECT doc_id, source,
+       |  CAST(row_number() OVER (PARTITION BY source
+       |   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':quota'), doc_id) AS BIGINT)
+       |   AS pick_rank
+       | FROM documents)
+       |SELECT r.doc_id, r.source, r.pick_rank
+       |FROM ranked r JOIN quota q ON q.source = r.source
+       |WHERE r.pick_rank <= q.quota
+       |ORDER BY r.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_quota_sample" -> (quotaSample _),
     "x_token_budget" -> (tokenBudget _),
     "x_pack_stats" -> (packStats _),
     "x_split_assign" -> (splitAssign _),
@@ -433,6 +523,7 @@ object Pack {
     "x_doc_split" -> (docSplit _))
 
   val oracles: Map[String, String] = Map(
+    "x_quota_sample" -> quotaSampleSql,
     "x_token_budget" -> tokenBudgetSql,
     "x_pack_stats" -> packStatsSql,
     "x_split_assign" -> splitAssignSql,

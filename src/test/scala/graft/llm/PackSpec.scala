@@ -194,4 +194,36 @@ class PackSpec extends SparkSpec {
     }
     assert((n, tok) == ((nAdm0, admTok0)), s"$src0 admission walk differs")
   }
+
+  test("quotaSample: exact total, per-source counts match largest remainder") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Pack.quotaSample(spark, dir)
+      .as[(Long, String, Long)].collect()
+    assert(out.length == Pack.QuotaTotal, "quota total not exact")
+    assert(out.map(_._1).distinct.length == out.length, "duplicate picks")
+    // driver-side largest-remainder recomputation from raw totals
+    val totals = graft.io.Tables.documents(spark, dir)
+      .groupBy($"source").agg(sum($"n_chars").as("tc"))
+      .as[(String, Long)].collect().toMap
+    val w = totals.map { case (s, tc) => s -> math.sqrt(tc.toDouble).toLong }
+    val bigW = w.values.sum
+    val k = Pack.QuotaTotal
+    val base = w.map { case (s, wi) => s -> (k * wi / bigW) }
+    val extra = (k - base.values.sum).toInt
+    val winners = w.toSeq
+      .map { case (s, wi) => (s, k * wi % bigW) }
+      .sortBy { case (s, rem) => (-rem, s) }
+      .take(extra).map(_._1).toSet
+    val expected = base.map { case (s, b) =>
+      s -> (b + (if (winners.contains(s)) 1L else 0L))
+    }
+    val got = out.groupBy(_._2).map { case (s, rows) => s -> rows.length.toLong }
+    expected.foreach { case (s, q) =>
+      assert(got.getOrElse(s, 0L) == q, s"source $s: ${got.getOrElse(s, 0L)} != $q")
+    }
+    // pick ranks are 1..quota_i within each source (the md5-first winners)
+    out.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toList == (1L to rows.length).toList, s)
+    }
+  }
 }
