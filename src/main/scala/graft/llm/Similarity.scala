@@ -679,7 +679,108 @@ object Similarity {
        |LEFT JOIN ov ON ov.query_id = tc.query_id
        |ORDER BY tc.query_id""".stripMargin
 
+  /** The cosine operating points x_dedup_rate_curve sweeps — the top one is
+    * [[EmbedDupThreshold]] (the declared dedup's own setting), the rest
+    * descend toward the fixture's bulk similarity mass so every SF shows a
+    * real curve (sf0.1: 64 → 229 → 868 → 2,809 pairs).
+    */
+  val RateCurveThresholds: Seq[Double] = Seq(0.30, 0.35, 0.40, 0.44)
+
+  /** x_dedup_rate_curve — the "how aggressive should dedup be" tuning
+    * table: for each cosine threshold, the near-dup pair count, the number
+    * of documents touched by at least one pair (the candidate drop set —
+    * keep-one-per-pair removes about half of them), and that set as a
+    * permille of the corpus. The semantic-dedup twin of
+    * `x_ann_nprobe_curve`: a curator reads this BEFORE committing to a
+    * threshold, because corpus shrink is wildly nonlinear in it (44× from
+    * the top of this fixture's dial to the bottom).
+    *
+    * One candidate scan serves every operating point: candidates come from
+    * the same four sign-LSH tables as `x_dedup_embed`, are scored once,
+    * filtered at the LOWEST threshold, and localCheckpointed; each point is
+    * then a filter+aggregate over that bounded pair frame — no re-bucket,
+    * no re-score. At 100 TB the pair frame after the lowest cut is the
+    * only thing that grows, and it is already the op's output scale.
+    */
+  def dedupRateCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+    val tables = (0 until EmbedTables).map { t =>
+      struct(lit(t).as("tbl"),
+        signBucket($"v", EmbedBits, offset = t * EmbedBits).as("bucket"))
+    }
+    val bands = e.select($"vec_id", $"v", explode(array(tables: _*)).as("x"))
+      .select($"vec_id", $"v", $"x.tbl".as("tbl"), $"x.bucket".as("bucket"))
+    val l = bands.select($"tbl", $"bucket", $"vec_id".as("vec_a"), $"v".as("va"))
+    val r = bands.select($"tbl", $"bucket", $"vec_id".as("vec_b"), $"v".as("vb"))
+    val pairs = l.join(r, Seq("tbl", "bucket"))
+      .filter($"vec_a" < $"vec_b")
+      .withColumn("sim", round(cosineFast(spark, $"va", $"vb"), 6) + lit(0.0))
+      .filter($"sim" >= RateCurveThresholds.min)
+      .select($"vec_a", $"vec_b", $"sim")
+      .distinct()
+      .localCheckpoint() // one scored candidate set serves all four points
+    val nTotal = e.agg(count(lit(1)).as("n_total"))
+    val points = RateCurveThresholds.toDF("threshold")
+    val perT = broadcast(points).join(pairs, $"sim" >= $"threshold")
+    val pairCounts = perT.groupBy($"threshold")
+      .agg(count(lit(1)).as("n_pairs"))
+    val docCounts = perT
+      .select($"threshold", explode(array($"vec_a", $"vec_b")).as("vid"))
+      .groupBy($"threshold")
+      .agg(countDistinct($"vid").as("n_docs_flagged"))
+    pairCounts.join(broadcast(docCounts), Seq("threshold"))
+      .crossJoin(broadcast(nTotal))
+      .select($"threshold", $"n_pairs", $"n_docs_flagged",
+        expr("(n_docs_flagged * 1000) div n_total").as("flagged_permille"))
+      .orderBy($"threshold")
+  }
+
+  val dedupRateCurveSql: String = {
+    val tableRows = (0 until EmbedTables).map { t =>
+      val u = if (t == 0) "" else "UNION ALL "
+      val bits = (0 until EmbedBits)
+        .map(i => s"CASE WHEN v[${t * EmbedBits + i + 1}] >= 0.0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      s"${u}SELECT vec_id, v, $t AS tbl, $bits AS bucket FROM e"
+    }.mkString("\n ")
+    s"""WITH e AS (
+       | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       | FROM embeddings),
+       |bands AS (
+       | $tableRows),
+       |pairs AS (
+       | SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b,
+       |  round(
+       |   list_sum(list_transform(list_zip(l.v, r.v), p -> p[1] * p[2])) /
+       |   sqrt(list_sum(list_transform(l.v, x -> x * x)) * list_sum(list_transform(r.v, x -> x * x))),
+       |   6) + 0.0 AS sim
+       | FROM bands l JOIN bands r
+       |  ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+       | WHERE round(
+       |   list_sum(list_transform(list_zip(l.v, r.v), p -> p[1] * p[2])) /
+       |   sqrt(list_sum(list_transform(l.v, x -> x * x)) * list_sum(list_transform(r.v, x -> x * x))),
+       |   6) + 0.0 >= ${RateCurveThresholds.min}),
+       |pts AS (SELECT CAST(unnest([${RateCurveThresholds.mkString(", ")}]) AS DOUBLE) AS threshold),
+       |perT AS (
+       | SELECT pts.threshold, p.vec_a, p.vec_b
+       | FROM pts JOIN pairs p ON p.sim >= pts.threshold),
+       |pc AS (SELECT threshold, count(*) AS n_pairs FROM perT GROUP BY 1),
+       |dc AS (
+       | SELECT threshold, count(DISTINCT vid) AS n_docs_flagged
+       | FROM (SELECT threshold, unnest([vec_a, vec_b]) AS vid FROM perT)
+       | GROUP BY 1),
+       |tot AS (SELECT count(*) AS n_total FROM e)
+       |SELECT pc.threshold, CAST(pc.n_pairs AS BIGINT) AS n_pairs,
+       | CAST(dc.n_docs_flagged AS BIGINT) AS n_docs_flagged,
+       | CAST(dc.n_docs_flagged * 1000 // tot.n_total AS BIGINT) AS flagged_permille
+       |FROM pc JOIN dc ON dc.threshold = pc.threshold, tot
+       |ORDER BY pc.threshold""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_dedup_rate_curve" -> (dedupRateCurve _),
     "x_ann_recall" -> (annRecall _),
     "x_hard_negatives" -> (hardNegatives _),
     "x_knn_graph" -> (knnGraph _),
@@ -693,6 +794,7 @@ object Similarity {
     "x_rand_proj" -> (randProj _))
 
   val oracles: Map[String, String] = Map(
+    "x_dedup_rate_curve" -> dedupRateCurveSql,
     "x_ann_recall" -> annRecallSql,
     "x_hard_negatives" -> hardNegativesSql,
     "x_knn_graph" -> knnGraphSql,

@@ -107,4 +107,19 @@ class SimilaritySpec extends SparkSpec {
     // bucket's intersection with the exact top-10
     assert(no0 <= (truth0 intersect bucketIds).size, "probe 0 overlap vs bucket")
   }
+
+  test("dedup rate curve is monotone and agrees with x_dedup_embed at its point") {
+    val dir = "/root/testdata/sf0.001"
+    val curve = Similarity.dedupRateCurve(spark, dir)
+      .as[(Double, Long, Long, Long)].collect().toList
+    assert(curve.map(_._1) == Similarity.RateCurveThresholds.toList)
+    // raising the threshold can only shed pairs and flagged docs
+    assert(curve.map(_._2) == curve.map(_._2).sorted.reverse, "pairs not monotone")
+    assert(curve.map(_._3) == curve.map(_._3).sorted.reverse, "docs not monotone")
+    // a pair touches two docs; distinct docs are bounded by 2·pairs
+    curve.foreach { case (_, p, d, _) => assert(d <= 2 * p && (p == 0 || d >= 2)) }
+    // the top operating point IS the declared dedup's threshold: same count
+    val embedPairs = Similarity.dedupEmbed(spark, dir).count()
+    assert(curve.last._2 == embedPairs, "curve top point != x_dedup_embed")
+  }
 }
