@@ -300,11 +300,98 @@ object Multimodal {
        |FROM read_parquet('$FixturePath/*.parquet')
        |ORDER BY asset_id""".stripMargin
 
+  /** 64-bit AVERAGE HASH (aHash) over a decoded RGB frame — the classic
+    * perceptual fingerprint (8×8 nearest-neighbor thumbnail → integer luma
+    * → strictly-above-mean bit per cell, MSB = cell 0). Every step is
+    * integer arithmetic on deterministic pixels: the same image bytes give
+    * the same 64 bits on any JVM, any partitioning. Nearest-neighbor and
+    * ITU-R 601 integer luma (299/587/114 over 1000) keep float kernels out,
+    * same policy as [[resize]].
+    */
+  def aHash64(width: Int, height: Int, pixels: Array[Byte]): Long = {
+    require(pixels.length == width * height * 3, "aHash needs a real RGB grid")
+    val luma = new Array[Long](64)
+    var c = 0
+    var sum = 0L
+    while (c < 64) {
+      val x = (c % 8) * width / 8
+      val y = (c / 8) * height / 8
+      val i = (y * width + x) * 3
+      val l = (299L * (pixels(i) & 0xff) + 587L * (pixels(i + 1) & 0xff) +
+        114L * (pixels(i + 2) & 0xff)) / 1000L
+      luma(c) = l
+      sum += l
+      c += 1
+    }
+    val mean = sum / 64L
+    var bits = 0L
+    c = 0
+    while (c < 64) {
+      if (luma(c) > mean) bits |= 1L << (63 - c)
+      c += 1
+    }
+    bits
+  }
+
+  /** Deterministic PNG corpus WITH planted duplicate groups: pixels derive
+    * from `asset_id / groupSize` instead of the id itself, so each run of
+    * `groupSize` consecutive ids is the same image re-encoded (the
+    * re-upload / re-crawl shape a perceptual dedup must collapse).
+    */
+  def syntheticPngDupAssets(spark: SparkSession, n: Int,
+      groupSize: Int): Dataset[Asset] = {
+    import spark.implicits._
+    spark.createDataset((0 until n).map { i =>
+      val seed = (i / groupSize).toLong
+      val (w, h) = (32 + (seed % 3).toInt * 16, 24 + (seed % 2).toInt * 8)
+      Asset(i.toLong, "image", MediaMeta("png", w, h, 0L),
+        PngCodec.encode(seed, w, h))
+    }).repartition(4, col("asset_id"))
+  }
+
+  /** Asset count / duplicate-group size for the declared phash query. */
+  val PhashAssets = 120
+  val PhashGroup = 3
+
+  /** x_mm_phash_dedup — PERCEPTUAL image dedup: decode → aHash → group, the
+    * content-level dedup the byte-level `x_dedup_exact` family cannot do
+    * (identical pixels re-encoded to different bytes hash apart under md5,
+    * together under aHash). Corpus: [[syntheticPngDupAssets]] with
+    * [[PhashGroup]]-way planted duplicate groups through the REAL PNG
+    * encoder and decoder. Output: one row per duplicate group (hash,
+    * member count, id span).
+    *
+    * This is the repo's one ROWS-ONLY declared query — DuckDB cannot
+    * decode PNG, so no oracle SQL can exist by construction; the driver's
+    * weaker rows-only check is exactly the declared mechanism for such
+    * ops. Correctness rides MultimodalSpec instead: planted groups
+    * recovered exactly, re-encode invariance, distinct-seed separation.
+    *
+    * Scale shape: decode+hash is [[decodeFrames]]'s mapPartitions batch
+    * path (one codec per partition), the group step is ONE hash-aggregate
+    * on a LONG key — at 100 TB of images this is a full scan plus a
+    * shuffle of 8-byte keys with counts, the cheapest dedup join shape
+    * there is.
+    */
+  def mmPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decodeFrames(syntheticPngDupAssets(spark, PhashAssets, PhashGroup))
+      .map(f => (f.asset_id, aHash64(f.width, f.height, f.pixels)))
+      .toDF("asset_id", "ahash")
+      .groupBy($"ahash")
+      .agg(count(lit(1)).as("n_images"),
+        min($"asset_id").as("min_asset"), max($"asset_id").as("max_asset"))
+      .filter($"n_images" > 1)
+      .orderBy($"min_asset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_mm_catalog" -> (mmCatalog _),
-    "x_mm_bytes" -> (mmBytes _))
+    "x_mm_bytes" -> (mmBytes _),
+    "x_mm_phash_dedup" -> (mmPhashDedup _))
 
   val oracles: Map[String, String] = Map(
     "x_mm_catalog" -> mmCatalogSql,
     "x_mm_bytes" -> mmBytesSql)
+    // x_mm_phash_dedup: deliberately no oracle — see its scaladoc
 }

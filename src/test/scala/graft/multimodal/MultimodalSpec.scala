@@ -115,4 +115,31 @@ class MultimodalSpec extends SparkSpec {
     assert(px.sameElements(Multimodal.PngCodec.decode(
       Multimodal.PngCodec.encode(7L, 48, 32))._3))
   }
+
+  test("aHash is invariant under PNG re-encode and separates distinct seeds") {
+    val (w, h, px) = Multimodal.PngCodec.decode(Multimodal.PngCodec.encode(5L, 48, 32))
+    val h1 = Multimodal.aHash64(w, h, px)
+    // independent encode of the same seed: identical pixels, identical bits
+    val (w2, h2, px2) = Multimodal.PngCodec.decode(Multimodal.PngCodec.encode(5L, 48, 32))
+    assert(Multimodal.aHash64(w2, h2, px2) == h1)
+    // distinct pixel seeds → distinct hashes (id-derived channels differ)
+    val (w3, h3, px3) = Multimodal.PngCodec.decode(Multimodal.PngCodec.encode(6L, 48, 32))
+    assert(Multimodal.aHash64(w3, h3, px3) != h1)
+  }
+
+  test("mmPhashDedup recovers exactly the planted duplicate groups") {
+    val out = Multimodal.mmPhashDedup(spark, "unused")
+      .as[(Long, Long, Long, Long)].collect().toList
+    val expectedGroups = Multimodal.PhashAssets / Multimodal.PhashGroup
+    assert(out.length == expectedGroups, s"${out.length} != $expectedGroups groups")
+    out.foreach { case (_, n, lo, hi) =>
+      assert(n == Multimodal.PhashGroup)
+      // members are the consecutive ids of one seed group
+      assert(lo / Multimodal.PhashGroup == hi / Multimodal.PhashGroup)
+      assert(hi - lo == Multimodal.PhashGroup - 1)
+    }
+    // no two groups share a hash (grouped rows are per-hash already, and
+    // every planted group surfaced separately — no collision merged them)
+    assert(out.map(_._1).distinct.length == expectedGroups)
+  }
 }
