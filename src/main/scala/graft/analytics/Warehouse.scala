@@ -126,6 +126,67 @@ object Warehouse {
       |FROM merged
       |ORDER BY day""".stripMargin
 
+  /** Delta cutoffs for the join-view maintenance query: orders arriving
+    * from [[IncrJoinOrdCut]] and lineitems shipping from [[IncrJoinLiCut]]
+    * are "the new batch"; everything earlier is the stored history.
+    */
+  val IncrJoinOrdCut = "1997-01-01"
+  val IncrJoinLiCut = "1998-01-01"
+
+  /** x_incr_join_mv — incremental maintenance of a JOIN view: the delta
+    * algebra q_incr_agg's single-table merge cannot express. With both
+    * sides of `orders ⋈ lineitem` receiving new batches (A = A₀ ∪ ΔA,
+    * B = B₀ ∪ ΔB), the joined rows partition EXACTLY into three disjoint
+    * legs: `A₀⋈B₀` (the stored view's partials — nothing to reprocess),
+    * `ΔA⋈B₀` and `A⋈ΔB` (the only legs a refresh computes; note the third
+    * leg takes ALL of A precisely so ΔA⋈ΔB lands once, not twice — the
+    * classic double-count trap in view-maintenance algebra). Each leg is
+    * partially aggregated per order priority and the partials re-aggregate,
+    * count/sum being algebraic. The oracle computes the naive single
+    * `orders ⋈ lineitem` aggregate from scratch, so the hash gate IS the
+    * proof that the three-leg partition neither drops nor double-counts a
+    * row — get the A/A₀ choice in leg 3 wrong and the gate fails.
+    *
+    * Scale: at 100 TB the stored leg is the pre-aggregated MV (priority
+    * cardinality, not fact cardinality) and the refresh touches only
+    * delta×history joins — ΔA⋈B₀ broadcasts the (small) order delta into
+    * the lineitem scan; A⋈ΔB shuffles only the shipment delta. This query
+    * declares the whole algebra live so the gate covers it; a deployment
+    * would read leg 1 from storage.
+    */
+  def incrJoinMv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val aCut = to_date(lit(IncrJoinOrdCut))
+    val bCut = to_date(lit(IncrJoinLiCut))
+    val a = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderpriority", to_date($"o_orderdate").as("od"))
+    val b = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", Det.cents($"l_extendedprice").as("cents"),
+        to_date($"l_shipdate").as("sd"))
+    val aOld = a.filter($"od" < aCut)
+    val aNew = a.filter($"od" >= aCut)
+    val bOld = b.filter($"sd" < bCut)
+    val bNew = b.filter($"sd" >= bCut)
+    def leg(ax: DataFrame, bx: DataFrame): DataFrame =
+      ax.join(bx, $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("c"))
+    val legs = leg(aOld, bOld)
+      .unionByName(leg(aNew, bOld))
+      .unionByName(leg(a, bNew))
+    legs.groupBy($"o_orderpriority")
+      .agg(sum($"n").as("n_lines"), sum($"c").as("revenue_cents"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val incrJoinMvSql: String =
+    """SELECT o_orderpriority, count(*) AS n_lines,
+      | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |  AS revenue_cents
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** q_outliers — per-market-segment account-balance outliers at |z| > 1.5,
     * decided in EXACT 128-bit integer arithmetic: with n rows, cents sum s,
     * squares sum q, the z>1.5 test ((x−s/n)² > 2.25·var) cross-multiplies to
@@ -521,6 +582,7 @@ object Warehouse {
     "q_table_stats" -> (tableStats _),
     "q_scd2" -> (scd2 _),
     "q_incr_agg" -> (incrAgg _),
+    "x_incr_join_mv" -> (incrJoinMv _),
     "q_outliers" -> (outliers _),
     "q_sample_stratified" -> (sampleStratified _),
     "q_concurrency" -> (concurrency _),
@@ -533,6 +595,7 @@ object Warehouse {
     "q_table_stats" -> tableStatsSql,
     "q_scd2" -> scd2Sql,
     "q_incr_agg" -> incrAggSql,
+    "x_incr_join_mv" -> incrJoinMvSql,
     "q_outliers" -> outliersSql,
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_concurrency" -> concurrencySql,

@@ -115,4 +115,31 @@ class WarehouseSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(viaPrefix == direct)
   }
+
+  test("incrJoinMv: every delta leg is non-vacuous and the A-vs-A0 choice matters") {
+    import org.apache.spark.sql.functions._
+    val a = graft.io.Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderpriority",
+        to_date($"o_orderdate").as("od"))
+    val b = graft.io.Tables.lineitem(spark, dir)
+      .select($"l_orderkey", to_date($"l_shipdate").as("sd"))
+    val aCut = to_date(lit(Warehouse.IncrJoinOrdCut))
+    val bCut = to_date(lit(Warehouse.IncrJoinLiCut))
+    def cnt(ax: org.apache.spark.sql.DataFrame, bx: org.apache.spark.sql.DataFrame) =
+      ax.join(bx, $"o_orderkey" === $"l_orderkey").count()
+    val l1 = cnt(a.filter($"od" < aCut), b.filter($"sd" < bCut))
+    val l2 = cnt(a.filter($"od" >= aCut), b.filter($"sd" < bCut))
+    val l3 = cnt(a, b.filter($"sd" >= bCut))
+    assert(l1 > 0 && l2 > 0 && l3 > 0, s"vacuous leg: $l1/$l2/$l3")
+    // the classic trap: ΔA⋈ΔB must land exactly once. Using A₀ in leg 3
+    // (instead of all of A) drops those rows — totals must then disagree.
+    val l3Wrong = cnt(a.filter($"od" < aCut), b.filter($"sd" >= bCut))
+    val full = cnt(a, b)
+    assert(l1 + l2 + l3 == full, "three-leg partition != full join")
+    assert(l1 + l2 + l3Wrong < full, "trap variant unexpectedly complete")
+    // and the declared query's totals equal the naive aggregate
+    val viaLegs = Warehouse.incrJoinMv(spark, dir)
+      .agg(sum($"n_lines")).as[Long].head()
+    assert(viaLegs == full)
+  }
 }
