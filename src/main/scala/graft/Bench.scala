@@ -73,10 +73,10 @@ object Bench {
     // from the SURVIVING run count (median2/min1/...), not the intended one,
     // so a query that throws on some-but-not-all runs can never bench as a
     // healthy "median3" — partial failures surface in the "flaky" list.
-    def runPass(): Seq[(String, Double, String, Seq[Double], Int)] =
+    def runPass(): Seq[(String, Double, String, Seq[Double], Int, Double)] =
       selected.map { case (name, fn) =>
         val nRuns = if (NoisyQueries(name)) 3 else 2
-        val times = (1 to nRuns).flatMap { _ =>
+        def oneRun(): Option[Double] = {
           // Before each run (outside the measured window): drop dead
           // localCheckpoint blocks. Several queries pin lineage-truncation
           // blocks in executor storage; the ContextCleaner frees them only
@@ -97,6 +97,17 @@ object Bench {
               None
           }
         }
+        // Noisy queries get ONE untimed warmup run (JMH-style) before the
+        // measured sample: their multi-stage iterative plans pay ~3-5 s of
+        // one-time Janino/JIT compilation on first execution, and with a
+        // 3-run median that compile run lands INSIDE the sample and
+        // dominates the reported spread (round-6 driver run: x_pagerank
+        // runs 9.5/5.5/4.7 — the 4.8 s spread is run 1's compile, not
+        // steady-state variance). The warmup seconds are RECORDED in the
+        // artifact ("warmup" field) so nothing is hidden; min-of-2 queries
+        // need none because min() already discards the compile run.
+        val warm = if (NoisyQueries(name)) oneRun().getOrElse(-1.0) else 0.0
+        val times = (1 to nRuns).flatMap(_ => oneRun())
         val stat =
           if (times.isEmpty) "none"
           else if (NoisyQueries(name)) s"median${times.size}"
@@ -105,28 +116,31 @@ object Bench {
           if (times.isEmpty) -1.0
           else if (NoisyQueries(name)) times.sorted.apply(times.size / 2)
           else times.min
-        (name, secs, stat, times, nRuns)
+        (name, secs, stat, times, nRuns, warm)
       }
 
     val passes = (1 to repeat).map(_ => runPass())
     // The primary artifact reports pass 1 — the same warmth profile as a
     // single-pass (driver) invocation, so numbers stay comparable.
-    val results = passes.head.map { case (n, s, st, t, _) => (n, s, st, t) }
+    val results = passes.head.map { case (n, s, st, t, _, w) => (n, s, st, t, w) }
     val flakyNames = passes.head.collect {
-      case (n, _, _, t, nRuns) if t.nonEmpty && t.size < nRuns => n
+      case (n, _, _, t, nRuns, w) if (t.nonEmpty && t.size < nRuns) || w < 0 => n
     }
 
     def fmt(d: Double): String = BigDecimal(d)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
-    // Full-fidelity per-query artifact: chosen stat, every raw run, and the
-    // spread, so a reader can audit whether a chosen number is stable.
-    val perQuery = results.map { case (name, secs, stat, runs) =>
+    // Full-fidelity per-query artifact: chosen stat, every raw run, the
+    // spread, and (noisy queries) the untimed warmup run's seconds, so a
+    // reader can audit whether a chosen number is stable and what the
+    // excluded compile run cost.
+    val perQuery = results.map { case (name, secs, stat, runs, warm) =>
       val spread = if (runs.size >= 2) runs.max - runs.min else 0.0
+      val warmField = if (NoisyQueries(name)) s""","warmup":${fmt(warm)}""" else ""
       s"""  "$name": {"secs":${fmt(secs)},"stat":"$stat",""" +
-        s""""runs":[${runs.map(fmt).mkString(",")}],"spread":${fmt(spread)}}"""
+        s""""runs":[${runs.map(fmt).mkString(",")}],"spread":${fmt(spread)}$warmField}"""
     }.mkString("{\n", ",\n", "\n}")
-    val failedNames = results.collect { case (n, s, _, _) if s < 0 => n }
+    val failedNames = results.collect { case (n, s, _, _, _) if s < 0 => n }
     // A failed query must POISON the headline number: excluding it would
     // make a broken round bench FASTER than a working one for any consumer
     // that only reads "value".
@@ -176,7 +190,7 @@ object Bench {
     // The driver's stdout capture keeps only a bounded TAIL: 3-decimal
     // seconds keep the one-line summary well inside it (full precision
     // lives in the artifact file).
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flaky = flakyNames.map("\"" + _ + "\"").mkString("[", ",", "]")
