@@ -305,7 +305,11 @@ object TpchPs {
     * The fixture's lineitem carries no `l_shipmode`/`l_commitdate`/
     * `l_receiptdate`, so we derive all three as fixed integer congruences
     * of the line's natural key `(l_orderkey, l_linenumber)`, mirroring
-    * dbgen's semantics in shape: a uniform 7-way mode pick, a receipt lag
+    * dbgen's semantics in shape: a 7-way mode pick whose multiplier (11)
+    * is coprime to 7 so the mode varies with BOTH key components (the
+    * round-6 derivation used `l_orderkey*7`, which is ≡ 0 (mod 7) — the
+    * mode degenerated to a pure linenumber function and Q12's MAIL/SHIP
+    * filter selected exactly linenumbers 5 and 7), a receipt lag
     * of 1–30 days after ship, and a commit date anywhere in ship ± 30 days
     * (so both "late" `commit < receipt` and "kept" lines exist). Both
     * engines rebuild the identical extension — the oracle opens on the
@@ -316,10 +320,10 @@ object TpchPs {
   def lineitemExt(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, dir)
-      .select($"l_orderkey",
+      .select($"l_orderkey", $"l_linenumber",
         element_at(
           array(ShipModes.map(lit): _*),
-          (($"l_orderkey" * 7L + $"l_linenumber" * 3L) % 7L).cast("int") + 1)
+          (($"l_orderkey" * 11L + $"l_linenumber" * 3L) % 7L).cast("int") + 1)
           .as("l_shipmode"),
         to_date($"l_shipdate").as("l_sd"),
         date_add(to_date($"l_shipdate"),
@@ -333,8 +337,8 @@ object TpchPs {
   /** The shared oracle CTE — the DuckDB-side twin of [[lineitemExt]]. */
   val liExtSql: String =
     """WITH li_ext AS (
-      | SELECT l_orderkey,
-      |   CASE (l_orderkey*7 + l_linenumber*3) % 7
+      | SELECT l_orderkey, l_linenumber,
+      |   CASE (l_orderkey*11 + l_linenumber*3) % 7
       |     WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' WHEN 2 THEN 'AIR'
       |     WHEN 3 THEN 'RAIL' WHEN 4 THEN 'TRUCK' WHEN 5 THEN 'FOB'
       |     ELSE 'REG AIR' END AS l_shipmode,

@@ -58,9 +58,18 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val r = raw(spark, dir, "events")
-    if (r.schema("ts").dataType == LongType)
-      r.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else r
+    r.schema("ts").dataType match {
+      case LongType =>
+        r.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // timestamp[us] without timezone (the regenerated fixtures) reads as
+        // TIMESTAMP_NTZ, which `unix_micros`/`window` reject. Cast to the
+        // session-zone TIMESTAMP; every entry point pins
+        // spark.sql.session.timeZone=UTC, so the wall-clock is preserved and
+        // epoch arithmetic agrees with DuckDB's naive-as-UTC interpretation.
+        r.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => r
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")

@@ -362,7 +362,11 @@ object CorpusFilter {
         | 'too_short', c_short) AS (rule, n_fail)""".stripMargin),
       $"n_docs")
       .select($"rule", $"n_fail",
-        ($"n_fail" * 1000L / $"n_docs").cast("long").as("fail_permille"))
+        // integer `div`, matching the oracle's `//` floor division — the
+        // module's all-integer-arithmetic policy keeps doubles out of
+        // hash-gated columns entirely (truncation == floor here because
+        // both operands are non-negative).
+        expr("(n_fail * 1000) div n_docs").as("fail_permille"))
       .orderBy($"rule")
   }
 
@@ -371,7 +375,7 @@ object CorpusFilter {
        | SELECT len(t) AS n,
        |   list_sum(list_transform(t, x -> len(x))) AS sum_wlen,
        |   len(list_distinct(t)) AS n_distinct,
-       |   len(list_filter(t, x -> x IN ('the','a','of','and','in'))) AS n_stop
+       |   len(list_filter(t, x -> x IN (${TextOps.stopwordListSql}))) AS n_stop
        | FROM (SELECT string_split(text, ' ') AS t FROM documents)),
        |f AS (
        | SELECT n < $RuleMinToks AS f_short, n > $RuleMaxToks AS f_long,

@@ -447,6 +447,17 @@ object Pack {
     * guarantee and append-stability are mutually exclusive; callers who
     * need the latter want the rate-based `q_sample_stratified`.)
     *
+    * PRECONDITION for the exact-count guarantee: every source must hold at
+    * least its allocated quota of documents (quota_i ≤ cnt_i). A source
+    * allocated more slots than it has docs fills what it can and the output
+    * totals fewer than K rows — silently, because both engines agree on the
+    * shortfall. The ⌊√chars⌋ weights make this hard to trip (a source's
+    * share shrinks as its corpus does), and the spec asserts the
+    * precondition on every fixture SF; exact-count under saturated sources
+    * is a water-filling loop (iterate: cap, re-apportion the remainder over
+    * unsaturated sources), deliberately out of scope — callers with
+    * starved sources should lower K or drop the starved source first.
+    *
     * Scale shape: one fact-sized aggregate (per-source totals), a
     * source-count-sized allocation frame (broadcast back), and one window
     * rank partitioned by source for the pick — the window sorts only

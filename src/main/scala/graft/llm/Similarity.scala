@@ -730,10 +730,19 @@ object Similarity {
       .select($"threshold", explode(array($"vec_a", $"vec_b")).as("vid"))
       .groupBy($"threshold")
       .agg(countDistinct($"vid").as("n_docs_flagged"))
-    pairCounts.join(broadcast(docCounts), Seq("threshold"))
+    // LEFT-join from the points frame with zero-coalesce: an operating
+    // point whose threshold gates an empty pair set must still emit its
+    // row (n_pairs = 0) — the declared shape is one row PER POINT, and an
+    // inner join here would silently drop dry thresholds on a cleaner
+    // corpus (engine-consistent, so only the row-count contract notices).
+    points.join(broadcast(pairCounts), Seq("threshold"), "left")
+      .join(broadcast(docCounts), Seq("threshold"), "left")
       .crossJoin(broadcast(nTotal))
-      .select($"threshold", $"n_pairs", $"n_docs_flagged",
-        expr("(n_docs_flagged * 1000) div n_total").as("flagged_permille"))
+      .select($"threshold",
+        coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+        coalesce($"n_docs_flagged", lit(0L)).as("n_docs_flagged"),
+        expr("(coalesce(n_docs_flagged, 0) * 1000) div n_total")
+          .as("flagged_permille"))
       .orderBy($"threshold")
   }
 
@@ -772,11 +781,12 @@ object Similarity {
        | FROM (SELECT threshold, unnest([vec_a, vec_b]) AS vid FROM perT)
        | GROUP BY 1),
        |tot AS (SELECT count(*) AS n_total FROM e)
-       |SELECT pc.threshold, CAST(pc.n_pairs AS BIGINT) AS n_pairs,
-       | CAST(dc.n_docs_flagged AS BIGINT) AS n_docs_flagged,
-       | CAST(dc.n_docs_flagged * 1000 // tot.n_total AS BIGINT) AS flagged_permille
-       |FROM pc JOIN dc ON dc.threshold = pc.threshold, tot
-       |ORDER BY pc.threshold""".stripMargin
+       |SELECT pts.threshold, CAST(COALESCE(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+       | CAST(COALESCE(dc.n_docs_flagged, 0) AS BIGINT) AS n_docs_flagged,
+       | CAST(COALESCE(dc.n_docs_flagged, 0) * 1000 // tot.n_total AS BIGINT) AS flagged_permille
+       |FROM pts LEFT JOIN pc ON pc.threshold = pts.threshold
+       | LEFT JOIN dc ON dc.threshold = pts.threshold, tot
+       |ORDER BY pts.threshold""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -94,8 +94,10 @@ object TextOps {
 
   /** Oracle stopword list interpolated from [[Stopwords]] — a hardcoded
     * literal here would silently desynchronize from the Scala definition.
+    * Shared with every oracle that filters on stopwords (CorpusFilter's
+    * gopher panel included) for the same reason.
     */
-  private def stopwordListSql: String = Stopwords.map(w => s"'$w'").mkString(",")
+  def stopwordListSql: String = Stopwords.map(w => s"'$w'").mkString(",")
 
   val qualityScoreSql: String =
     s"""SELECT doc_id,

@@ -96,6 +96,17 @@ class TpchPsSpec extends SparkSpec {
     }
     // all seven modes actually occur — the congruence isn't degenerate
     assert(ext.map(_._1).toSet == modes)
+    // and the mode varies WITHIN a fixed linenumber: the round-6 derivation
+    // used l_orderkey*7 ≡ 0 (mod 7), collapsing the mode to a pure
+    // linenumber function (Q12's MAIL/SHIP filter then selected exactly
+    // linenumbers 5 and 7 — position-correlated selectivity the hash gate
+    // cannot see because both engines agreed on the degenerate table).
+    val distinctPerLine = TpchPs.lineitemExt(spark, dir)
+      .groupBy($"l_linenumber")
+      .agg(countDistinct($"l_shipmode").as("nmodes"))
+      .as[(Long, Long)].collect()
+    assert(distinctPerLine.nonEmpty && distinctPerLine.forall(_._2 > 1),
+      s"mode is linenumber-determined: ${distinctPerLine.mkString(",")}")
   }
 
   test("q_tpch_q12 counts match a driver-side recomputation over the late lines") {

@@ -226,4 +226,29 @@ class PackSpec extends SparkSpec {
       assert(rows.map(_._3).sorted.toList == (1L to rows.length).toList, s)
     }
   }
+
+  test("quotaSample precondition: no source is allocated more docs than it has") {
+    // The exact-count contract requires quota_i <= cnt_i per source (see
+    // the quotaSample scaladoc — a saturated source silently shortfalls,
+    // and both engines agree so the hash gate cannot catch it). Assert the
+    // precondition on every fixture SF so a fixture regeneration that
+    // starves a source fails HERE, not silently at the gate.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val cnt = graft.io.Tables.documents(spark, dir)
+        .groupBy($"source").agg(count(lit(1)).as("cnt"))
+        .as[(String, Long)].collect().toMap
+      val totals = graft.io.Tables.documents(spark, dir)
+        .groupBy($"source").agg(sum($"n_chars").as("tc"))
+        .as[(String, Long)].collect().toMap
+      val w = totals.map { case (s, tc) => s -> math.sqrt(tc.toDouble).toLong }
+      val bigW = w.values.sum
+      val k = Pack.QuotaTotal
+      // ceiling allocation bounds base + remainder-bonus from above
+      w.foreach { case (s, wi) =>
+        val upper = k * wi / bigW + 1
+        assert(upper <= cnt(s),
+          s"$dir source $s: allocation upper bound $upper > ${cnt(s)} docs")
+      }
+    }
+  }
 }
