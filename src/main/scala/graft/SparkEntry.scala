@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.{AsOf, Bfs, BloomJoin, Diff, Journey, PageRank, PrefixSum, Relational, Sessions, Sketch, Skew, Tpch, TpchPs, Triangles, Upsert, Warehouse}
 import graft.dq.DataQuality
 import graft.io.Ingest
-import graft.llm.{AnnMulti, Cluster, Contain, CorpusFilter, DataCard, Dedup, Drift, Ivf, IvfPq, LangId, Pack, Pq, Privacy, Semantic, SimHash, SimJoin, Similarity, Terms, TextClean, TextOps}
+import graft.llm.{AnnMulti, Cluster, Contain, CorpusFilter, DataCard, Dedup, Drift, Ivf, IvfPq, LangId, Pack, Pq, Privacy, Retrieval, Semantic, SimHash, SimJoin, Similarity, Terms, TextClean, TextOps}
 import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -51,6 +51,7 @@ object SparkEntry {
       SimHash.queries ++
       SimJoin.queries ++
       Contain.queries ++
+      Retrieval.queries ++
       LangId.queries ++
       Similarity.queries ++
       Ivf.queries ++
@@ -95,6 +96,7 @@ object SparkEntry {
       SimHash.oracles ++
       SimJoin.oracles ++
       Contain.oracles ++
+      Retrieval.oracles ++
       LangId.oracles ++
       Similarity.oracles ++
       Ivf.oracles ++
