@@ -2,10 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{AsOf, Bfs, BloomJoin, Diff, Journey, PageRank, PrefixSum, Relational, Sessions, Sketch, Skew, Tpch, TpchPs, Triangles, Upsert, Warehouse}
+import graft.analytics.{AsOf, Bfs, BloomJoin, Diff, Journey, Layout, PageRank, PrefixSum, Relational, Sessions, Sketch, Skew, Tpch, TpchPs, Triangles, Upsert, Warehouse}
 import graft.dq.DataQuality
 import graft.io.Ingest
-import graft.llm.{AnnMulti, Cluster, Contain, CorpusFilter, DataCard, Dedup, Drift, Ivf, IvfPq, LangId, Pack, Pq, Privacy, Retrieval, Semantic, SimHash, SimJoin, Similarity, Terms, TextClean, TextOps}
+import graft.llm.{AnnMulti, Cluster, Contain, CorpusFilter, DataCard, Dedup, Drift, EmbedStats, Ivf, IvfPq, LangId, Pack, Pq, Privacy, Retrieval, Semantic, SimHash, SimJoin, Similarity, Terms, TextClean, TextOps}
 import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -52,6 +52,8 @@ object SparkEntry {
       SimJoin.queries ++
       Contain.queries ++
       Retrieval.queries ++
+      EmbedStats.queries ++
+      Layout.queries ++
       LangId.queries ++
       Similarity.queries ++
       Ivf.queries ++
@@ -97,6 +99,8 @@ object SparkEntry {
       SimJoin.oracles ++
       Contain.oracles ++
       Retrieval.oracles ++
+      EmbedStats.oracles ++
+      Layout.oracles ++
       LangId.oracles ++
       Similarity.oracles ++
       Ivf.oracles ++

@@ -1,0 +1,163 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Data-layout planning: Z-order clustering vs linear (date) clustering,
+  * measured by the file-skipping each buys a 2-D box query.
+  *
+  * At 100 TB the scan you avoid is worth more than the scan you speed up:
+  * writers cluster rows into files, readers prune files whose column
+  * min/max stats miss the predicate (parquet row groups, Iceberg/Delta
+  * file stats — same mechanism). A linear sort prunes ONE dimension
+  * perfectly and the other not at all; a Z-order (Morton) curve
+  * interleaves the bits of both keys so every file covers a small
+  * rectangle, and a box predicate on EITHER or BOTH dimensions skips most
+  * files. This op makes that trade measurable: it lays the orders fact
+  * out both ways (same file count), simulates stats-based pruning for a
+  * fixed customer × date box, and reports scan amplification per layout.
+  *
+  * Everything is integer arithmetic on both engines: keys are min/max
+  * normalized to 16 bits by integer division, the Morton value is a
+  * 32-term shift/mask sum, file ids are bit prefixes (`z >> 24` — 256
+  * even Z-ranges; `v >> 8` — 256 even date-ranges), and the verdict
+  * columns are counts and a permille ratio. The whole query is one scan +
+  * one (layout, file) aggregate: layout assignment is a pure projection —
+  * the exploded two-layout frame shuffles 2 rows per order, grouped
+  * straight down to ≤ 2·256 file-stat rows, then 2 verdict rows.
+  * (A real writer would SORT by the file key to actually emit clustered
+  * files — a write-once cost the declared query deliberately excludes:
+  * pruning effectiveness is a property of the key geometry, and THAT is
+  * what needs choosing before any 100 TB rewrite is paid for.)
+  */
+object Layout {
+
+  /** 2^FileBits even key-ranges per layout. */
+  val FileBits = 8
+  /** The probe box: customers [CustLo, CustHi] × order days
+    * [DateLo, DateHi) — non-vacuous at every fixture SF (57/83/81 rows).
+    */
+  val CustLo = 20L
+  val CustHi = 120L
+  val DateLo = "1997-03-01"
+  val DateHi = "1997-09-01"
+  /** Epoch-day bounds, computed once and interpolated into BOTH engines'
+    * predicates so they cannot desynchronize.
+    */
+  val DayLo: Long = java.time.LocalDate.parse(DateLo).toEpochDay
+  val DayHi: Long = java.time.LocalDate.parse(DateHi).toEpochDay
+
+  /** 16-bit × 16-bit Morton interleave: u's bit i lands at 2i, v's at
+    * 2i+1. 32 shift/mask terms summed — plain long arithmetic, codegen
+    * folds it into straight-line bit ops.
+    */
+  private def morton(u: Column, v: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(u, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(v, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** The same 32-term interleave as a SQL expression over `u_n`/`v_n`. */
+  private def mortonSql(u: String, v: String): String =
+    (0 until 16).map { i =>
+      s"((($u >> $i) & 1) << ${2 * i}) + ((($v >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
+  /** x_zorder_prune — per layout: nonempty files, files a stats-based
+    * pruner must read for the box, rows inside those files, true matching
+    * rows, and scan amplification (rows_scanned per 1000 matching rows).
+    */
+  def zorderPrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.orders(spark, dir).select(
+      $"o_custkey".cast("long").as("u"),
+      datediff(to_date($"o_orderdate"), lit("1970-01-01").cast("date"))
+        .cast("long").as("v"))
+    val ranges = base.agg(
+      min($"u").as("ulo"), max($"u").as("uhi"),
+      min($"v").as("vlo"), max($"v").as("vhi"))
+    val norm = base.crossJoin(broadcast(ranges))
+      .withColumn("u_n", expr("((u - ulo) * 65535) div greatest(uhi - ulo, 1)"))
+      .withColumn("v_n", expr("((v - vlo) * 65535) div greatest(vhi - vlo, 1)"))
+    val tagged = norm
+      .withColumn("z", morton($"u_n", $"v_n"))
+      .select($"u", $"v", explode(array(
+        struct(lit("zorder").as("layout"),
+          shiftright($"z", 32 - FileBits).as("file")),
+        struct(lit("linear").as("layout"),
+          shiftright($"v_n", 16 - FileBits).as("file")))).as("lf"))
+      .select($"lf.layout".as("layout"), $"lf.file".as("file"), $"u", $"v")
+    val fileStats = tagged
+      .groupBy($"layout", $"file")
+      .agg(count(lit(1)).as("n"),
+        min($"u").as("u_min"), max($"u").as("u_max"),
+        min($"v").as("v_min"), max($"v").as("v_max"))
+      .withColumn("hit",
+        !($"u_max" < CustLo || $"u_min" > CustHi ||
+          $"v_max" < DayLo || $"v_min" >= DayHi))
+    val matching = base
+      .filter($"u".between(CustLo, CustHi) && $"v" >= DayLo && $"v" < DayHi)
+      .agg(count(lit(1)).as("rows_matching"))
+    fileStats.groupBy($"layout")
+      .agg(count(lit(1)).as("files_nonempty"),
+        sum(when($"hit", 1L).otherwise(0L)).as("files_hit"),
+        sum(when($"hit", $"n").otherwise(0L)).as("rows_scanned"))
+      .crossJoin(broadcast(matching))
+      .select($"layout", $"files_nonempty", $"files_hit", $"rows_scanned",
+        $"rows_matching",
+        expr("(rows_scanned * 1000) div rows_matching")
+          .as("amp_permille"))
+      .orderBy($"layout")
+  }
+
+  val zorderPruneSql: String =
+    s"""WITH base AS (
+       | SELECT CAST(o_custkey AS BIGINT) AS u,
+       |  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS v
+       | FROM orders),
+       |ranges AS (
+       | SELECT min(u) AS ulo, max(u) AS uhi, min(v) AS vlo, max(v) AS vhi
+       | FROM base),
+       |norm AS (
+       | SELECT u, v,
+       |  ((u - ulo) * 65535) // greatest(uhi - ulo, 1) AS u_n,
+       |  ((v - vlo) * 65535) // greatest(vhi - vlo, 1) AS v_n
+       | FROM base, ranges),
+       |tagged AS (
+       | SELECT 'zorder' AS layout,
+       |  (${mortonSql("u_n", "v_n")}) >> ${32 - FileBits} AS file, u, v
+       | FROM norm
+       | UNION ALL
+       | SELECT 'linear' AS layout, v_n >> ${16 - FileBits} AS file, u, v
+       | FROM norm),
+       |fs AS (
+       | SELECT layout, file, count(*) AS n,
+       |  min(u) AS u_min, max(u) AS u_max,
+       |  min(v) AS v_min, max(v) AS v_max
+       | FROM tagged GROUP BY 1, 2),
+       |hits AS (
+       | SELECT layout, file, n,
+       |  NOT (u_max < $CustLo OR u_min > $CustHi
+       |       OR v_max < $DayLo OR v_min >= $DayHi) AS hit
+       | FROM fs),
+       |matching AS (
+       | SELECT count(*) AS rows_matching FROM base
+       | WHERE u BETWEEN $CustLo AND $CustHi AND v >= $DayLo AND v < $DayHi)
+       |SELECT layout, count(*) AS files_nonempty,
+       | CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+       | CAST(sum(CASE WHEN hit THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+       | rows_matching,
+       | CAST(sum(CASE WHEN hit THEN n ELSE 0 END) * 1000 // rows_matching
+       |  AS BIGINT) AS amp_permille
+       |FROM hits, matching
+       |GROUP BY layout, rows_matching
+       |ORDER BY layout""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_zorder_prune" -> (zorderPrune _))
+
+  val oracles: Map[String, String] = Map(
+    "x_zorder_prune" -> zorderPruneSql)
+}
