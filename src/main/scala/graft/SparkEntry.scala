@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{AsOf, Bfs, BloomJoin, Diff, Journey, Layout, PageRank, PrefixSum, Relational, Sessions, Sketch, Skew, Tpch, TpchPs, Triangles, Upsert, Warehouse}
+import graft.analytics.{Anomaly, AsOf, Basket, Bfs, BloomJoin, Cohort, Diff, Journey, Layout, PageRank, PrefixSum, Relational, Rfm, Sessions, Sketch, Skew, Tpch, TpchPs, Triangles, Upsert, Warehouse}
 import graft.dq.DataQuality
 import graft.io.Ingest
 import graft.llm.{AnnMulti, Cluster, Contain, CorpusFilter, DataCard, Dedup, Drift, EmbedStats, Ivf, IvfPq, LangId, Pack, Pq, Privacy, Retrieval, Semantic, SimHash, SimJoin, Similarity, Terms, TextClean, TextOps}
@@ -64,6 +64,10 @@ object SparkEntry {
       Pq.queries ++
       IvfPq.queries ++
       Skew.queries ++
+      Cohort.queries ++
+      Rfm.queries ++
+      Basket.queries ++
+      Anomaly.queries ++
       Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -111,5 +115,9 @@ object SparkEntry {
       Pq.oracles ++
       IvfPq.oracles ++
       Skew.oracles ++
+      Cohort.oracles ++
+      Rfm.oracles ++
+      Basket.oracles ++
+      Anomaly.oracles ++
       Multimodal.oracles
 }
