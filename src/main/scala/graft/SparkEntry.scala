@@ -2,10 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Anomaly, AsOf, Basket, Bfs, BloomJoin, Cohort, Diff, Journey, Layout, PageRank, PrefixSum, Relational, Rfm, Sessions, Sketch, Skew, Tpch, TpchPs, Triangles, Upsert, Warehouse}
+import graft.analytics.{Anomaly, AsOf, Basket, Bfs, BloomJoin, Cohort, Diff, Journey, Layout, Neighbors, PageRank, PrefixSum, Relational, Rfm, Sessions, Sketch, Skew, Tpch, TpchPs, Triangles, Upsert, Warehouse}
 import graft.dq.DataQuality
 import graft.io.Ingest
-import graft.llm.{AnnMulti, Cluster, Contain, CorpusFilter, DataCard, Dedup, Drift, EmbedStats, Ivf, IvfPq, LangId, Pack, Pq, Privacy, Retrieval, Semantic, SimHash, SimJoin, Similarity, Terms, TextClean, TextOps}
+import graft.llm.{AnnMulti, Cluster, Contain, CorpusFilter, DataCard, Dedup, Drift, EditJoin, EmbedStats, Ivf, IvfPq, LangId, Pack, Pq, Privacy, Retrieval, Semantic, SimHash, SimJoin, Similarity, SpanDedup, Terms, TextClean, TextOps}
 import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -68,6 +68,9 @@ object SparkEntry {
       Rfm.queries ++
       Basket.queries ++
       Anomaly.queries ++
+      Neighbors.queries ++
+      EditJoin.queries ++
+      SpanDedup.queries ++
       Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -119,5 +122,8 @@ object SparkEntry {
       Rfm.oracles ++
       Basket.oracles ++
       Anomaly.oracles ++
+      Neighbors.oracles ++
+      EditJoin.oracles ++
+      SpanDedup.oracles ++
       Multimodal.oracles
 }

@@ -1,0 +1,78 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Duplicated-span detection — the exact-substring tier of training-data
+  * dedup (the "deduplicating training data makes language models better"
+  * operation): find every [[SpanK]]-token span that recurs across
+  * documents and score each document by how much of it is recycled text.
+  * [[Dedup]] removes whole near-duplicate documents; this finds the
+  * boilerplate/quotation spans INSIDE otherwise-unique documents.
+  *
+  * Shape: span extraction is map-side (a sliding window over the token
+  * array — no self-join, the [[Terms]] bigram zip generalized to k), the
+  * only shuffle is the span-frequency aggregate + the join back to
+  * per-document rollups. Spans are counted once per document (DISTINCT),
+  * so "duplicated" = appears in ≥ 2 documents, never inflated by
+  * within-document repetition (that signal is x_repetition_filter's).
+  *
+  * At 100 TB: spans-per-doc ~ tokens-per-doc, so the span shuffle is
+  * ~k× the corpus tokens; fingerprint the span string to a 128-bit hash
+  * for the exchange (same topology, negligible collision mass) and keep
+  * the string only for the declared gate — the paper's suffix-array
+  * variant trades this shuffle for a global sort. The per-doc rollup
+  * re-shuffles on doc_id, integer permille output.
+  */
+object SpanDedup {
+
+  val SpanK = 5
+
+  /** x_span_dedup — per document: distinct spans, spans shared with ≥1
+    * other document, and the recycled-span permille.
+    */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sp = Tables.documents(spark, dir)
+      .select($"doc_id", split(lower($"text"), " ").as("toks"))
+      .filter(size($"toks") >= SpanK)
+      .select($"doc_id", explode(expr(
+        s"""transform(sequence(1, size(toks) - ${SpanK - 1}),
+           |          i -> array_join(slice(toks, i, $SpanK), ' '))"""
+          .stripMargin)).as("span"))
+      .distinct()
+    val nd = sp.groupBy($"span").agg(count(lit(1)).as("ndocs"))
+    sp.join(nd, "span")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when($"ndocs" >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select($"doc_id", $"n_spans", $"n_dup",
+        expr("n_dup * 1000 div n_spans").as("dup_permille"))
+      .orderBy($"doc_id")
+  }
+
+  val spanDedupSql: String =
+    s"""WITH toks AS (
+       | SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+       | WHERE len(string_split(lower(text), ' ')) >= ${SpanK}),
+       |sp AS (
+       | SELECT DISTINCT doc_id, array_to_string(t[i:i+${SpanK - 1}], ' ') AS span
+       | FROM toks, LATERAL (
+       |   SELECT unnest(generate_series(1, len(t) - ${SpanK - 1})) AS i) g),
+       |nd AS (SELECT span, count(*) AS ndocs FROM sp GROUP BY 1),
+       |pd AS (
+       | SELECT sp.doc_id, count(*) AS n_spans,
+       |  CAST(sum(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       | FROM sp JOIN nd ON sp.span = nd.span GROUP BY 1)
+       |SELECT doc_id, n_spans, n_dup, n_dup * 1000 // n_spans AS dup_permille
+       |FROM pd
+       |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_span_dedup" -> (spanDedup _))
+
+  val oracles: Map[String, String] = Map(
+    "x_span_dedup" -> spanDedupSql)
+}

@@ -1,0 +1,35 @@
+package graft.llm
+
+import graft.SparkSpec
+import graft.io.Tables
+
+class SpanDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("x_span_dedup matches a driver-side recomputation") {
+    val docs = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "lower(text) as t").as[(Long, String)].collect()
+    val spans = docs.map { case (id, t) =>
+      val toks = t.split(" ", -1)
+      id -> toks.sliding(SpanDedup.SpanK).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty).toMap
+    val ndocs = spans.toSeq.flatMap { case (id, ss) => ss.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val expected = spans.map { case (id, ss) =>
+      val nDup = ss.count(s => ndocs(s) >= 2).toLong
+      (id, ss.size.toLong, nDup, nDup * 1000 / ss.size)
+    }.toSet
+    val got = SpanDedup.spanDedup(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("duplicated spans actually exist in the fixture corpus") {
+    val got = SpanDedup.spanDedup(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.exists(_._3 > 0)) // non-vacuous: some recycled spans
+    assert(got.forall(r => r._3 <= r._2 && r._4 <= 1000))
+  }
+}
