@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Anomaly, AsOf, Basket, Bfs, BloomJoin, Cohort, Diff, Journey, Layout, Neighbors, PageRank, PrefixSum, Relational, Rfm, Sessions, Sketch, Skew, Tpch, TpchPs, Triangles, Upsert, Warehouse}
+import graft.analytics.{Anomaly, AsOf, Attribution, Basket, Benford, Bfs, BloomJoin, Cohort, Diff, Journey, Layout, Neighbors, PageRank, PrefixSum, Relational, Rfm, Scd, Sessions, Sketch, Skew, Tpch, TpchPs, Triangles, Upsert, Warehouse}
 import graft.dq.DataQuality
 import graft.io.Ingest
 import graft.llm.{AnnMulti, Cluster, Contain, CorpusFilter, DataCard, Dedup, Drift, EditJoin, EmbedStats, Ivf, IvfPq, LangId, Pack, Pq, Privacy, Retrieval, Semantic, SimHash, SimJoin, Similarity, SpanDedup, Terms, TextClean, TextOps}
@@ -71,6 +71,9 @@ object SparkEntry {
       Neighbors.queries ++
       EditJoin.queries ++
       SpanDedup.queries ++
+      Attribution.queries ++
+      Scd.queries ++
+      Benford.queries ++
       Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -125,5 +128,8 @@ object SparkEntry {
       Neighbors.oracles ++
       EditJoin.oracles ++
       SpanDedup.oracles ++
+      Attribution.oracles ++
+      Scd.oracles ++
+      Benford.oracles ++
       Multimodal.oracles
 }
