@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Anomaly, AsOf, Attribution, Basket, Benford, Bfs, BloomJoin, Cohort, Diff, Journey, Layout, Neighbors, PageRank, PrefixSum, Relational, Rfm, Scd, Sessions, Sketch, Skew, Tpch, TpchPs, Triangles, Upsert, Warehouse}
+import graft.analytics.{Anomaly, AsOf, Attribution, Basket, Benford, Bfs, BloomJoin, Cohort, Diff, Journey, Layout, Neighbors, PageRank, PrefixSum, Relational, Rfm, Scd, Sessions, Sketch, Skew, Tpch, TpchPs, Triangles, Twap, Upsert, Warehouse}
 import graft.dq.DataQuality
 import graft.io.Ingest
 import graft.llm.{AnnMulti, Cluster, Contain, CorpusFilter, DataCard, Dedup, Drift, EditJoin, EmbedStats, Ivf, IvfPq, LangId, Pack, Pq, Privacy, Retrieval, Semantic, SimHash, SimJoin, Similarity, SpanDedup, Terms, TextClean, TextOps}
@@ -74,6 +74,7 @@ object SparkEntry {
       Attribution.queries ++
       Scd.queries ++
       Benford.queries ++
+      Twap.queries ++
       Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -131,5 +132,6 @@ object SparkEntry {
       Attribution.oracles ++
       Scd.oracles ++
       Benford.oracles ++
+      Twap.oracles ++
       Multimodal.oracles
 }

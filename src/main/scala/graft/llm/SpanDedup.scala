@@ -70,9 +70,59 @@ object SpanDedup {
        |FROM pd
        |ORDER BY doc_id""".stripMargin
 
+  /** x_novelty — first-occurrence credit: a span is NOVEL in the lowest
+    * doc_id that contains it (documents ordered by id = arrival order), so
+    * each document's novelty is the fraction of its spans not seen in any
+    * earlier document. The dataset-growth signal: novelty permille falling
+    * over ingestion time means the crawl is re-reading the same web.
+    * Same span substrate as [[spanDedup]]; the only extra work is a
+    * min(doc_id) per span instead of a count — still one aggregate + one
+    * join back, no ordering anywhere.
+    */
+  def novelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sp = Tables.documents(spark, dir)
+      .select($"doc_id", split(lower($"text"), " ").as("toks"))
+      .filter(size($"toks") >= SpanK)
+      .select($"doc_id", explode(expr(
+        s"""transform(sequence(1, size(toks) - ${SpanK - 1}),
+           |          i -> array_join(slice(toks, i, $SpanK), ' '))"""
+          .stripMargin)).as("span"))
+      .distinct()
+    val firstSeen = sp.groupBy($"span").agg(min($"doc_id").as("first_doc"))
+    sp.join(firstSeen, "span")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      .select($"doc_id", $"n_spans", $"n_novel",
+        expr("n_novel * 1000 div n_spans").as("novelty_permille"))
+      .orderBy($"doc_id")
+  }
+
+  val noveltySql: String =
+    s"""WITH toks AS (
+       | SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+       | WHERE len(string_split(lower(text), ' ')) >= ${SpanK}),
+       |sp AS (
+       | SELECT DISTINCT doc_id, array_to_string(t[i:i+${SpanK - 1}], ' ') AS span
+       | FROM toks, LATERAL (
+       |   SELECT unnest(generate_series(1, len(t) - ${SpanK - 1})) AS i) g),
+       |fs AS (SELECT span, min(doc_id) AS first_doc FROM sp GROUP BY 1),
+       |pd AS (
+       | SELECT sp.doc_id, count(*) AS n_spans,
+       |  CAST(sum(CASE WHEN fs.first_doc = sp.doc_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_novel
+       | FROM sp JOIN fs ON sp.span = fs.span GROUP BY 1)
+       |SELECT doc_id, n_spans, n_novel,
+       | n_novel * 1000 // n_spans AS novelty_permille
+       |FROM pd
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x_span_dedup" -> (spanDedup _))
+    "x_span_dedup" -> (spanDedup _),
+    "x_novelty" -> (novelty _))
 
   val oracles: Map[String, String] = Map(
-    "x_span_dedup" -> spanDedupSql)
+    "x_span_dedup" -> spanDedupSql,
+    "x_novelty" -> noveltySql)
 }
