@@ -5,10 +5,14 @@ import org.apache.spark.sql.functions._
 
 import graft.io.Tables
 
-/** Cohort retention — the product-analytics rollup the reference's event
-  * pipeline feeds downstream (reference: `generate_events.py` emits the
-  * user/ts clickstream exactly so a warehouse can answer "of the users who
-  * first appeared in week W, how many were still active k weeks later?").
+/** Cohort retention CURVES — the normalized week-grain companion of
+  * [[Sessions.cohortRetention]]'s raw day-offset activity matrix: weekly
+  * cohorts, and each cell expressed as retention PERMILLE of its cohort's
+  * own base week, which is the comparable-across-cohorts number a
+  * retention dashboard actually plots (reference: `generate_events.py`
+  * emits the user/ts clickstream exactly so a warehouse can answer "of
+  * the users who first appeared in week W, what share was still active k
+  * weeks later?").
   *
   * All week math is integer microseconds: `wk = unix_micros(ts) div
   * week_us` — no calendar truncation, no timezone, engine-exact. The plan
