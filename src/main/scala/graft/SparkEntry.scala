@@ -2,10 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Anomaly, AsOf, Attribution, Basket, Benford, Bfs, BloomJoin, Cohort, Diff, Journey, Layout, Neighbors, PageRank, PrefixSum, Relational, Rfm, Scd, Sessions, Sketch, Skew, Tpch, TpchPs, Triangles, Twap, Upsert, Warehouse}
+import graft.analytics.{Anomaly, AsOf, Attribution, Basket, Benford, Bfs, BloomJoin, Cohort, Diff, Forecast, Journey, Layout, Neighbors, PageRank, Paths, PrefixSum, Relational, Rfm, Scd, Sessions, Sketch, Skew, Tpch, TpchPs, Triangles, Twap, Upsert, Warehouse}
 import graft.dq.DataQuality
 import graft.io.Ingest
-import graft.llm.{AnnMulti, Cluster, Contain, CorpusFilter, DataCard, Dedup, Drift, EditJoin, EmbedStats, Ivf, IvfPq, LangId, Pack, Pq, Privacy, Retrieval, Semantic, SimHash, SimJoin, Similarity, SpanDedup, Terms, TextClean, TextOps}
+import graft.llm.{AnnMulti, Cluster, Contain, CorpusFilter, DataCard, Dedup, Drift, EditJoin, EmbedStats, Eval, FeatureHash, Ivf, IvfPq, LangId, Pack, Pq, Privacy, Retrieval, Semantic, SimHash, SimJoin, Similarity, SpanDedup, Terms, TextClean, TextOps}
 import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -75,6 +75,10 @@ object SparkEntry {
       Scd.queries ++
       Benford.queries ++
       Twap.queries ++
+      Paths.queries ++
+      Forecast.queries ++
+      FeatureHash.queries ++
+      Eval.queries ++
       Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -133,5 +137,9 @@ object SparkEntry {
       Scd.oracles ++
       Benford.oracles ++
       Twap.oracles ++
+      Paths.oracles ++
+      Forecast.oracles ++
+      FeatureHash.oracles ++
+      Eval.oracles ++
       Multimodal.oracles
 }

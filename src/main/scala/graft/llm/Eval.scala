@@ -1,0 +1,204 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.PrefixSum
+import graft.io.Tables
+
+/** Ranking-model evaluation at scale: exact AUC (Mann–Whitney form) and a
+  * calibration/lift table for a declared scorer — the eval tier of the
+  * embedding pipeline ([[Similarity]] builds representations,
+  * [[AnnMulti]] measures recall of the INDEX; this measures the quality
+  * of a SCORE, which is what a curation classifier or reranker ships).
+  *
+  * The declared scorer is fully deterministic and oracle-expressible:
+  * score(v) = ⟨int8(v), Σ int8(u) over positives⟩ — the int8 dot of each
+  * vector with the UNNORMALIZED integer centroid of the positive class
+  * ([[Similarity.quantize8]] idiom, exact long arithmetic end-to-end).
+  * AUC then needs each vector's GLOBAL rank — produced by
+  * [[PrefixSum.globalRunningSum]] (range exchange + parallel local
+  * windows), never a single-partition `row_number() OVER (ORDER BY …)`.
+  * Ties rank by (score, vec_id) — rank-order AUC, declared; with the
+  * fixture's scores, ties are measure-zero.
+  *
+  * AUC = (Σ ranks(pos) − nPos(nPos+1)/2) / (nPos·nNeg), emitted as exact
+  * integer ppm. Headroom: U·10⁶ fits long up to nPos·nNeg ≲ 9.2e12
+  * (≈ 3e6 balanced rows); past that, drop to DECIMAL(38,0) for the ppm
+  * product — ANSI mode keeps any breach loud.
+  */
+object Eval {
+
+  val PosLabel = 0
+
+  /** (vec_id, label, exact integer score) for every vector. */
+  private def scored(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label".cast("long").as("label"),
+        Similarity.quantize8($"embedding").as("q"))
+    val c0 = q.filter($"label" === PosLabel)
+      .select(posexplode($"q").as(Seq("d0", "v")))
+      .groupBy(($"d0" + 1).as("d"))
+      .agg(sum($"v".cast("long")).as("cv"))
+    q.select($"vec_id", $"label", posexplode($"q").as(Seq("d0", "v")))
+      .select($"vec_id", $"label", ($"d0" + 1).as("d"), $"v")
+      .join(broadcast(c0), "d")
+      .groupBy($"vec_id", $"label")
+      .agg(sum($"v".cast("long") * $"cv").as("score"))
+  }
+
+  private val scoredCte: String =
+    s"""q AS (
+       | SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |  list_transform(embedding, x ->
+       |   CAST(greatest(-127, least(127,
+       |     floor(CAST(x AS DOUBLE) * 127.0 + 0.5))) AS BIGINT)) AS q
+       | FROM embeddings),
+       |c0 AS (
+       | SELECT i AS d, CAST(sum(q[i]) AS BIGINT) AS cv
+       | FROM q, generate_series(1, 4096) AS t(i)
+       | WHERE i <= len(q) AND label = ${PosLabel}
+       | GROUP BY i),
+       |sc AS (
+       | SELECT q.vec_id, q.label,
+       |  CAST(sum(q.q[c0.d] * c0.cv) AS BIGINT) AS score
+       | FROM q, c0
+       | GROUP BY 1, 2)""".stripMargin
+
+  /** x_auc — exact Mann–Whitney AUC of the declared scorer, one row. */
+  def auc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ranked = PrefixSum.globalRunningSum(spark, scored(spark, dir),
+        struct($"score", $"vec_id"), lit(1L))
+      .withColumnRenamed("running", "rnk")
+    ranked.agg(
+        sum(when($"label" === PosLabel, 1L).otherwise(0L)).as("n_pos"),
+        sum(when($"label" =!= PosLabel, 1L).otherwise(0L)).as("n_neg"),
+        sum(when($"label" === PosLabel, $"rnk").otherwise(0L)).as("r_pos_sum"))
+      .select($"n_pos", $"n_neg", $"r_pos_sum",
+        expr("""(r_pos_sum - n_pos * (n_pos + 1) div 2) * 1000000
+               | div (n_pos * n_neg)""".stripMargin).as("auc_ppm"))
+  }
+
+  val aucSql: String =
+    s"""WITH ${scoredCte},
+       |rk AS (
+       | SELECT label, row_number() OVER (ORDER BY score, vec_id) AS rnk
+       | FROM sc)
+       |SELECT
+       | CAST(sum(CASE WHEN label = ${PosLabel} THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_pos,
+       | CAST(sum(CASE WHEN label <> ${PosLabel} THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_neg,
+       | CAST(sum(CASE WHEN label = ${PosLabel} THEN rnk ELSE 0 END) AS BIGINT)
+       |   AS r_pos_sum,
+       | (CAST(sum(CASE WHEN label = ${PosLabel} THEN rnk ELSE 0 END) AS BIGINT)
+       |   - CAST(sum(CASE WHEN label = ${PosLabel} THEN 1 ELSE 0 END) AS BIGINT)
+       |     * (CAST(sum(CASE WHEN label = ${PosLabel} THEN 1 ELSE 0 END) AS BIGINT) + 1) // 2)
+       |  * 1000000
+       |  // (CAST(sum(CASE WHEN label = ${PosLabel} THEN 1 ELSE 0 END) AS BIGINT)
+       |      * CAST(sum(CASE WHEN label <> ${PosLabel} THEN 1 ELSE 0 END) AS BIGINT))
+       |   AS auc_ppm
+       |FROM rk""".stripMargin
+
+  /** x_calibration_bins — score-decile lift table: per decile of the
+    * score ranking, vector count and positive-class permille (a
+    * well-separating scorer concentrates positives in the top deciles —
+    * the calibration/lift view a threshold decision reads).
+    */
+  def calibrationBins(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ranked = PrefixSum.globalRunningSum(spark, scored(spark, dir),
+        struct($"score", $"vec_id"), lit(1L))
+      .withColumnRenamed("running", "rnk")
+    val n = ranked.agg(count(lit(1)).as("n_total"))
+    ranked.crossJoin(broadcast(n))
+      .select(expr("1 + ((rnk - 1) * 10) div n_total").as("decile"), $"label")
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when($"label" === PosLabel, 1L).otherwise(0L)).as("n_pos"))
+      .select($"decile", $"n_vecs", $"n_pos",
+        expr("n_pos * 1000 div n_vecs").as("pos_permille"))
+      .orderBy($"decile")
+  }
+
+  val calibrationBinsSql: String =
+    s"""WITH ${scoredCte},
+       |rk AS (
+       | SELECT label, row_number() OVER (ORDER BY score, vec_id) AS rnk,
+       |  count(*) OVER () AS n_total
+       | FROM sc),
+       |b AS (
+       | SELECT 1 + ((rnk - 1) * 10) // n_total AS decile, label FROM rk)
+       |SELECT decile, count(*) AS n_vecs,
+       | CAST(sum(CASE WHEN label = ${PosLabel} THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_pos,
+       | CAST(sum(CASE WHEN label = ${PosLabel} THEN 1 ELSE 0 END) AS BIGINT)
+       |   * 1000 // count(*) AS pos_permille
+       |FROM b GROUP BY 1
+       |ORDER BY decile""".stripMargin
+
+  /** x_ks_stat — exact two-sample Kolmogorov–Smirnov distance between the
+    * positive and negative score distributions: at every cut point the
+    * CDF gap is the cross-multiplied integer
+    * |posCum·nNeg − negCum·nPos| (no per-row division), maximized in one
+    * aggregate; the running positive count comes from a second
+    * [[PrefixSum.globalRunningSum]] pass over the same range partitioning
+    * (negCum = rank − posCum, free). KS and AUC disagree about WHERE
+    * separation lives — KS is the max local gap, AUC the global rank
+    * integral — which is why an eval tier carries both.
+    */
+  def ksStat(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = scored(spark, dir)
+      .withColumn("is_pos", when($"label" === PosLabel, 1L).otherwise(0L))
+    val ranked = PrefixSum.globalRunningSum(spark, base,
+        struct($"score", $"vec_id"), lit(1L))
+      .withColumnRenamed("running", "rnk")
+    val withPos = PrefixSum.globalRunningSum(spark, ranked,
+        struct($"score", $"vec_id"), $"is_pos")
+      .withColumnRenamed("running", "pos_cum")
+    val n = base.agg(sum($"is_pos").as("n_pos"),
+      sum(lit(1L) - $"is_pos").as("n_neg"))
+    withPos.crossJoin(broadcast(n))
+      .select($"n_pos", $"n_neg",
+        abs($"pos_cum" * $"n_neg" - ($"rnk" - $"pos_cum") * $"n_pos").as("gap"))
+      .groupBy($"n_pos", $"n_neg")
+      .agg(max($"gap").as("max_gap"))
+      .select($"n_pos", $"n_neg", $"max_gap",
+        expr("max_gap * 1000000 div (n_pos * n_neg)").as("ks_ppm"))
+  }
+
+  val ksStatSql: String =
+    s"""WITH ${scoredCte},
+       |rk AS (
+       | SELECT label,
+       |  row_number() OVER (ORDER BY score, vec_id) AS rnk,
+       |  sum(CASE WHEN label = ${PosLabel} THEN 1 ELSE 0 END)
+       |    OVER (ORDER BY score, vec_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pos_cum
+       | FROM sc),
+       |n AS (
+       | SELECT CAST(sum(CASE WHEN label = ${PosLabel} THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  CAST(sum(CASE WHEN label <> ${PosLabel} THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+       | FROM sc),
+       |g AS (
+       | SELECT n.n_pos, n.n_neg,
+       |  max(abs(CAST(pos_cum AS BIGINT) * n.n_neg
+       |          - (rnk - CAST(pos_cum AS BIGINT)) * n.n_pos)) AS max_gap
+       | FROM rk, n GROUP BY 1, 2)
+       |SELECT n_pos, n_neg, CAST(max_gap AS BIGINT) AS max_gap,
+       | CAST(max_gap AS BIGINT) * 1000000 // (n_pos * n_neg) AS ks_ppm
+       |FROM g""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_auc" -> (auc _),
+    "x_calibration_bins" -> (calibrationBins _),
+    "x_ks_stat" -> (ksStat _))
+
+  val oracles: Map[String, String] = Map(
+    "x_auc" -> aucSql,
+    "x_calibration_bins" -> calibrationBinsSql,
+    "x_ks_stat" -> ksStatSql)
+}

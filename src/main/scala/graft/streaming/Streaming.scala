@@ -207,6 +207,56 @@ object Streaming {
       .drop("click_imp_id")
   }
 
+  final case class AttEvent(
+    event_id: Long, user_id: Long, event_type: String, tus: Long)
+  final case class LastTouchState(tid: Long, ttype: String, tt: Long)
+  /** Per-conversion credit; `touch_type = "(none)"`, `delay_us = -1` when
+    * no touch fell inside the window.
+    */
+  final case class Credit(cid: Long, touch_type: String, delay_us: Long)
+
+  /** Streaming LAST-TOUCH attribution — the stateful-stream face of
+    * [[graft.analytics.Attribution]]: per-user state is just the latest
+    * touch seen so far (one tiny record per user, bounded state — unlike
+    * the stream-stream [[clickAttribution]] which buffers a window of
+    * BOTH sides), and each conversion is credited the moment it arrives.
+    * Within a micro-batch, events sort by (tus, event_id) — the same
+    * total order the batch query ranks by; ACROSS batches, correctness
+    * relies on event-time-ordered arrival (the spec feeds time-split
+    * batches; production fronts this with a watermark-sorted stage).
+    * StreamingSpec proves per-conversion parity with the hash-gated batch
+    * query on fixture events, including the credit-is-total (none) rows.
+    */
+  def lastTouchTracker(
+      events: Dataset[AttEvent],
+      windowMicros: Long,
+      touchTypes: Set[String],
+      convType: String): Dataset[Credit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastTouchState, Credit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[AttEvent], state: GroupState[LastTouchState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.tus, e.event_id))
+          var last = state.getOption
+          val out = Seq.newBuilder[Credit]
+          sorted.foreach { e =>
+            if (e.event_type == convType) {
+              out += (last match {
+                case Some(t) if t.tt < e.tus && t.tt >= e.tus - windowMicros =>
+                  Credit(e.event_id, t.ttype, e.tus - t.tt)
+                case _ => Credit(e.event_id, "(none)", -1L)
+              })
+            }
+            if (touchTypes.contains(e.event_type) &&
+                last.forall(t => e.tus > t.tt || (e.tus == t.tt && e.event_id > t.tid)))
+              last = Some(LastTouchState(e.event_id, e.event_type, e.tus))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** batch_id-partitioned parquet sink via foreachBatch, idempotent under
     * replay: after a failure Structured Streaming re-runs the last batch with
     * the SAME batchId, and the dynamic-overwrite write replaces exactly that

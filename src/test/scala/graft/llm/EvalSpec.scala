@@ -1,0 +1,67 @@
+package graft.llm
+
+import graft.SparkSpec
+import graft.io.Tables
+
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def scoredDriverSide(): Seq[(Long, Long, Long)] = {
+    val vecs = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "cast(label as long) as label",
+        """transform(embedding, x ->
+          | cast(greatest(-127L, least(127L,
+          |   floor(cast(x as double) * 127.0 + 0.5))) as long))""".stripMargin + " as q")
+      .as[(Long, Long, Seq[Long])].collect()
+    val dims = vecs.head._3.length
+    val c0 = (0 until dims).map(d =>
+      vecs.filter(_._2 == Eval.PosLabel).map(_._3(d)).sum)
+    vecs.map { case (id, l, q) =>
+      (id, l, q.zip(c0).map { case (a, b) => a * b }.sum)
+    }.toSeq
+  }
+
+  test("x_auc matches the exact Mann-Whitney statistic") {
+    val sc = scoredDriverSide()
+    val ranked = sc.sortBy { case (id, _, s) => (s, id) }.zipWithIndex
+    val nPos = sc.count(_._2 == Eval.PosLabel).toLong
+    val nNeg = sc.length - nPos
+    val rPos = ranked.filter(_._1._2 == Eval.PosLabel).map(_._2 + 1L).sum
+    val expected = (nPos, nNeg, rPos,
+      (rPos - nPos * (nPos + 1) / 2) * 1000000L / (nPos * nNeg))
+    val got = Eval.auc(spark, dir).as[(Long, Long, Long, Long)].head()
+    assert(got == expected)
+    // the positive-centroid scorer must separate its own class: AUC > 0.5
+    assert(got._4 > 500000L)
+  }
+
+  test("x_ks_stat matches the exact two-sample KS distance") {
+    val sc = scoredDriverSide()
+    val ranked = sc.sortBy { case (id, _, s) => (s, id) }
+    val nPos = sc.count(_._2 == Eval.PosLabel).toLong
+    val nNeg = sc.length - nPos
+    var posCum = 0L
+    var maxGap = 0L
+    ranked.zipWithIndex.foreach { case ((_, l, _), i) =>
+      if (l == Eval.PosLabel) posCum += 1
+      val gap = math.abs(posCum * nNeg - (i + 1 - posCum) * nPos)
+      if (gap > maxGap) maxGap = gap
+    }
+    val expected = (nPos, nNeg, maxGap, maxGap * 1000000L / (nPos * nNeg))
+    val got = Eval.ksStat(spark, dir).as[(Long, Long, Long, Long)].head()
+    assert(got == expected)
+    assert(got._4 > 0L)
+  }
+
+  test("x_calibration_bins: deciles cover all vectors; positives concentrate on top") {
+    val rows = Eval.calibrationBins(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val sc = scoredDriverSide()
+    assert(rows.map(_._2).sum == sc.length.toLong)
+    assert(rows.map(_._3).sum == sc.count(_._2 == Eval.PosLabel).toLong)
+    // top decile must beat the bottom decile for a separating scorer
+    assert(rows.last._4 > rows.head._4)
+  }
+}
