@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Anomaly, AsOf, Attribution, Basket, Benford, Bfs, BloomJoin, Cohort, Diff, Forecast, Journey, Layout, Neighbors, PageRank, Paths, PrefixSum, Relational, Rfm, Scd, Sessions, Sketch, Skew, Tpch, TpchPs, Triangles, Twap, Upsert, Warehouse}
+import graft.analytics.{Anomaly, AsOf, Attribution, Basket, Benford, Bfs, BloomJoin, Cohort, Diff, Forecast, Journey, Layout, Neighbors, PageRank, Paths, PrefixSum, Relational, Rfm, Scd, Sessions, Sketch, Skew, Stats, Tpch, TpchPs, Triangles, Twap, Upsert, Warehouse}
 import graft.dq.DataQuality
 import graft.io.Ingest
 import graft.llm.{AnnMulti, Cluster, Contain, CorpusFilter, DataCard, Dedup, Drift, EditJoin, EmbedStats, Eval, FeatureHash, Ivf, IvfPq, LangId, Pack, Pq, Privacy, Retrieval, Semantic, SimHash, SimJoin, Similarity, SpanDedup, Terms, TextClean, TextOps}
@@ -79,6 +79,7 @@ object SparkEntry {
       Forecast.queries ++
       FeatureHash.queries ++
       Eval.queries ++
+      Stats.queries ++
       Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -141,5 +142,6 @@ object SparkEntry {
       Forecast.oracles ++
       FeatureHash.oracles ++
       Eval.oracles ++
+      Stats.oracles ++
       Multimodal.oracles
 }
