@@ -54,13 +54,20 @@ object Neighbors {
       .distinct()
   }
 
-  private val inducedEdgesCte: String =
+  /** The shared edge-substrate CTE; `materialized = true` pins `und` so a
+    * consumer that references it many times (the k-core round chain) never
+    * re-inlines the lineitem self-join — built here from the flag, not by
+    * post-hoc string surgery on the SQL.
+    */
+  private def inducedEdgesCte(materialized: Boolean = false): String = {
+    val m = if (materialized) "MATERIALIZED " else ""
     s"""li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
        |       WHERE l_partkey % ${InducedMod} = 0),
-       |und AS (
+       |und AS ${m}(
        | SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
        | FROM li x JOIN li y
        |   ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey)""".stripMargin
+  }
 
   /** x_graph_jaccard — top-50 node pairs by neighborhood Jaccard
     * similarity (shared co-purchase context, the link-prediction score):
@@ -88,7 +95,7 @@ object Neighbors {
   }
 
   val graphJaccardSql: String =
-    s"""WITH ${inducedEdgesCte},
+    s"""WITH ${inducedEdgesCte()},
        |de AS (SELECT a AS s, b AS d FROM und
        |       UNION ALL SELECT b AS s, a AS d FROM und),
        |deg AS (SELECT s, count(*) AS deg FROM de GROUP BY 1),
@@ -145,7 +152,7 @@ object Neighbors {
          |   SELECT a AS node FROM e$r UNION ALL SELECT b AS node FROM e$r)
          |  GROUP BY node) WHERE deg >= ${CoreK})""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${inducedEdgesCte.replace("und AS (", "und AS MATERIALIZED (")},
+    s"""WITH ${inducedEdgesCte(materialized = true)},
        |a0 AS MATERIALIZED (
        | SELECT DISTINCT a AS node FROM und
        | UNION SELECT DISTINCT b AS node FROM und),

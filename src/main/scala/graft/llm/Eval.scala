@@ -143,9 +143,10 @@ object Eval {
     * positive and negative score distributions: at every cut point the
     * CDF gap is the cross-multiplied integer
     * |posCum·nNeg − negCum·nPos| (no per-row division), maximized in one
-    * aggregate; the running positive count comes from a second
-    * [[PrefixSum.globalRunningSum]] pass over the same range partitioning
-    * (negCum = rank − posCum, free). KS and AUC disagree about WHERE
+    * aggregate; the running positive count is a second
+    * [[PrefixSum.globalRunningSum]] pass with the same key (each pass
+    * samples its own range bounds — results are bound-independent by that
+    * operator's contract; negCum = rank − posCum, free). KS and AUC disagree about WHERE
     * separation lives — KS is the max local gap, AUC the global rank
     * integral — which is why an eval tier carries both.
     */
