@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Anomaly, AsOf, Attribution, Basket, Benford, Bfs, BloomJoin, CardEst, Cohort, Diff, Forecast, Journey, Layout, Neighbors, PageRank, Paths, PrefixSum, Relational, Rfm, Scd, Sessions, Sketch, Skew, Stats, Tpch, TpchPs, Triangles, Twap, Upsert, Warehouse}
+import graft.analytics.{Anomaly, AsOf, Attribution, Basket, Benford, Bfs, BloomJoin, CardEst, Cohort, Diff, Experiment, Forecast, Journey, Layout, Neighbors, PageRank, Paths, PrefixSum, Relational, Rfm, Scd, Sessions, Sketch, Skew, Stats, Tpch, TpchPs, Triangles, Twap, Upsert, Warehouse}
 import graft.dq.DataQuality
 import graft.io.Ingest
 import graft.llm.{AnnMulti, Cluster, Contain, CorpusFilter, DataCard, Dedup, Drift, EditJoin, EmbedStats, Eval, FeatureHash, Ivf, IvfPq, LangId, Pack, Pq, Privacy, Retrieval, Semantic, SimHash, SimJoin, Similarity, SpanDedup, Terms, TextClean, TextOps}
@@ -81,6 +81,7 @@ object SparkEntry {
       Eval.queries ++
       Stats.queries ++
       CardEst.queries ++
+      Experiment.queries ++
       Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -145,5 +146,6 @@ object SparkEntry {
       Eval.oracles ++
       Stats.oracles ++
       CardEst.oracles ++
+      Experiment.oracles ++
       Multimodal.oracles
 }
