@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Anomaly, AsOf, Attribution, Basket, Benford, Bfs, BloomJoin, CardEst, Cohort, Diff, Experiment, Forecast, Journey, Layout, Neighbors, PageRank, Paths, PrefixSum, Relational, Rfm, Scd, Sessions, Sketch, Skew, Stats, Tpch, TpchPs, Triangles, Twap, Upsert, Warehouse}
+import graft.analytics.{Anomaly, AsOf, Attribution, Basket, Benford, Bfs, BloomJoin, CardEst, Cohort, Diff, Experiment, Forecast, Hll, Journey, Layout, Neighbors, PageRank, Paths, PrefixSum, Relational, Rfm, Scd, Sessions, Sketch, Skew, Stats, Tpch, TpchPs, Triangles, Twap, Upsert, Warehouse}
 import graft.dq.DataQuality
 import graft.io.Ingest
 import graft.llm.{AnnMulti, Cluster, Contain, CorpusFilter, DataCard, Dedup, Drift, EditJoin, EmbedStats, Eval, FeatureHash, Ivf, IvfPq, LangId, Pack, Pq, Privacy, Retrieval, Semantic, SimHash, SimJoin, Similarity, SpanDedup, Terms, TextClean, TextOps}
@@ -36,6 +36,7 @@ object SparkEntry {
       TpchPs.queries ++
       Journey.queries ++
       Sketch.queries ++
+      Hll.queries ++
       Sessions.queries ++
       AsOf.queries ++
       DataQuality.queries ++
@@ -101,6 +102,7 @@ object SparkEntry {
       TpchPs.oracles ++
       Journey.oracles ++
       Sketch.oracles ++
+      Hll.oracles ++
       Sessions.oracles ++
       AsOf.oracles ++
       DataQuality.oracles ++
