@@ -155,9 +155,78 @@ object Layout {
        |GROUP BY layout, rows_matching
        |ORDER BY layout""".stripMargin
 
+  /** Compaction target: bins close once the running byte total passes 4 KiB
+    * (fixture-scaled stand-in for the 128 MB–1 GB targets a real table
+    * maintenance job uses — the policy, not the constant, is the operator).
+    */
+  val CompactTargetBytes = 4096L
+
+  /** Per-row byte estimate for an events row: fixed envelope + props. */
+  private val RowOverheadBytes = 24L
+
+  /** x_compact_plan — small-file compaction planning, the other half of
+    * layout maintenance (Z-order chooses the KEY; this chooses the FILES):
+    * hourly ingest lands one file per (day, hour) — 24 small files a day —
+    * and the planner assigns them to daily compaction bins by NEXT-FIT over
+    * the running byte total (a file whose cumulative-EXCLUSIVE bytes have
+    * crossed k·T starts bin k; the straddling file stays with its bin, so
+    * bins may exceed T by at most one file — the standard bin-close rule
+    * deterministic enough for a hash gate). One row per planned output
+    * file: source-file count, rows, bytes.
+    *
+    * Scale shape: one scan → (day, hour) aggregate (≤ 24·days rows at ANY
+    * data size), a running sum windowed PER DAY (parallel across days,
+    * ≤ 24 rows per partition), and a (day, bin) re-aggregate. The plan
+    * frame is metadata-sized; executing the plan is a partitioned rewrite
+    * job keyed by (day, bin) — exactly the shuffle the plan's bin keys
+    * co-locate.
+    */
+  def compactPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val files = Tables.events(spark, dir)
+      .select(
+        datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"),
+        hour($"ts").cast("long").as("hr"),
+        (length(coalesce($"props", lit(""))) + RowOverheadBytes).as("bytes"))
+      .groupBy($"day", $"hr")
+      .agg(count(lit(1)).as("n_rows"), sum($"bytes").as("bytes"))
+    val w = Window.partitionBy($"day").orderBy($"hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files
+      .withColumn("cum_excl", sum($"bytes").over(w) - $"bytes")
+      .withColumn("bin", expr(s"cum_excl div $CompactTargetBytes"))
+      .groupBy($"day", $"bin")
+      .agg(count(lit(1)).as("n_files"), sum($"n_rows").as("bin_rows"),
+        sum($"bytes").as("bin_bytes"))
+      .orderBy($"day", $"bin")
+  }
+
+  val compactPlanSql: String =
+    s"""WITH files AS (
+       | SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+       |  CAST(hour(ts) AS BIGINT) AS hr,
+       |  count(*) AS n_rows,
+       |  CAST(sum(length(coalesce(props, '')) + $RowOverheadBytes) AS BIGINT) AS bytes
+       | FROM events GROUP BY 1, 2),
+       |binned AS (
+       | SELECT day, hr, n_rows, bytes,
+       |  (CAST(sum(bytes) OVER (PARTITION BY day ORDER BY hr
+       |     ROWS UNBOUNDED PRECEDING) AS BIGINT) - bytes)
+       |   // $CompactTargetBytes AS bin
+       | FROM files)
+       |SELECT day, bin, count(*) AS n_files,
+       | CAST(sum(n_rows) AS BIGINT) AS bin_rows,
+       | CAST(sum(bytes) AS BIGINT) AS bin_bytes
+       |FROM binned GROUP BY 1, 2
+       |ORDER BY day, bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x_zorder_prune" -> (zorderPrune _))
+    "x_zorder_prune" -> (zorderPrune _),
+    "x_compact_plan" -> (compactPlan _))
 
   val oracles: Map[String, String] = Map(
-    "x_zorder_prune" -> zorderPruneSql)
+    "x_zorder_prune" -> zorderPruneSql,
+    "x_compact_plan" -> compactPlanSql)
 }

@@ -391,7 +391,61 @@ object DataQuality {
        |ORDER BY column_name""".stripMargin
   }
 
+  /** dq_fd_violation — functional-dependency audit, the profiling check
+    * behind "can this column be a dimension key": for each declared FD
+    * candidate A → B, the count of A-values mapping to more than one
+    * distinct B (violations), the worst fan-out, and the violation ppm.
+    * Two candidates with opposite verdicts keep the check non-vacuous:
+    * `nation.n_name → n_regionkey` HOLDS (0 ppm — safe to normalize);
+    * `lineitem.l_partkey → l_suppkey` is massively violated (a part ships
+    * from many suppliers — denormalizing on it would fan out).
+    *
+    * Scale shape per candidate: one (A, B)-distinct aggregate then an
+    * A-grain count — two map-side-combining shuffles on the key being
+    * audited, constant-size output. No window, no join.
+    */
+  def fdViolationQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def audit(df: DataFrame, fd: String, lhs: String, rhs: String): DataFrame =
+      df.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("nd"))
+        .agg(
+          lit(fd).as("fd"),
+          count(lit(1)).as("n_lhs"),
+          sum(when($"nd" > 1, 1L).otherwise(0L)).as("n_violating"),
+          max($"nd").as("max_fanout"))
+        .select($"fd", $"n_lhs", $"n_violating", $"max_fanout",
+          expr("n_violating * 1000000 div n_lhs").as("violation_ppm"))
+    audit(Tables.lineitem(spark, dir), "lineitem.l_partkey->l_suppkey",
+      "l_partkey", "l_suppkey")
+      .union(audit(Tables.nation(spark, dir), "nation.n_name->n_regionkey",
+        "n_name", "n_regionkey"))
+      .orderBy($"fd")
+  }
+
+  val fdViolationSql: String =
+    """WITH li AS (
+      | SELECT l_partkey AS lhs, count(DISTINCT l_suppkey) AS nd
+      | FROM lineitem GROUP BY 1),
+      |na AS (
+      | SELECT n_name AS lhs, count(DISTINCT n_regionkey) AS nd
+      | FROM nation GROUP BY 1),
+      |audits AS (
+      | SELECT 'lineitem.l_partkey->l_suppkey' AS fd,
+      |  CAST(count(*) AS BIGINT) AS n_lhs,
+      |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+      |  CAST(max(nd) AS BIGINT) AS max_fanout
+      | FROM li
+      | UNION ALL
+      | SELECT 'nation.n_name->n_regionkey',
+      |  CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+      |   AS BIGINT), CAST(max(nd) AS BIGINT)
+      | FROM na)
+      |SELECT fd, n_lhs, n_violating, max_fanout,
+      | n_violating * 1000000 // n_lhs AS violation_ppm
+      |FROM audits ORDER BY fd""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_fd_violation" -> (fdViolationQuery _),
     "dq_schema_drift" -> (schemaDriftQuery _),
     "dq_freshness" -> (freshnessQuery _),
     "dq_min_row_count" -> (minRowCountQuery _),
@@ -403,6 +457,7 @@ object DataQuality {
     "dq_verdict" -> (verdictQuery _))
 
   val oracles: Map[String, String] = Map(
+    "dq_fd_violation" -> fdViolationSql,
     "dq_schema_drift" -> schemaDriftSql,
     "dq_freshness" -> freshnessSql,
     "dq_min_row_count" -> minRowCountSql,
