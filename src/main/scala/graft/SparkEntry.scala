@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Anomaly, AsOf, Attribution, Basket, Benford, Bfs, BloomJoin, CardEst, Cohort, Diff, Experiment, Forecast, Hll, Journey, Layout, Neighbors, PageRank, Paths, PrefixSum, Relational, Rfm, Scd, Series, Sessions, Sketch, Skew, Stats, Tpch, TpchPs, Triangles, Twap, Upsert, Warehouse}
+import graft.analytics.{Anomaly, AsOf, Attribution, Basket, Benford, Bfs, Bitmap, BloomJoin, CardEst, Cohort, Diff, Experiment, Forecast, Hll, Journey, Layout, Neighbors, PageRank, Paths, PrefixSum, Relational, Rfm, Scd, Series, Sessions, Sketch, Skew, Stats, Tpch, TpchPs, Triangles, Twap, Upsert, Warehouse}
 import graft.dq.DataQuality
 import graft.io.Ingest
 import graft.llm.{AnnMulti, Cluster, Contain, CorpusFilter, DataCard, Dedup, Drift, EditJoin, EmbedStats, Eval, FeatureHash, Ivf, IvfPq, LangId, Pack, Pq, Privacy, Retrieval, Semantic, SimHash, SimJoin, Similarity, SpanDedup, Terms, TextClean, TextOps}
@@ -38,6 +38,7 @@ object SparkEntry {
       Sketch.queries ++
       Hll.queries ++
       Series.queries ++
+      Bitmap.queries ++
       Sessions.queries ++
       AsOf.queries ++
       DataQuality.queries ++
@@ -105,6 +106,7 @@ object SparkEntry {
       Sketch.oracles ++
       Hll.oracles ++
       Series.oracles ++
+      Bitmap.oracles ++
       Sessions.oracles ++
       AsOf.oracles ++
       DataQuality.oracles ++
