@@ -144,6 +144,114 @@ object Sketch {
        | est_a + est_b - est_union AS est_inter
        |FROM ex, ea, eb, eu""".stripMargin
 
+  /** x_theta_intersect — DIRECT set-intersection estimation from two KMV
+    * sketches, the theta-sketch composition (the operation inclusion-
+    * exclusion, [[kmvMerge]]'s `est_inter`, does badly: subtracting three
+    * ~6%-error estimates leaves an absolute error proportional to the
+    * UNION, catastrophic for small intersections). Theta composition
+    * instead treats each sketch as a θ-uniform sample of its set:
+    * θ = min(θ_A, θ_B), count the hashes RETAINED BY BOTH sketches below
+    * θ, and scale by the sampled fraction — the error now tracks the
+    * intersection itself. A non-full sketch holds its whole set, so its
+    * θ is the full hash space. Emitted beside the exact overlap AND the
+    * inclusion-exclusion estimate so the gate pins both estimators and
+    * the fixture documents why the direct one wins.
+    *
+    * Scale shape: everything after the two TakeOrdered sketch builds
+    * touches ≤ 2K rows — the sketches travel, the sets never do.
+    */
+  def thetaIntersect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    def sketch(prio: String): DataFrame = o
+      .filter($"o_orderpriority" === prio)
+      .select(substring(md5($"o_custkey".cast("string")), 1, 13).as("h13"))
+      .distinct().orderBy($"h13").limit(K)
+    val sa = sketch("1-URGENT").localCheckpoint()
+    val sb = sketch("5-LOW").localCheckpoint()
+    // θ per sketch as an exact long: kth-min when full, 2^52 when the
+    // sketch holds its entire set.
+    def theta(sk: DataFrame): DataFrame = sk
+      .agg(max($"h13").as("kth"), count(lit(1)).as("k"))
+      .select($"k", when($"k" < K, lit(HashSpace.toLong))
+        .otherwise(conv($"kth", 16, 10).cast("long")).as("th"))
+    val thetas = theta(sa).select($"k".as("k_a"), $"th".as("th_a"))
+      .crossJoin(theta(sb).select($"k".as("k_b"), $"th".as("th_b")))
+      .select($"k_a", $"k_b", least($"th_a", $"th_b").as("theta"))
+    val common = sa.join(sb, "h13")
+      .select(conv($"h13", 16, 10).cast("long").as("hv"))
+    val exact = o.filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey").distinct()
+      .join(o.filter($"o_orderpriority" === "5-LOW")
+        .select($"o_custkey").distinct(), "o_custkey")
+      .agg(count(lit(1)).as("n_exact"))
+    // Inclusion-exclusion rival from the same two sketches + their merge.
+    val su = sa.union(sb).distinct().orderBy($"h13").limit(K)
+    def est1(sk: DataFrame, name: String): DataFrame = sk
+      .agg(max($"h13").as("kth"), count(lit(1)).as("k"))
+      .select(when($"k" < K, $"k".cast("double"))
+        .otherwise(($"k".cast("double") - 1.0) * lit(HashSpace) /
+          conv($"kth", 16, 10).cast("long").cast("double")).as(name))
+    common.crossJoin(broadcast(thetas))
+      .filter($"hv" < $"theta")
+      .groupBy($"k_a", $"k_b", $"theta")
+      .agg(count(lit(1)).as("n_common"))
+      .crossJoin(broadcast(exact))
+      .crossJoin(broadcast(est1(sa, "est_a")))
+      .crossJoin(broadcast(est1(sb, "est_b")))
+      .crossJoin(broadcast(est1(su, "est_union")))
+      .select($"k_a", $"k_b", $"theta", $"n_common", $"n_exact",
+        ($"n_common".cast("double") * lit(HashSpace) /
+          $"theta".cast("double")).as("est_theta"),
+        ($"est_a" + $"est_b" - $"est_union").as("est_incl_excl"))
+  }
+
+  val thetaIntersectSql: String =
+    s"""WITH ha AS (
+       | SELECT DISTINCT substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13) AS h13
+       | FROM orders WHERE o_orderpriority = '1-URGENT'),
+       |hb AS (
+       | SELECT DISTINCT substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13) AS h13
+       | FROM orders WHERE o_orderpriority = '5-LOW'),
+       |sa AS (SELECT h13 FROM ha ORDER BY h13 LIMIT $K),
+       |sb AS (SELECT h13 FROM hb ORDER BY h13 LIMIT $K),
+       |su AS (SELECT h13 FROM (
+       |  SELECT DISTINCT h13 FROM (SELECT h13 FROM sa UNION ALL SELECT h13 FROM sb))
+       | ORDER BY h13 LIMIT $K),
+       |ta AS (SELECT count(*) AS k_a,
+       |  CASE WHEN count(*) < $K THEN CAST(${HashSpace.toLong} AS BIGINT)
+       |   ELSE CAST('0x' || max(h13) AS BIGINT) END AS th_a FROM sa),
+       |tb AS (SELECT count(*) AS k_b,
+       |  CASE WHEN count(*) < $K THEN CAST(${HashSpace.toLong} AS BIGINT)
+       |   ELSE CAST('0x' || max(h13) AS BIGINT) END AS th_b FROM sb),
+       |th AS (SELECT k_a, k_b, least(th_a, th_b) AS theta FROM ta, tb),
+       |co AS (
+       | SELECT CAST('0x' || sa.h13 AS BIGINT) AS hv
+       | FROM sa JOIN sb ON sa.h13 = sb.h13),
+       |nc AS (
+       | SELECT th.k_a, th.k_b, th.theta, count(*) AS n_common
+       | FROM co, th WHERE co.hv < th.theta
+       | GROUP BY 1, 2, 3),
+       |ex AS (
+       | SELECT count(*) AS n_exact FROM
+       |  (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') a
+       |  JOIN (SELECT DISTINCT o_custkey FROM orders
+       |        WHERE o_orderpriority = '5-LOW') b USING (o_custkey)),
+       |ea AS (SELECT CASE WHEN count(*) < $K THEN CAST(count(*) AS DOUBLE)
+       |  ELSE (CAST(count(*) AS DOUBLE) - 1.0) * $HashSpace /
+       |   CAST(CAST('0x' || max(h13) AS BIGINT) AS DOUBLE) END AS est_a FROM sa),
+       |eb AS (SELECT CASE WHEN count(*) < $K THEN CAST(count(*) AS DOUBLE)
+       |  ELSE (CAST(count(*) AS DOUBLE) - 1.0) * $HashSpace /
+       |   CAST(CAST('0x' || max(h13) AS BIGINT) AS DOUBLE) END AS est_b FROM sb),
+       |eu AS (SELECT CASE WHEN count(*) < $K THEN CAST(count(*) AS DOUBLE)
+       |  ELSE (CAST(count(*) AS DOUBLE) - 1.0) * $HashSpace /
+       |   CAST(CAST('0x' || max(h13) AS BIGINT) AS DOUBLE) END AS est_union FROM su)
+       |SELECT nc.k_a, nc.k_b, nc.theta, nc.n_common, ex.n_exact,
+       | CAST(nc.n_common AS DOUBLE) * $HashSpace / CAST(nc.theta AS DOUBLE)
+       |   AS est_theta,
+       | ea.est_a + eb.est_b - eu.est_union AS est_incl_excl
+       |FROM nc, ex, ea, eb, eu""".stripMargin
+
   /** CMS geometry: d independent hash rows × w buckets. ε ≈ e/w ≈ 1%,
     * δ ≈ e^−d ≈ 2%. Hashes are md5 with a per-row salt — identical in any
     * engine, so the sketch (and its collisions) is fully deterministic.
@@ -354,6 +462,7 @@ object Sketch {
     "x_quantile_sample" -> (quantileSample _),
     "x_kmv_distinct" -> (kmvDistinct _),
     "x_kmv_merge" -> (kmvMerge _),
+    "x_theta_intersect" -> (thetaIntersect _),
     "x_cms_freq" -> (cmsFreq _),
     "x_heavy_hitters" -> (heavyHitters _))
 
@@ -361,6 +470,7 @@ object Sketch {
     "x_quantile_sample" -> quantileSampleSql,
     "x_kmv_distinct" -> kmvDistinctSql,
     "x_kmv_merge" -> kmvMergeSql,
+    "x_theta_intersect" -> thetaIntersectSql,
     "x_cms_freq" -> cmsFreqSql,
     "x_heavy_hitters" -> heavyHittersSql)
 }
