@@ -53,9 +53,13 @@ object Hll {
 
   /** Per-key (register index j, rank rho) projection of an md5-hashed key
     * column: j from hash bits 0–7, rho = leading zeros of the 52-bit
-    * suffix + 1 ∈ [1, 53].
+    * suffix + 1 ∈ [1, 53]. Public because the SAME projection feeds the
+    * streaming register maintenance (`groupBy(j).agg(max(rho))` is a
+    * standard incremental streaming aggregate — the sketch state updates
+    * per micro-batch with no custom state store; HllStreamParitySpec pins
+    * stream ≡ batch registers).
     */
-  private def jRho(hashCol: String): Seq[org.apache.spark.sql.Column] = {
+  def jRho(hashCol: String): Seq[org.apache.spark.sql.Column] = {
     val w = conv(substring(col(hashCol), 3, 13), 16, 10).cast("long")
     Seq(
       conv(substring(col(hashCol), 1, 2), 16, 10).cast("long").as("j"),

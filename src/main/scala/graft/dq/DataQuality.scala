@@ -391,6 +391,50 @@ object DataQuality {
        |ORDER BY column_name""".stripMargin
   }
 
+  /** dq_table_checksum — order-independent per-partition content checksums,
+    * the replication/migration validator (pt-table-checksum's trick, made
+    * cross-engine): every row folds to a 60-bit fingerprint from md5 over a
+    * CANONICAL integer/string rendering — doubles go through exact cents,
+    * timestamps through epoch days, because engine-native float/timestamp
+    * formatting is exactly what a cross-system checksum must never depend
+    * on — and each order-date day XORs its fingerprints together. XOR is
+    * commutative, associative, self-inverse and overflow-free: the fold is
+    * one partial+final aggregate in any row order at any parallelism, and
+    * two sides of a replication compare day-grain checksums (timespan-sized
+    * metadata) instead of shipping rows. A single flipped row flips its
+    * day's checksum; the companion row count catches compensating
+    * insert+delete pairs.
+    */
+  def tableChecksumQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select(
+        datediff(to_date($"o_orderdate"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"),
+        conv(substring(md5(concat_ws("|",
+          $"o_orderkey".cast("string"),
+          $"o_custkey".cast("string"),
+          $"o_orderstatus",
+          round($"o_totalprice" * 100).cast("long").cast("string"),
+          $"o_orderpriority")), 1, 15), 16, 10).cast("long").as("fp"))
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(fp)").as("checksum"))
+      .orderBy($"day")
+  }
+
+  val tableChecksumSql: String =
+    """SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+      | count(*) AS n_rows,
+      | CAST(bit_xor(CAST('0x' || substr(md5(
+      |   CAST(o_orderkey AS VARCHAR) || '|' ||
+      |   CAST(o_custkey AS VARCHAR) || '|' ||
+      |   o_orderstatus || '|' ||
+      |   CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR) || '|' ||
+      |   o_orderpriority), 1, 15) AS BIGINT)) AS BIGINT) AS checksum
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin
+
   /** dq_fd_violation — functional-dependency audit, the profiling check
     * behind "can this column be a dimension key": for each declared FD
     * candidate A → B, the count of A-values mapping to more than one
@@ -445,6 +489,7 @@ object DataQuality {
       |FROM audits ORDER BY fd""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_table_checksum" -> (tableChecksumQuery _),
     "dq_fd_violation" -> (fdViolationQuery _),
     "dq_schema_drift" -> (schemaDriftQuery _),
     "dq_freshness" -> (freshnessQuery _),
@@ -457,6 +502,7 @@ object DataQuality {
     "dq_verdict" -> (verdictQuery _))
 
   val oracles: Map[String, String] = Map(
+    "dq_table_checksum" -> tableChecksumSql,
     "dq_fd_violation" -> fdViolationSql,
     "dq_schema_drift" -> schemaDriftSql,
     "dq_freshness" -> freshnessSql,
