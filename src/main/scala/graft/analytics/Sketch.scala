@@ -458,7 +458,82 @@ object Sketch {
       | p99_exact, p99_samp, p99_samp - p99_exact AS err_p99
       |FROM ex, sa""".stripMargin
 
+  /** Histogram resolution for [[selectQuantile]]'s first pass. */
+  val SelBuckets = 256L
+
+  /** x_select_quantile — the EXACT median without a global sort, by
+    * distributed selection: [[quantileSample]] documents the two textbook
+    * answers (full sort = anti-pattern, sampling = approximate); this is
+    * the third, production answer — exact AND sort-free. Pass 1: min/max/
+    * count. Pass 2: a [[SelBuckets]]-bucket integer histogram (one
+    * map-side-combining aggregate; the collect is bucket-bounded like
+    * Ivf's centroid seeds, never data-bounded). The driver walks 256
+    * counts to find the bucket holding rank k = (n+1) div 2. Pass 3:
+    * sorts ONLY that bucket's rows (~n/256 of the data, pushed-filter
+    * scan) and takes the residual offset. Three passes, zero full
+    * shuffles of the fact table — at 100 TB the full sort moves the
+    * corpus, this moves three aggregates and one bucket.
+    */
+  def selectQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = Tables.orders(spark, dir)
+      .select(round($"o_totalprice" * 100).cast("long").as("c"))
+    val Array(mn, mx, n) = cents
+      .agg(min($"c"), max($"c"), count(lit(1))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val k = (n + 1) / 2
+    val span = mx - mn + 1
+    val hist = cents
+      .select(expr(s"(c - $mn) * $SelBuckets div $span").as("b"))
+      .groupBy($"b").agg(count(lit(1)).as("cnt"))
+      .orderBy($"b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // Walk the 256-entry histogram to the bucket containing rank k.
+    var cum = 0L; var bStar = 0L; var cumBefore = 0L; var bRows = 0L
+    hist.foreach { case (b, cnt) =>
+      if (cum < k && k <= cum + cnt) { bStar = b; cumBefore = cum; bRows = cnt }
+      cum += cnt
+    }
+    val off = k - cumBefore
+    val med = cents
+      .filter(expr(s"(c - $mn) * $SelBuckets div $span") === bStar)
+      .orderBy($"c").limit(off.toInt)
+      .agg(max($"c").as("median_cents"))
+    med.select(lit(n).as("n"), lit(k).as("k"), lit(bStar).as("bucket"),
+      lit(bRows).as("bucket_rows"), $"median_cents")
+  }
+
+  val selectQuantileSql: String =
+    s"""WITH c AS (
+       | SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+       |mm AS (SELECT min(c) AS mn, max(c) AS mx, count(*) AS n FROM c),
+       |hist AS (
+       | SELECT (c.c - mm.mn) * $SelBuckets // (mm.mx - mm.mn + 1) AS b,
+       |  count(*) AS cnt
+       | FROM c, mm GROUP BY 1),
+       |cum AS (
+       | SELECT b, cnt,
+       |  CAST(coalesce(sum(cnt) OVER (ORDER BY b
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |   AS cum_before
+       | FROM hist),
+       |pick AS (
+       | SELECT cum.b AS bucket, cum.cnt AS bucket_rows, cum.cum_before,
+       |  mm.n, (mm.n + 1) // 2 AS k
+       | FROM cum, mm
+       | WHERE cum.cum_before < (mm.n + 1) // 2
+       |  AND (mm.n + 1) // 2 <= cum.cum_before + cum.cnt),
+       |med AS (
+       | SELECT max(v) AS median_cents FROM (
+       |  SELECT c.c AS v
+       |  FROM c, mm, pick
+       |  WHERE (c.c - mm.mn) * $SelBuckets // (mm.mx - mm.mn + 1) = pick.bucket
+       |  ORDER BY c.c LIMIT (SELECT k - cum_before FROM pick)))
+       |SELECT pick.n, pick.k, pick.bucket, pick.bucket_rows, med.median_cents
+       |FROM pick, med""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_select_quantile" -> (selectQuantile _),
     "x_quantile_sample" -> (quantileSample _),
     "x_kmv_distinct" -> (kmvDistinct _),
     "x_kmv_merge" -> (kmvMerge _),
@@ -467,6 +542,7 @@ object Sketch {
     "x_heavy_hitters" -> (heavyHitters _))
 
   val oracles: Map[String, String] = Map(
+    "x_select_quantile" -> selectQuantileSql,
     "x_quantile_sample" -> quantileSampleSql,
     "x_kmv_distinct" -> kmvDistinctSql,
     "x_kmv_merge" -> kmvMergeSql,
