@@ -76,9 +76,11 @@ object Hll {
 
   /** Scaled harmonic denominator over a register frame (j, r):
     * Z·2^53 = Σ_hit 2^(53−r) + (m − hit)·2^53 — exact long arithmetic,
-    * max 256·2^53 = 2^61, no float sum anywhere.
+    * max 256·2^53 = 2^61, no float sum anywhere. Public for the stress
+    * harness, which runs the identical arithmetic at corpus sizes the
+    * gated fixtures don't reach.
     */
-  private def zScaled(regs: DataFrame): DataFrame =
+  def zScaled(regs: DataFrame): DataFrame =
     regs.agg(
       count(lit(1)).as("m_hit"),
       sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT))")).as("z_hit"))

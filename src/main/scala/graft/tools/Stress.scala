@@ -248,6 +248,56 @@ object Stress {
     ok
   }
 
+  /** HLL + bitmap at synthetic-corpus scale: n distinct keys through the
+    * register build (exact arithmetic identical to the gated query), and
+    * two planted 60%-overlapping member ranges through the bitmap fold.
+    * Asserts the HLL estimate lands inside 4σ of truth and the bitmap
+    * popcounts are EXACTLY the planted set sizes — the properties that
+    * must survive when n is no longer fixture-sized.
+    */
+  def runSketches(spark: SparkSession, n: Long): Boolean = {
+    import spark.implicits._
+    import graft.analytics.Hll
+    def timed[T](what: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[stress] $what: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    val est = timed(s"hll registers over $n distinct keys") {
+      val regs = spark.range(n)
+        .select(md5($"id".cast("string")).as("h"))
+        .select(Hll.jRho("h"): _*)
+        .groupBy($"j").agg(max($"rho").as("r"))
+      Hll.zScaled(regs)
+        .select(lit(Hll.AlphaM2Scale) / $"z_scaled".cast("double"))
+        .as[Double].head()
+    }
+    val relErr = math.abs(est / n.toDouble - 1.0)
+    println(f"[stress] hll estimate $est%.0f vs $n (rel err $relErr%.4f)")
+    val hllOk = relErr < 4 * 1.04 / math.sqrt(Hll.M.toDouble)
+
+    // Bitmap fold: A = [0, 0.6n), B = [0.4n, n) — overlap exactly 0.2n.
+    val aHi = n * 6 / 10; val bLo = n * 4 / 10
+    val (na, nb, ov) = timed(s"bitmap overlap over $n members") {
+      val ids = spark.range(n).select($"id",
+        expr(s"id div ${graft.analytics.Bitmap.WordBits}").as("word"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(id % ${graft.analytics.Bitmap.WordBits} AS INT))").as("bit"))
+      val bmA = ids.filter($"id" < aHi).groupBy($"word")
+        .agg(expr("bit_or(bit)").as("bm_a"))
+      val bmB = ids.filter($"id" >= bLo).groupBy($"word")
+        .agg(expr("bit_or(bit)").as("bm_b"))
+      val sizes = bmA.agg(sum(expr("bit_count(bm_a)")).cast("long")).as[Long].head() ->
+        bmB.agg(sum(expr("bit_count(bm_b)")).cast("long")).as[Long].head()
+      val inter = bmA.join(bmB, "word")
+        .agg(sum(expr("bit_count(bm_a & bm_b)")).cast("long")).as[Long].head()
+      (sizes._1, sizes._2, inter)
+    }
+    println(s"[stress] bitmap |A|=$na |B|=$nb |A∩B|=$ov (expect ${aHi}/${n - bLo}/${aHi - bLo})")
+    val bmOk = na == aHi && nb == n - bLo && ov == aHi - bLo
+    hllOk && bmOk
+  }
+
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 200000L
     val scenario = if (args.length > 1) args(1) else "dedup"
@@ -279,6 +329,10 @@ object Stress {
     }
     if (scenario == "ppjoin") {
       val ok = runPpjoin(spark, n)
+      spark.stop(); if (!ok) sys.exit(1); return
+    }
+    if (scenario == "sketches") {
+      val ok = runSketches(spark, n)
       spark.stop(); if (!ok) sys.exit(1); return
     }
 

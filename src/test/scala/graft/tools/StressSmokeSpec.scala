@@ -27,4 +27,8 @@ class StressSmokeSpec extends SparkSpec {
   test("ppjoin scenario recovers every planted intra-group pair at smoke size") {
     assert(Stress.runPpjoin(spark, 2000L))
   }
+
+  test("sketches scenario: HLL inside 4-sigma, bitmap popcounts exact at smoke size") {
+    assert(Stress.runSketches(spark, 20000L))
+  }
 }
