@@ -532,8 +532,83 @@ object Sketch {
        |SELECT pick.n, pick.k, pick.bucket, pick.bucket_rows, med.median_cents
        |FROM pick, med""".stripMargin
 
+  /** x_group_median — [[selectQuantile]]'s distributed selection with the
+    * driver walk REMOVED: exact per-group medians where even the bucket
+    * pick happens engine-side (a per-group cumulative window over the
+    * ≤256-row-per-group histogram frame), so nothing is collected and the
+    * same plan serves 5 groups or 5 million. Passes: per-group min/max/
+    * count (broadcast back), per-(group, bucket) histogram, window-picked
+    * rank-holding bucket, then an in-bucket row_number — a window over
+    * ONLY each group's picked bucket (~n_g/256 rows). Ties in the value
+    * column are harmless: the k-th order statistic VALUE is unique even
+    * when row order under equal keys is not.
+    */
+  def groupMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cents = Tables.orders(spark, dir)
+      .select($"o_orderpriority".as("grp"),
+        round($"o_totalprice" * 100).cast("long").as("c"))
+    val stats = cents.groupBy($"grp")
+      .agg(min($"c").as("mn"), max($"c").as("mx"), count(lit(1)).as("n"))
+      .withColumn("k", expr("(n + 1) div 2"))
+    val withB = cents.join(broadcast(stats), "grp")
+      .select($"grp", $"c",
+        expr(s"(c - mn) * $SelBuckets div (mx - mn + 1)").as("b"))
+    val hist = withB.groupBy($"grp", $"b").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy($"grp").orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // pick derives from withB (via hist) — rename its keys so the re-join
+    // below is not an ambiguous self-join in the analyzer's eyes.
+    val pick = hist
+      .withColumn("cum_before", coalesce(sum($"cnt").over(wCum), lit(0L)))
+      .join(broadcast(stats.select($"grp", $"n", $"k")), "grp")
+      .filter($"cum_before" < $"k" && $"k" <= $"cum_before" + $"cnt")
+      .select($"grp".as("pgrp"), $"b".as("bucket"), $"cnt".as("bucket_rows"),
+        $"cum_before", $"n", $"k")
+    val wRank = Window.partitionBy($"grp").orderBy($"c")
+    withB.join(broadcast(pick), $"grp" === $"pgrp" && $"b" === $"bucket")
+      .select($"grp", $"c", $"bucket", $"bucket_rows",
+        $"cum_before", $"n", $"k")
+      .withColumn("rn", row_number().over(wRank))
+      .filter($"rn" === $"k" - $"cum_before")
+      .select($"grp", $"n", $"k", $"bucket", $"bucket_rows",
+        $"c".as("median_cents"))
+      .orderBy($"grp")
+  }
+
+  val groupMedianSql: String =
+    s"""WITH c AS (
+       | SELECT o_orderpriority AS grp,
+       |  CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+       |stats AS (
+       | SELECT grp, min(c) AS mn, max(c) AS mx, count(*) AS n,
+       |  (count(*) + 1) // 2 AS k
+       | FROM c GROUP BY 1),
+       |wb AS (
+       | SELECT c.grp, c.c,
+       |  (c.c - s.mn) * $SelBuckets // (s.mx - s.mn + 1) AS b
+       | FROM c JOIN stats s ON c.grp = s.grp),
+       |hist AS (SELECT grp, b, count(*) AS cnt FROM wb GROUP BY 1, 2),
+       |pick AS (
+       | SELECT h.grp, h.b AS bucket, h.cnt AS bucket_rows,
+       |  CAST(coalesce(sum(h.cnt) OVER (PARTITION BY h.grp ORDER BY h.b
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |   AS cum_before,
+       |  s.n, s.k
+       | FROM hist h JOIN stats s ON h.grp = s.grp
+       | QUALIFY cum_before < s.k AND s.k <= cum_before + h.cnt),
+       |ranked AS (
+       | SELECT wb.grp, wb.c, p.bucket, p.bucket_rows, p.cum_before, p.n, p.k,
+       |  row_number() OVER (PARTITION BY wb.grp ORDER BY wb.c) AS rn
+       | FROM wb JOIN pick p ON wb.grp = p.grp AND wb.b = p.bucket)
+       |SELECT grp, n, k, bucket, bucket_rows, c AS median_cents
+       |FROM ranked WHERE rn = k - cum_before
+       |ORDER BY grp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_select_quantile" -> (selectQuantile _),
+    "x_group_median" -> (groupMedian _),
     "x_quantile_sample" -> (quantileSample _),
     "x_kmv_distinct" -> (kmvDistinct _),
     "x_kmv_merge" -> (kmvMerge _),
@@ -543,6 +618,7 @@ object Sketch {
 
   val oracles: Map[String, String] = Map(
     "x_select_quantile" -> selectQuantileSql,
+    "x_group_median" -> groupMedianSql,
     "x_quantile_sample" -> quantileSampleSql,
     "x_kmv_distinct" -> kmvDistinctSql,
     "x_kmv_merge" -> kmvMergeSql,

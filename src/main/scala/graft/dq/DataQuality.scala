@@ -391,6 +391,56 @@ object DataQuality {
        |ORDER BY column_name""".stripMargin
   }
 
+  /** dq_erasure_scope — the right-to-be-forgotten impact audit: given a
+    * deletion cohort (here a deterministic 1/256 md5 slice of customers —
+    * the fixture stand-in for an uploaded deletion list), count every
+    * surviving reference the purge must reach: direct orders rows, and
+    * lineitem rows transitively through those orders. Both legs are
+    * semi-join counts against the (broadcastable) cohort — the shape a
+    * compliance sweep takes at 100 TB, where the answer must come from
+    * join pruning, not a table scan per customer. Run BEFORE a purge to
+    * size it and AFTER to prove zeros.
+    */
+  def erasureScopeQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val forgotten = Tables.customer(spark, dir)
+      .filter(substring(md5($"c_custkey".cast("string")), 1, 2) === "00")
+      .select($"c_custkey")
+    val ordersHit = Tables.orders(spark, dir)
+      .join(broadcast(forgotten),
+        $"o_custkey" === forgotten("c_custkey"), "left_semi")
+    val ordersAgg = ordersHit
+      .agg(count(lit(1)).as("orders_rows"),
+        countDistinct($"o_custkey").as("custs_with_orders"))
+    val lineitemRows = Tables.lineitem(spark, dir)
+      .join(ordersHit.select($"o_orderkey"),
+        $"l_orderkey" === $"o_orderkey", "left_semi")
+      .agg(count(lit(1)).as("lineitem_rows"))
+    forgotten.agg(count(lit(1)).as("n_forgotten"))
+      .crossJoin(ordersAgg)
+      .crossJoin(lineitemRows)
+      .select($"n_forgotten", $"custs_with_orders",
+        $"orders_rows", $"lineitem_rows")
+  }
+
+  val erasureScopeSql: String =
+    """WITH forgotten AS (
+      | SELECT c_custkey FROM customer
+      | WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2) = '00'),
+      |oh AS (
+      | SELECT o_orderkey, o_custkey FROM orders
+      | WHERE o_custkey IN (SELECT c_custkey FROM forgotten)),
+      |oa AS (
+      | SELECT count(*) AS orders_rows,
+      |  count(DISTINCT o_custkey) AS custs_with_orders FROM oh),
+      |la AS (
+      | SELECT count(*) AS lineitem_rows FROM lineitem
+      | WHERE l_orderkey IN (SELECT o_orderkey FROM oh)),
+      |nf AS (SELECT count(*) AS n_forgotten FROM forgotten)
+      |SELECT nf.n_forgotten, oa.custs_with_orders, oa.orders_rows,
+      | la.lineitem_rows
+      |FROM nf, oa, la""".stripMargin
+
   /** dq_table_checksum — order-independent per-partition content checksums,
     * the replication/migration validator (pt-table-checksum's trick, made
     * cross-engine): every row folds to a 60-bit fingerprint from md5 over a
@@ -489,6 +539,7 @@ object DataQuality {
       |FROM audits ORDER BY fd""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_erasure_scope" -> (erasureScopeQuery _),
     "dq_table_checksum" -> (tableChecksumQuery _),
     "dq_fd_violation" -> (fdViolationQuery _),
     "dq_schema_drift" -> (schemaDriftQuery _),
@@ -502,6 +553,7 @@ object DataQuality {
     "dq_verdict" -> (verdictQuery _))
 
   val oracles: Map[String, String] = Map(
+    "dq_erasure_scope" -> erasureScopeSql,
     "dq_table_checksum" -> tableChecksumSql,
     "dq_fd_violation" -> fdViolationSql,
     "dq_schema_drift" -> schemaDriftSql,
