@@ -31,16 +31,19 @@ object Bitmap {
   /** Bits per word: 63 keeps every shift strictly below the sign bit. */
   val WordBits = 63L
 
-  /** x_bitmap_overlap — pairwise customer-audience overlap of the five
-    * order-priority segments: exact |A|, |B|, |A∩B| and Jaccard permille
-    * from popcounts alone.
+  /** Pairwise overlap over any (seg, id) membership frame (id ≥ 0).
+    * Disjoint pairs EMIT a zero row — the pair frame comes from the
+    * segment list and the intersection counts LEFT-join onto it, because
+    * an inner join on shared words would silently drop exactly the pairs
+    * a disjointness report exists to show (PropertySpec pins this edge).
     */
-  def bitmapOverlap(spark: SparkSession, dir: String): DataFrame = {
+  def overlapOver(members: DataFrame): DataFrame = {
+    val spark = members.sparkSession
     import spark.implicits._
-    val bm = Tables.orders(spark, dir)
-      .select($"o_orderpriority".as("seg"),
-        expr(s"o_custkey div $WordBits").as("word"),
-        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(o_custkey % $WordBits AS INT))")
+    val bm = members
+      .select($"seg",
+        expr(s"id div $WordBits").as("word"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(id % $WordBits AS INT))")
           .as("bit"))
       .groupBy($"seg", $"word")
       .agg(expr("bit_or(bit)").as("bm"))
@@ -51,16 +54,27 @@ object Bitmap {
     val inter = a.join(b, "word")
       .filter($"seg_a" < $"seg_b")
       .groupBy($"seg_a", $"seg_b")
-      .agg(sum(expr("bit_count(bm_a & bm_b)")).cast("long").as("n_overlap"))
-    inter
-      .join(broadcast(sizes.withColumnRenamed("seg", "seg_a")
-        .withColumnRenamed("n", "n_a")), "seg_a")
-      .join(broadcast(sizes.withColumnRenamed("seg", "seg_b")
-        .withColumnRenamed("n", "n_b")), "seg_b")
+      .agg(sum(expr("bit_count(bm_a & bm_b)")).cast("long").as("n_ov"))
+    val pairs = sizes.select($"seg".as("seg_a"), $"n".as("n_a"))
+      .crossJoin(sizes.select($"seg".as("seg_b"), $"n".as("n_b")))
+      .filter($"seg_a" < $"seg_b")
+    pairs.join(broadcast(inter), Seq("seg_a", "seg_b"), "left")
+      .select($"seg_a", $"seg_b", $"n_a", $"n_b",
+        coalesce($"n_ov", lit(0L)).as("n_overlap"))
       .select($"seg_a", $"seg_b", $"n_a", $"n_b", $"n_overlap",
         expr("n_overlap * 1000 div (n_a + n_b - n_overlap)")
           .as("jaccard_permille"))
       .orderBy($"seg_a", $"seg_b")
+  }
+
+  /** x_bitmap_overlap — pairwise customer-audience overlap of the five
+    * order-priority segments: exact |A|, |B|, |A∩B| and Jaccard permille
+    * from popcounts alone.
+    */
+  def bitmapOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    overlapOver(Tables.orders(spark, dir)
+      .select($"o_orderpriority".as("seg"), $"o_custkey".as("id")))
   }
 
   val bitmapOverlapSql: String =
@@ -73,15 +87,19 @@ object Bitmap {
        | SELECT seg, CAST(sum(bit_count(bm)) AS BIGINT) AS n FROM bm GROUP BY 1),
        |inter AS (
        | SELECT a.seg AS seg_a, b.seg AS seg_b,
-       |  CAST(sum(bit_count(a.bm & b.bm)) AS BIGINT) AS n_overlap
+       |  CAST(sum(bit_count(a.bm & b.bm)) AS BIGINT) AS n_ov
        | FROM bm a JOIN bm b ON a.word = b.word AND a.seg < b.seg
-       | GROUP BY 1, 2)
-       |SELECT i.seg_a, i.seg_b, sa.n AS n_a, sb.n AS n_b, i.n_overlap,
-       | i.n_overlap * 1000 // (sa.n + sb.n - i.n_overlap) AS jaccard_permille
-       |FROM inter i
-       |JOIN sizes sa ON sa.seg = i.seg_a
-       |JOIN sizes sb ON sb.seg = i.seg_b
-       |ORDER BY i.seg_a, i.seg_b""".stripMargin
+       | GROUP BY 1, 2),
+       |pairs AS (
+       | SELECT sa.seg AS seg_a, sb.seg AS seg_b, sa.n AS n_a, sb.n AS n_b
+       | FROM sizes sa CROSS JOIN sizes sb WHERE sa.seg < sb.seg)
+       |SELECT p.seg_a, p.seg_b, p.n_a, p.n_b,
+       | coalesce(i.n_ov, 0) AS n_overlap,
+       | coalesce(i.n_ov, 0) * 1000 // (p.n_a + p.n_b - coalesce(i.n_ov, 0))
+       |  AS jaccard_permille
+       |FROM pairs p
+       |LEFT JOIN inter i ON i.seg_a = p.seg_a AND i.seg_b = p.seg_b
+       |ORDER BY p.seg_a, p.seg_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_bitmap_overlap" -> (bitmapOverlap _))

@@ -35,16 +35,13 @@ object Series {
   /** Kernel length: weights 2^19 … 2^0 over the last 20 observed days. */
   val K = 20
 
-  /** x_ewma — half-life-one-day truncated EWMA of daily revenue dollars.
-    * One row per observed day: y, exact kernel numerator/denominator, and
-    * the smoothed value from one final IEEE division.
+  /** Truncated-kernel EWMA over any (d, y) day-grain frame — the
+    * frame-parametric core (PropertySpec drives it on generated series;
+    * the declared query binds it to daily revenue).
     */
-  def ewma(spark: SparkSession, dir: String): DataFrame = {
+  def ewmaOver(daily: DataFrame): DataFrame = {
+    val spark = daily.sparkSession
     import spark.implicits._
-    val daily = Tables.orders(spark, dir)
-      .groupBy(datediff(to_date($"o_orderdate"), lit("1970-01-01").cast("date"))
-        .cast("long").as("d"))
-      .agg(expr("sum(cast(round(o_totalprice * 100) as long)) div 100").as("y"))
     val offsets = spark.range(0, K).select($"id".cast("long").as("k"))
     // Day s contributes y_s·2^(K−1−k) to day t = s+k: the kernel as a
     // broadcast fan-out of K rows per source day, aggregated by target day.
@@ -59,6 +56,18 @@ object Series {
       .select($"d", $"y", $"ewma_num", $"ewma_den",
         ($"ewma_num".cast("double") / $"ewma_den".cast("double")).as("ewma"))
       .orderBy($"d")
+  }
+
+  /** x_ewma — half-life-one-day truncated EWMA of daily revenue dollars.
+    * One row per observed day: y, exact kernel numerator/denominator, and
+    * the smoothed value from one final IEEE division.
+    */
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ewmaOver(Tables.orders(spark, dir)
+      .groupBy(datediff(to_date($"o_orderdate"), lit("1970-01-01").cast("date"))
+        .cast("long").as("d"))
+      .agg(expr("sum(cast(round(o_totalprice * 100) as long)) div 100").as("y")))
   }
 
   val ewmaSql: String =
@@ -86,11 +95,19 @@ object Series {
     */
   def cusumShift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val daily = Tables.orders(spark, dir)
+    cusumOver(Tables.orders(spark, dir)
       .groupBy(datediff(to_date($"o_orderdate"), lit("1970-01-01").cast("date"))
         .cast("long").as("d"))
-      .agg(count(lit(1)).as("y"))
+      .agg(count(lit(1)).as("y")))
+  }
+
+  /** Scaled-CUSUM changepoint over any (d, y) day-grain frame — the
+    * frame-parametric core behind [[cusumShift]].
+    */
+  def cusumOver(daily: DataFrame): DataFrame = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val tot = daily.agg(count(lit(1)).as("n"), sum($"y").as("sy"))
     val w = Window.orderBy($"d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = daily.crossJoin(broadcast(tot))

@@ -455,9 +455,21 @@ object DataQuality {
     * day's checksum; the companion row count catches compensating
     * insert+delete pairs.
     */
+  /** XOR checksum fold over any (day, fp) fingerprint frame — the
+    * frame-parametric core (PropertySpec drives it on generated rows to
+    * pin order/partition invariance and single-flip sensitivity).
+    */
+  def checksumOver(fps: DataFrame): DataFrame = {
+    val spark = fps.sparkSession
+    import spark.implicits._
+    fps.groupBy($"day")
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(fp)").as("checksum"))
+      .orderBy($"day")
+  }
+
   def tableChecksumQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.orders(spark, dir)
+    checksumOver(Tables.orders(spark, dir)
       .select(
         datediff(to_date($"o_orderdate"), lit("1970-01-01").cast("date"))
           .cast("long").as("day"),
@@ -466,10 +478,7 @@ object DataQuality {
           $"o_custkey".cast("string"),
           $"o_orderstatus",
           round($"o_totalprice" * 100).cast("long").cast("string"),
-          $"o_orderpriority")), 1, 15), 16, 10).cast("long").as("fp"))
-      .groupBy($"day")
-      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(fp)").as("checksum"))
-      .orderBy($"day")
+          $"o_orderpriority")), 1, 15), 16, 10).cast("long").as("fp")))
   }
 
   val tableChecksumSql: String =
