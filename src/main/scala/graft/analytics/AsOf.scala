@@ -91,6 +91,27 @@ object AsOf {
       |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
       |ORDER BY purchase_id""".stripMargin
 
+  /** q_asof_native — the SAME canonical attribution query as
+    * [[viewBeforePurchase]], answered by the library's custom PHYSICAL
+    * operator ([[graft.plans.AsOfJoinExec]]: merge-scan over
+    * co-partitioned sorted children, O(1) probe state) instead of the
+    * union+window composition. Sharing `q_asof_join`'s DuckDB `ASOF JOIN`
+    * oracle makes the gate a three-way semantics pin: native engine ≡
+    * composed Spark ≡ custom exec, row for row and hash for hash.
+    */
+  def viewBeforePurchaseNative(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+    val views = e.filter($"event_type" === "view").select($"user_id", $"ts")
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    graft.plans.AsOfJoinPlan.asofNative(purchases, views,
+      key = "user_id", tsCol = "ts", payload = Seq("ts"))
+      .select($"event_id".as("purchase_id"), $"user_id",
+        $"asof_ts".as("last_view_ts"))
+      .orderBy($"purchase_id")
+  }
+
   val ToleranceMicros: Long = 24L * 3600 * 1000000
 
   /** q_asof_tolerance — the bounded-staleness as-of (pandas `merge_asof`'s
@@ -217,12 +238,14 @@ object AsOf {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> (viewBeforePurchase _),
+    "q_asof_native" -> (viewBeforePurchaseNative _),
     "q_asof_tolerance" -> (viewWithinDay _),
     "q_asof_forward" -> (nextPurchaseAfterView _),
     "q_asof_nearest" -> (nearestView _))
 
   val oracles: Map[String, String] = Map(
     "q_asof_join" -> viewBeforePurchaseSql,
+    "q_asof_native" -> viewBeforePurchaseSql,
     "q_asof_tolerance" -> viewWithinDaySql,
     "q_asof_forward" -> nextPurchaseAfterViewSql,
     "q_asof_nearest" -> nearestViewSql)

@@ -188,11 +188,15 @@ object GraftFunctions {
 
 /** SparkSessionExtensions hook (SURVEY.md §7.3): enable with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`.
-  * Currently injects the native function set; the same hook is where a
-  * custom Rule[LogicalPlan] or SparkStrategy would land if profiling ever
-  * demands one (none needed for the declared surface, SURVEY.md §4.2).
+  * Injects the native function set AND the library's planner strategy
+  * ([[graft.plans.AsOfJoinStrategy]] — the physical merge-scan as-of
+  * join), so an extensions-configured session plans [[graft.plans
+  * .AsOfJoinNode]] without the per-session `AsOfJoinPlan.install` call
+  * (which remains the in-process route the declared queries use).
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.registrations.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }
