@@ -153,17 +153,26 @@ object AsOfJoinPlan {
     * [[graft.analytics.AsOf.asofJoin]], planned through [[AsOfJoinExec]].
     * Output: all left columns, then `asof_<payload>` columns (NULL when
     * no match). Key must be integral; timestamps compare as epoch micros.
+    *
+    * `forward = true` finds the EARLIEST right row with
+    * `right.tsCol >= left.tsCol` — implemented by NEGATING both time
+    * axes (`r.t ≥ l.t ⟺ −r.t ≤ −l.t`, and latest-under-negation =
+    * earliest), so one physical operator serves both directions with no
+    * extra code path in the hot loop.
     */
   def asofNative(
       left: DataFrame,
       right: DataFrame,
       key: String,
       tsCol: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String],
+      forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     install(spark)
-    def micros(c: Column): Column =
-      org.apache.spark.sql.functions.unix_micros(c.cast("timestamp"))
+    def micros(c: Column): Column = {
+      val m = org.apache.spark.sql.functions.unix_micros(c.cast("timestamp"))
+      if (forward) org.apache.spark.sql.functions.negate(m) else m
+    }
     // Left: append the primitive merge columns; Right: key + time + payload
     // only, NULL times dropped (they can never win an inclusive-latest
     // race), names prefixed so the concatenated output never collides.

@@ -49,6 +49,25 @@ class AsOfJoinExecSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!names.exists(_.contains("nestedloop")), plan.toString)
   }
 
+  test("forward direction equals the union+window forward as-of") {
+    val dir = "/root/testdata/sf0.01"
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter($"event_type" === "purchase").select($"user_id", $"ts")
+    val views = e.filter($"event_type" === "view")
+      .select($"event_id", $"user_id", $"ts")
+    val viaWindow = AsOf.asofJoin(views, purchases,
+      key = "user_id", tsCol = "ts", payload = Seq("ts"), forward = true)
+      .select($"event_id", $"asof_ts")
+      .as[(Long, Option[java.sql.Timestamp])].collect().toMap
+    val viaExec = AsOfJoinPlan.asofNative(views, purchases,
+      key = "user_id", tsCol = "ts", payload = Seq("ts"), forward = true)
+      .select($"event_id", $"asof_ts")
+      .as[(Long, Option[java.sql.Timestamp])].collect().toMap
+    assert(viaExec == viaWindow)
+    assert(viaExec.values.exists(_.isDefined))
+    assert(viaExec.values.exists(_.isEmpty)) // tail views with no later purchase
+  }
+
   test("model check on generated interleavings, including no-match and tie edges") {
     val rnd = new scala.util.Random(13)
     val lefts = (1 to 200).map(i =>
