@@ -65,6 +65,43 @@ object Multimodal {
       data.length >= 8 &&
         (data(0) & 0xff) == 0x89 && data(1) == 'P' && data(2) == 'N' && data(3) == 'G'
 
+    /** JFIF/EXIF JPEG magic (FF D8) — the JDK decodes JPEG natively too,
+      * so both common image formats take the REAL `javax.imageio` path;
+      * only genuinely JDK-less formats fall through to the marked fake.
+      * (JPEG ENCODE is lossy, so round-trip specs assert decoder
+      * determinism and dimensional exactness, not pixel identity — and
+      * the hash-gated fixtures stay PNG, where decode∘encode IS the
+      * identity.)
+      */
+    def isJpeg(data: Array[Byte]): Boolean =
+      data.length >= 2 && (data(0) & 0xff) == 0xff && (data(1) & 0xff) == 0xd8
+
+    /** Any format the real ImageIO path handles. */
+    def isRealImage(data: Array[Byte]): Boolean = isPng(data) || isJpeg(data)
+
+    /** The deterministic test pattern JPEG-encoded through the real
+      * (lossy) encoder — same pixel generator as [[encode]].
+      */
+    def encodeJpeg(assetId: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((assetId * 31 + x * 7 + y * 13) & 0xff).toInt
+          val g = (x * 5 + y * 3) & 0xff
+          val b = ((assetId + x + y * 11) & 0xff).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+
     /** Deterministic RGB test image (channels id/x/y-derived), PNG-encoded
       * through the real encoder — the committed sample fixture and the
       * synthetic PNG corpus both come from here.
@@ -152,7 +189,7 @@ object Multimodal {
       // per-partition decoder instantiation happens HERE (ImageIO reader
       // instances are created per call; the fake has none)
       it.flatMap { a =>
-        if (PngCodec.isPng(a.data)) {
+        if (PngCodec.isRealImage(a.data)) {
           val (w, h, px) = PngCodec.decode(a.data)
           Iterator.single(DecodedFrame(a.asset_id, 0, w, h, px))
         } else {

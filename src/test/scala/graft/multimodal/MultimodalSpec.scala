@@ -78,6 +78,37 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real JPEG payloads decode through javax.imageio: exact dims, deterministic, near-true pixels") {
+    import spark.implicits._
+    val assets = spark.createDataset((0 until 4).map { i =>
+      val (w, h) = (40 + i * 8, 30 + i * 6)
+      Multimodal.Asset(i.toLong, "image", Multimodal.MediaMeta("jpeg", w, h, 0L),
+        Multimodal.PngCodec.encodeJpeg(i.toLong, w, h))
+    })
+    val frames = Multimodal.decodeFrames(assets).collect().sortBy(_.asset_id)
+    assert(frames.length == 4, "JPEG assets are single-frame through the REAL path")
+    frames.foreach { f =>
+      val (w, h) = (40 + f.asset_id.toInt * 8, 30 + f.asset_id.toInt * 6)
+      assert(f.width == w && f.height == h, "lossy codec, exact dimensions")
+      assert(f.pixels.length == w * h * 3, "true RGB grid, not a fake-codec buffer")
+      // Decoder determinism: same bytes → same pixels, twice.
+      val bytes = Multimodal.PngCodec.encodeJpeg(f.asset_id, w, h)
+      val once = Multimodal.PngCodec.decode(bytes)._3
+      val twice = Multimodal.PngCodec.decode(bytes)._3
+      assert(once.sameElements(twice))
+      assert(once.sameElements(f.pixels), "distributed decode == local decode")
+      // Lossy-but-faithful: mean absolute channel error against the true
+      // pattern stays small (JPEG quality default ~0.75).
+      val truth = (for (y <- 0 until h; x <- 0 until w) yield Seq(
+        ((f.asset_id * 31 + x * 7 + y * 13) & 0xff).toInt,
+        (x * 5 + y * 3) & 0xff,
+        ((f.asset_id + x + y * 11) & 0xff).toInt)).flatten
+      val mae = f.pixels.zip(truth).map { case (p, t) =>
+        math.abs((p & 0xff) - t) }.sum.toDouble / truth.length
+      assert(mae < 48.0, s"mean abs channel error $mae") // high-freq pattern, lossy bound
+    }
+  }
+
   test("mixed PNG + fake-codec corpus decodes in one pass via magic sniffing") {
     val fake = Multimodal.syntheticAssets(spark, 9)
     val png = Multimodal.syntheticPngAssets(spark, 3)
