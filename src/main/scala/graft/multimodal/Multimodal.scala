@@ -31,6 +31,64 @@ object Multimodal {
   final case class MediaFeatures(asset_id: Long, kind: String, dim: Int,
       features: Array[Float])
 
+  /** REAL WAV/PCM codec — hand-rolled RIFF container parsing, which IS the
+    * real codec for PCM audio (WAV is a 44-byte header + raw samples; no
+    * compression, no library). Mono 16-bit little-endian. Decode is the
+    * exact inverse of encode (lossless, unlike JPEG), so round-trip specs
+    * assert sample identity. Decoded audio flows through the SAME
+    * [[DecodedFrame]] shape the image path uses: one frame, width =
+    * sample count, height = 1, pixels = the raw s16le bytes — keeping
+    * every downstream operator (frame sampling, feature extraction)
+    * media-agnostic.
+    */
+  object WavCodec {
+    def isWav(data: Array[Byte]): Boolean =
+      data.length >= 12 &&
+        data(0) == 'R' && data(1) == 'I' && data(2) == 'F' && data(3) == 'F' &&
+        data(8) == 'W' && data(9) == 'A' && data(10) == 'V' && data(11) == 'E'
+
+    /** Deterministic integer sample pattern (id/position-derived — no libm
+      * sine), RIFF/WAVE-encoded: canonical 44-byte PCM header + s16le body.
+      */
+    def encode(assetId: Long, nSamples: Int, sampleRate: Int): Array[Byte] = {
+      val dataBytes = nSamples * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes(StandardCharsets.US_ASCII))
+        .putInt(36 + dataBytes)
+        .put("WAVE".getBytes(StandardCharsets.US_ASCII))
+        .put("fmt ".getBytes(StandardCharsets.US_ASCII))
+        .putInt(16)            // PCM fmt chunk size
+        .putShort(1)           // audio format: PCM
+        .putShort(1)           // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate * 2) // byte rate
+        .putShort(2)           // block align
+        .putShort(16)          // bits per sample
+        .put("data".getBytes(StandardCharsets.US_ASCII))
+        .putInt(dataBytes)
+      var i = 0
+      while (i < nSamples) {
+        bb.putShort((((assetId * 131 + i.toLong * 7919) % 65536) - 32768).toShort)
+        i += 1
+      }
+      bb.array()
+    }
+
+    /** (sampleRate, nSamples, s16le sample bytes). */
+    def decode(data: Array[Byte]): (Int, Int, Array[Byte]) = {
+      require(isWav(data), "payload is not a RIFF/WAVE container")
+      val bb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(bb.getShort(20) == 1, "only PCM WAV supported")
+      require(bb.getShort(22) == 1, "only mono WAV supported")
+      val sampleRate = bb.getInt(24)
+      val dataBytes = bb.getInt(40)
+      require(44 + dataBytes <= data.length, "truncated WAV data chunk")
+      (sampleRate, dataBytes / 2,
+        java.util.Arrays.copyOfRange(data, 44, 44 + dataBytes))
+    }
+  }
+
   /** DETERMINISTIC FAKE codec: payload = 16-byte header
     * ("GFT0" + kind byte + width/height/frames) + pseudo-pixel bytes derived
     * from asset_id. A real deployment replaces exactly this object.
@@ -192,6 +250,9 @@ object Multimodal {
         if (PngCodec.isRealImage(a.data)) {
           val (w, h, px) = PngCodec.decode(a.data)
           Iterator.single(DecodedFrame(a.asset_id, 0, w, h, px))
+        } else if (WavCodec.isWav(a.data)) {
+          val (_, n, samples) = WavCodec.decode(a.data)
+          Iterator.single(DecodedFrame(a.asset_id, 0, n, 1, samples))
         } else {
           val (w, h, frames) = FakeCodec.decodeHeader(a.data)
           (0 until frames).iterator.map { f =>

@@ -109,6 +109,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real WAV/PCM payloads round-trip losslessly and decode distributed==local") {
+    import spark.implicits._
+    // Lossless container: decode ∘ encode is the identity on samples.
+    val bytes = Multimodal.WavCodec.encode(7L, nSamples = 480, sampleRate = 16000)
+    val (rate, n, samples) = Multimodal.WavCodec.decode(bytes)
+    assert(rate == 16000 && n == 480 && samples.length == 960)
+    val expected = java.util.Arrays.copyOfRange(bytes, 44, 44 + 960)
+    assert(samples.sameElements(expected))
+    // Distributed path: one frame, width = sample count, height = 1.
+    val assets = spark.createDataset((0 until 3).map { i =>
+      Multimodal.Asset(i.toLong, "audio",
+        Multimodal.MediaMeta("wav", 0, 0, (100 + i).toLong),
+        Multimodal.WavCodec.encode(i.toLong, 320 + i * 10, 8000))
+    })
+    val frames = Multimodal.decodeFrames(assets).collect().sortBy(_.asset_id)
+    assert(frames.map(f => (f.width, f.height)).toSeq ==
+      Seq((320, 1), (330, 1), (340, 1)))
+    frames.foreach { f =>
+      val local = Multimodal.WavCodec.decode(
+        Multimodal.WavCodec.encode(f.asset_id, f.width, 8000))._3
+      assert(f.pixels.sameElements(local))
+    }
+  }
+
   test("mixed PNG + fake-codec corpus decodes in one pass via magic sniffing") {
     val fake = Multimodal.syntheticAssets(spark, 9)
     val png = Multimodal.syntheticPngAssets(spark, 3)
