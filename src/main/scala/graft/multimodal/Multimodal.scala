@@ -14,13 +14,15 @@ import org.apache.spark.sql.functions._
   * typed Dataset (the JVM analogue of arrow-batched UDFs: one decoder
   * instantiation per partition, streamed row iterator, no per-row setup).
   *
-  * Codecs: PNG decode/encode is REAL — `javax.imageio` ships in the JDK,
-  * no external dependency — so image assets round-trip through actual
-  * compressed bytes and [[decodeFrames]]/[[resize]] operate on true pixel
-  * grids. Formats the JDK lacks (audio/video) keep the clearly-marked
-  * DETERMINISTIC FAKE (`FakeCodec`'s GFT0 header); [[decodeFrames]] sniffs
-  * the magic bytes and routes per asset, so a mixed corpus decodes in one
-  * pass and a real JPEG/WAV codec drops in without touching operator shapes.
+  * Codecs: PNG and JPEG decode are REAL (`javax.imageio` ships in the
+  * JDK) and WAV/PCM is REAL (hand-rolled RIFF parsing — for raw PCM the
+  * container walk IS the codec), so image and audio assets flow through
+  * actual compressed/containerized bytes and [[decodeFrames]]/[[resize]]
+  * operate on true pixel grids / sample buffers. Only genuinely JDK-less
+  * formats (video containers) keep the clearly-marked DETERMINISTIC FAKE
+  * (`FakeCodec`'s GFT0 header); [[decodeFrames]] sniffs the magic bytes
+  * and routes per asset, so a mixed corpus decodes in one pass and
+  * further real codecs drop in without touching operator shapes.
   */
 object Multimodal {
 
@@ -451,6 +453,45 @@ object Multimodal {
   val PhashAssets = 120
   val PhashGroup = 3
 
+  /** Deterministic synthetic WAV corpus through the REAL RIFF encoder:
+    * varied sample counts, mono 16 kHz, id-derived integer samples.
+    */
+  def syntheticWavAssets(spark: SparkSession, n: Int): Dataset[Asset] = {
+    import spark.implicits._
+    spark.createDataset((0 until n).map { i =>
+      val samples = 400 + (i % 7) * 57
+      Asset(i.toLong, "audio", MediaMeta("wav", 0, 0, samples.toLong * 1000 / 16000),
+        WavCodec.encode(i.toLong, samples, 16000))
+    }).repartition(4, col("asset_id"))
+  }
+
+  /** x_mm_audio_stats — audio QA through the REAL WAV codec: decode every
+    * payload and emit exact integer loudness stats per asset (sample
+    * count, Σ|s|, peak, integer mean |s|) — the silence/clipping screen an
+    * audio ingest runs before training. ROWS-ONLY declared like
+    * [[mmPhashDedup]]: DuckDB cannot parse RIFF, so no oracle SQL can
+    * exist; correctness rides MultimodalSpec's driver-side recompute.
+    *
+    * Scale shape: [[decodeFrames]]'s mapPartitions batch decode, then a
+    * pure per-row projection — no shuffle at all until the final
+    * presentation sort.
+    */
+  def mmAudioStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decodeFrames(syntheticWavAssets(spark, 64)).map { f =>
+      val bb = java.nio.ByteBuffer.wrap(f.pixels)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0; var sumAbs = 0L; var peak = 0L
+      while (i < f.width) {
+        val a = math.abs(bb.getShort(i * 2).toLong)
+        sumAbs += a; if (a > peak) peak = a
+        i += 1
+      }
+      (f.asset_id, f.width.toLong, sumAbs, peak, sumAbs / f.width)
+    }.toDF("asset_id", "n_samples", "sum_abs", "peak", "mean_abs")
+      .orderBy($"asset_id")
+  }
+
   /** x_mm_phash_dedup — PERCEPTUAL image dedup: decode → aHash → group, the
     * content-level dedup the byte-level `x_dedup_exact` family cannot do
     * (identical pixels re-encoded to different bytes hash apart under md5,
@@ -486,10 +527,11 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_mm_catalog" -> (mmCatalog _),
     "x_mm_bytes" -> (mmBytes _),
-    "x_mm_phash_dedup" -> (mmPhashDedup _))
+    "x_mm_phash_dedup" -> (mmPhashDedup _),
+    "x_mm_audio_stats" -> (mmAudioStats _))
 
   val oracles: Map[String, String] = Map(
     "x_mm_catalog" -> mmCatalogSql,
     "x_mm_bytes" -> mmBytesSql)
-    // x_mm_phash_dedup: deliberately no oracle — see its scaladoc
+    // x_mm_phash_dedup, x_mm_audio_stats: deliberately no oracle — see scaladocs
 }

@@ -133,6 +133,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("x_mm_audio_stats matches a driver-side decode of the same corpus") {
+    val rows = Multimodal.mmAudioStats(spark, "unused").collect()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("asset_id")
+      val n = 400 + (id.toInt % 7) * 57
+      assert(r.getAs[Long]("n_samples") == n.toLong)
+      val bytes = Multimodal.WavCodec.encode(id, n, 16000)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var sumAbs = 0L; var peak = 0L
+      (0 until n).foreach { i =>
+        val a = math.abs(bb.getShort(44 + i * 2).toLong)
+        sumAbs += a; if (a > peak) peak = a
+      }
+      assert(r.getAs[Long]("sum_abs") == sumAbs, s"asset $id")
+      assert(r.getAs[Long]("peak") == peak)
+      assert(r.getAs[Long]("mean_abs") == sumAbs / n)
+    }
+  }
+
   test("mixed PNG + fake-codec corpus decodes in one pass via magic sniffing") {
     val fake = Multimodal.syntheticAssets(spark, 9)
     val png = Multimodal.syntheticPngAssets(spark, 3)
