@@ -26,8 +26,13 @@ import graft.io.Tables
   */
 object Scd {
 
-  /** x_scd2_build — per-user type-2 history rows. */
-  def scd2Build(spark: SparkSession, dir: String): DataFrame = {
+  /** The type-2 interval frame both queries share: one row per (user, run)
+    * with half-open validity `[valid_from_us, valid_to_us)` (`valid_to_us`
+    * NULL on the open current interval). Factored out so the PIT lookup
+    * probes EXACTLY the history the build publishes — any drift between
+    * the two would be a correctness bug, not a tuning choice.
+    */
+  private def history(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val byUser = Window.partitionBy($"user_id").orderBy($"tus".asc, $"event_id".asc)
     val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -46,7 +51,12 @@ object Scd {
       .withColumn("is_current", $"valid_to_us".isNull)
       .select($"user_id", $"run", $"event_type", $"valid_from_us",
         $"valid_to_us", $"n_events", $"is_current")
-      .orderBy($"user_id", $"run")
+  }
+
+  /** x_scd2_build — per-user type-2 history rows. */
+  def scd2Build(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    history(spark, dir).orderBy($"user_id", $"run")
   }
 
   val scd2BuildSql: String =
@@ -75,9 +85,83 @@ object Scd {
       |FROM grp
       |ORDER BY user_id, run""".stripMargin
 
+  /** x_pit_join — point-in-time dimensional lookup: for every purchase,
+    * the user's type-2 state ONE MICROSECOND BEFORE the purchase instant
+    * ("what was this user doing just before buying"), rolled up per prior
+    * state. The PIT join is the warehouse op [[scd2Build]] exists to
+    * serve — fact row + effective date ⋈ dimension history on
+    * `key = key AND valid_from ≤ t < valid_to` — and the probe at
+    * `t = tus − 1 µs` makes it non-degenerate: a purchase that OPENS its
+    * own run resolves to the PREVIOUS interval, while a purchase inside an
+    * ongoing purchase run resolves to `purchase` (a repeat buy). A user's
+    * first-ever event probes before the first interval and surfaces as
+    * `(none)` via the left join — first-touch purchases are a real cohort,
+    * not a dropped row.
+    *
+    * Scale shape: the history build reuses the [[history]] user-partitioned
+    * windows (one exchange); the join is an EQUI-join on `user_id` with the
+    * containment predicate evaluated inside the join (per-user intervals
+    * are few and tile the timeline, so each probe matches ≤ 1 row — no
+    * fan-out). At 100 TB the dimension history is runs ≪ events: broadcast
+    * it, or co-partition both sides on `user_id` and reuse the exchange the
+    * window build already paid for.
+    */
+  def pitJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = history(spark, dir)
+      .select($"user_id".as("d_user"), $"event_type".as("state"),
+        $"valid_from_us", $"valid_to_us")
+    val fact = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id",
+        (unix_micros($"ts".cast("timestamp")) - 1L).as("t"))
+    fact.join(dim,
+        fact("user_id") === dim("d_user") &&
+          dim("valid_from_us") <= fact("t") &&
+          (dim("valid_to_us").isNull || fact("t") < dim("valid_to_us")),
+        "left")
+      .groupBy(coalesce($"state", lit("(none)")).as("prior_state"))
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"prior_state")
+  }
+
+  val pitJoinSql: String =
+    """WITH e AS (
+      | SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
+      | FROM events),
+      |chg AS (
+      | SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+      |                  OR lag(event_type) OVER w <> event_type
+      |           THEN 1 ELSE 0 END AS chg
+      | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      |runs AS (
+      | SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+      | FROM chg),
+      |dim AS (
+      | SELECT user_id AS d_user, any_value(event_type) AS state,
+      |  min(tus) AS valid_from_us,
+      |  lead(min(tus)) OVER (PARTITION BY user_id ORDER BY run) AS valid_to_us
+      | FROM runs GROUP BY user_id, run),
+      |fact AS (
+      | SELECT event_id, user_id, epoch_us(ts) - 1 AS t
+      | FROM events WHERE event_type = 'purchase')
+      |SELECT coalesce(state, '(none)') AS prior_state,
+      | count(*) AS n_purchases,
+      | count(DISTINCT user_id) AS n_users
+      |FROM fact LEFT JOIN dim
+      | ON fact.user_id = dim.d_user
+      |  AND dim.valid_from_us <= fact.t
+      |  AND (dim.valid_to_us IS NULL OR fact.t < dim.valid_to_us)
+      |GROUP BY 1
+      |ORDER BY prior_state""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x_scd2_build" -> (scd2Build _))
+    "x_scd2_build" -> (scd2Build _),
+    "x_pit_join" -> (pitJoin _))
 
   val oracles: Map[String, String] = Map(
-    "x_scd2_build" -> scd2BuildSql)
+    "x_scd2_build" -> scd2BuildSql,
+    "x_pit_join" -> pitJoinSql)
 }

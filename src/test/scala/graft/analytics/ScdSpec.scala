@@ -53,4 +53,32 @@ class ScdSpec extends SparkSpec {
     }.toSet
     assert(rows.map(r => (r._1, r._2, r._3, r._4, r._6)).toSet == expected)
   }
+
+  test("x_pit_join resolves each purchase to the state 1µs before it") {
+    val out = Scd.pitJoin(spark, dir)
+      .as[(String, Long, Long)].collect().toList
+    // total credit: every purchase lands in exactly one prior-state bucket
+    val nPurch = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase").count()
+    assert(out.map(_._2).sum == nPurch)
+    assert(out.map(_._1).distinct.size == out.size) // one row per state
+    // driver-side PIT replay against the same history
+    val hist = history()
+    val purchases = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .selectExpr("user_id", "unix_micros(cast(ts as timestamp)) - 1 as t")
+      .as[(Long, Long)].collect()
+    val expected = purchases.map { case (uid, t) =>
+      hist.filter(h => h._1 == uid && h._4 <= t && h._5.forall(t < _))
+        .map(_._3).headOption.getOrElse("(none)")
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(out.map(r => r._1 -> r._2).toMap == expected)
+    // a purchase opening its own run must NOT resolve to itself: every
+    // (none) row is a user's literal first event
+    val firstEvents = hist.filter(_._2 == 1L).map(h => (h._1, h._4)).toSet
+    val nones = purchases.filter { case (uid, t) =>
+      !hist.exists(h => h._1 == uid && h._4 <= t && h._5.forall(t < _))
+    }
+    nones.foreach { case (uid, t) => assert(firstEvents.contains((uid, t + 1))) }
+  }
 }
