@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.{Anomaly, AsOf, Attribution, Basket, Benford, Bfs, Bitmap, BloomJoin, CardEst, Cohort, Diff, Experiment, Forecast, Hll, Journey, Layout, Neighbors, PageRank, Paths, PrefixSum, Relational, Rfm, Scd, Series, Sessions, Sketch, Skew, Stats, Tpch, TpchPs, Triangles, Twap, Upsert, Warehouse}
 import graft.dq.DataQuality
 import graft.io.Ingest
-import graft.llm.{AnnMulti, Cluster, Contain, CorpusFilter, DataCard, Dedup, Drift, EditJoin, EmbedStats, Eval, FeatureHash, Ivf, IvfPq, LangId, Pack, Pq, Privacy, Retrieval, Semantic, SimHash, SimJoin, Similarity, SpanDedup, Terms, TextClean, TextOps}
+import graft.llm.{AnnMulti, Cluster, Contain, CorpusFilter, DataCard, Dedup, Drift, EditJoin, EmbedStats, Eval, FeatureHash, Ivf, IvfPq, LangId, Pack, Pq, Privacy, Retrieval, Semantic, SimHash, SimJoin, Similarity, SpanDedup, Terms, TextClean, TextOps, WeakLabel}
 import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -44,6 +44,7 @@ object SparkEntry {
       DataQuality.queries ++
       Ingest.queries ++
       TextOps.queries ++
+      WeakLabel.queries ++
       TextClean.queries ++
       Terms.queries ++
       Dedup.queries ++
@@ -112,6 +113,7 @@ object SparkEntry {
       DataQuality.oracles ++
       Ingest.oracles ++
       TextOps.oracles ++
+      WeakLabel.oracles ++
       TextClean.oracles ++
       Terms.oracles ++
       Dedup.oracles ++
