@@ -105,4 +105,41 @@ class LshDedupSpec extends SparkSpec {
       assert(rolled(2L) == (None, true)) // not attributed to expired doc 1
     } finally q.stop()
   }
+
+  test("5k-doc stream: every repeated text is suppressed, originals kept") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 1000 distinct templates, each repeated 5× with distinct ids — the
+    // repeats land in later micro-batches than their originals. Every token
+    // is unique to its (template, position), so templates share ZERO
+    // shingles and the only cross-template collision channel is a 2^-30
+    // band-hash accident (any affine token scheme instead yields shifted
+    // near-copies: 31Δt ≡ 7Δj makes two templates share 8−|Δj| shingles).
+    def text(template: Int): String =
+      (0 until 10).map(j => s"w${template}_$j").mkString(" ")
+    def batchDocs(rep: Int): Seq[String] =
+      (0 until 1000).map { t =>
+        doc(rep * 1000L + t, f"2024-01-01 10:${rep}%02d:00", text(t))
+      }
+    val input = MemoryStream[String]
+    val out = LshDedup.lshDedupStream(
+      Streaming.parseJson(input.toDF(), schema), watermark = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("lsh_bulk")
+      .outputMode("append").start()
+    try {
+      (0 until 5).foreach { rep =>
+        input.addData(batchDocs(rep): _*)
+        q.processAllAvailable()
+      }
+      val rolled = LshDedup.rollup(spark.table("lsh_bulk"))
+        .as[(Long, Option[Long], Boolean)].collect()
+      assert(rolled.length == 5000)
+      val kept = rolled.filter(_._3).map(_._1).toSet
+      // exactly the first copy of each template is kept...
+      assert(kept == (0 until 1000).map(_.toLong).toSet)
+      // ...and every repeat is attributed to ITS OWN template's original
+      rolled.filterNot(_._3).foreach { case (id, dupOf, _) =>
+        assert(dupOf.contains(id % 1000))
+      }
+    } finally q.stop()
+  }
 }
