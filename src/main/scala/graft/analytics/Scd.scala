@@ -32,12 +32,18 @@ object Scd {
     * probes EXACTLY the history the build publishes — any drift between
     * the two would be a correctness bug, not a tuning choice.
     */
-  private def history(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  private def history(spark: SparkSession, dir: String): DataFrame =
+    historyOver(Tables.events(spark, dir))
+
+  /** Frame-parametric core over any (event_id, user_id, event_type, ts)
+    * frame — the seam the generated-data property suite drives.
+    */
+  def historyOver(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
     val byUser = Window.partitionBy($"user_id").orderBy($"tus".asc, $"event_id".asc)
     val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val byRun = Window.partitionBy($"user_id").orderBy($"run".asc)
-    Tables.events(spark, dir)
+    events
       .select($"event_id", $"user_id", $"event_type",
         unix_micros($"ts".cast("timestamp")).as("tus"))
       .withColumn("chg",
@@ -106,12 +112,16 @@ object Scd {
     * it, or co-partition both sides on `user_id` and reuse the exchange the
     * window build already paid for.
     */
-  def pitJoin(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val dim = history(spark, dir)
+  def pitJoin(spark: SparkSession, dir: String): DataFrame =
+    pitJoinOver(Tables.events(spark, dir))
+
+  /** Frame-parametric core of [[pitJoin]]. */
+  def pitJoinOver(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val dim = historyOver(events)
       .select($"user_id".as("d_user"), $"event_type".as("state"),
         $"valid_from_us", $"valid_to_us")
-    val fact = Tables.events(spark, dir)
+    val fact = events
       .filter($"event_type" === "purchase")
       .select($"event_id", $"user_id",
         (unix_micros($"ts".cast("timestamp")) - 1L).as("t"))

@@ -144,4 +144,41 @@ class NewTierPropertySpec extends SparkSpec {
       (aMap.keySet - fd).foreach(d => assert(c(d) == aMap(d)))
     }
   }
+
+  // ---- PIT join: interval containment ≡ the latest-strictly-earlier-event
+  // model (an INDEPENDENT characterization: the library resolves the probe
+  // through SCD2 interval containment; the model never builds intervals)
+
+  private val eventsGen: Gen[List[(Long, Long, String, Long)]] =
+    Gen.listOfN(150, for {
+      user <- Gen.chooseNum(0L, 5L)
+      tpe <- Gen.oneOf("view", "click", "purchase")
+      // tiny time domain FORCES tus ties within a user — the boundary the
+      // half-open intervals and the 1µs probe must agree on
+      tus <- Gen.chooseNum(1000L, 1040L)
+    } yield (user, tpe, tus)).map(_.zipWithIndex.map {
+      case ((u, tp, t), i) => (i.toLong, u, tp, t)
+    })
+
+  test("pitJoinOver equals the latest-earlier-event model, ties included") {
+    samples(eventsGen, 5).foreach { evs =>
+      val df = evs.toDF("event_id", "user_id", "event_type", "tus")
+        .withColumn("ts", timestamp_micros($"tus"))
+        .drop("tus")
+      val got = graft.analytics.Scd.pitJoinOver(df).collect()
+        .map(r => r.getAs[String]("prior_state") ->
+          (r.getAs[Long]("n_purchases"), r.getAs[Long]("n_users"))).toMap
+      val model = evs.filter(_._3 == "purchase").map { case (_, u, _, t) =>
+        val earlier = evs.filter(e => e._2 == u && e._4 < t)
+        val state =
+          if (earlier.isEmpty) "(none)"
+          else earlier.maxBy(e => (e._4, e._1))._3
+        (u, state)
+      }
+      val expected = model.groupBy(_._2).map { case (s, xs) =>
+        s -> ((xs.length.toLong, xs.map(_._1).distinct.length.toLong))
+      }
+      assert(got == expected)
+    }
+  }
 }
