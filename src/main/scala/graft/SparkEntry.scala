@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Anomaly, AsOf, Attribution, Basket, Benford, Bfs, Bitmap, BloomJoin, CardEst, Cohort, Diff, Experiment, Forecast, Hll, Journey, Layout, Neighbors, PageRank, Paths, PrefixSum, Relational, Rfm, Scd, Series, Sessions, Sketch, Skew, Stats, Tpch, TpchPs, Triangles, Twap, Upsert, Warehouse}
+import graft.analytics.{Anomaly, AsOf, Attribution, Basket, Benford, Bfs, Bitmap, BloomJoin, CardEst, Cohort, Diff, Experiment, Forecast, Hll, Journey, Layout, Neighbors, PageRank, Paths, PrefixSum, RandWalk, Relational, Rfm, Scd, Series, Sessions, Sketch, Skew, Stats, Tpch, TpchPs, Triangles, Twap, Upsert, Warehouse}
 import graft.dq.DataQuality
 import graft.io.Ingest
 import graft.llm.{AnnMulti, Cluster, Contain, CorpusFilter, DataCard, Dedup, Drift, EditJoin, EmbedStats, Eval, FeatureHash, Ivf, IvfPq, LangId, Pack, Pq, Privacy, Retrieval, Semantic, SimHash, SimJoin, Similarity, SpanDedup, Terms, TextClean, TextOps, WeakLabel}
@@ -29,6 +29,7 @@ object SparkEntry {
       Warehouse.queries ++
       Diff.queries ++
       PageRank.queries ++
+      RandWalk.queries ++
       Bfs.queries ++
       PrefixSum.queries ++
       Triangles.queries ++
@@ -98,6 +99,7 @@ object SparkEntry {
       Warehouse.oracles ++
       Diff.oracles ++
       PageRank.oracles ++
+      RandWalk.oracles ++
       Bfs.oracles ++
       PrefixSum.oracles ++
       Triangles.oracles ++

@@ -1,0 +1,53 @@
+package graft.analytics
+
+import java.security.MessageDigest
+
+import graft.SparkSpec
+import graft.io.Tables
+
+class RandWalkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("x_rand_walk picks exactly the md5-argmin neighbor at every step") {
+    val adj = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)].collect().toSeq
+      .groupBy(_._1).values.toSeq
+      .flatMap { basket =>
+        val ps = basket.map(_._2).distinct
+        for (a <- ps; b <- ps if a != b) yield (a, b)
+      }
+      .toSet.groupBy((p: (Long, Long)) => p._1)
+      .view.mapValues(_.map(_._2)).toMap
+
+    val out = RandWalk.randWalk(spark, dir)
+      .as[(Long, Int, Long, Long, Long)].collect()
+
+    // one row per (start ∈ nodes-with-out-edges) × walk
+    assert(out.length == adj.size * RandWalk.Walks)
+    assert(out.map(r => (r._1, r._2)).distinct.length == out.length)
+
+    out.foreach { case (start, walk, n1, n2, n3) =>
+      var cur = start
+      Seq(n1, n2, n3).zipWithIndex.foreach { case (next, i) =>
+        val nbrs = adj(cur)
+        assert(nbrs.contains(next)) // every hop is a real edge
+        val pick = nbrs.minBy(d =>
+          (md5hex(s"$start:$walk:${i + 1}:$d"), d))
+        assert(next == pick, s"start=$start walk=$walk step=${i + 1}")
+        cur = next
+      }
+    }
+
+    // the two walks from one start genuinely diverge somewhere
+    val diverged = out.groupBy(_._1).values.count { ws =>
+      ws.map(w => (w._3, w._4, w._5)).distinct.length > 1
+    }
+    assert(diverged > adj.size / 2)
+  }
+}
