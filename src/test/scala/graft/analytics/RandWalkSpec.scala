@@ -28,8 +28,11 @@ class RandWalkSpec extends SparkSpec {
     val out = RandWalk.randWalk(spark, dir)
       .as[(Long, Int, Long, Long, Long)].collect()
 
-    // one row per (start ∈ nodes-with-out-edges) × walk
-    assert(out.length == adj.size * RandWalk.Walks)
+    // one row per (sampled start) × walk, sampling by the md5 hex gate
+    val sampled = adj.keySet.filter(s =>
+      "0123".contains(md5hex(s"ws:$s").charAt(0)))
+    assert(out.map(_._1).toSet == sampled)
+    assert(out.length == sampled.size * RandWalk.Walks)
     assert(out.map(r => (r._1, r._2)).distinct.length == out.length)
 
     out.foreach { case (start, walk, n1, n2, n3) =>
@@ -37,8 +40,11 @@ class RandWalkSpec extends SparkSpec {
       Seq(n1, n2, n3).zipWithIndex.foreach { case (next, i) =>
         val nbrs = adj(cur)
         assert(nbrs.contains(next)) // every hop is a real edge
-        val pick = nbrs.minBy(d =>
-          (md5hex(s"$start:$walk:${i + 1}:$d"), d))
+        val pick = nbrs.minBy { d =>
+          val h60 = java.lang.Long.parseLong(
+            md5hex(s"$start:$walk:${i + 1}:$d").substring(0, 15), 16)
+          (h60, d)
+        }
         assert(next == pick, s"start=$start walk=$walk step=${i + 1}")
         cur = next
       }
@@ -48,6 +54,6 @@ class RandWalkSpec extends SparkSpec {
     val diverged = out.groupBy(_._1).values.count { ws =>
       ws.map(w => (w._3, w._4, w._5)).distinct.length > 1
     }
-    assert(diverged > adj.size / 2)
+    assert(diverged > sampled.size / 2)
   }
 }
