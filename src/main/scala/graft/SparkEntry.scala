@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Anomaly, AsOf, Attribution, Basket, Benford, Bfs, Bitmap, BloomJoin, BottomK, CardEst, Cohort, Diff, Experiment, Forecast, Hll, Journey, Layout, Neighbors, PageRank, Paths, PrefixSum, RandWalk, Relational, Rfm, Scd, Series, Sessions, ShortestPath, Sketch, Skew, Stats, Tpch, TpchPs, Triangles, Twap, Upsert, Warehouse}
+import graft.analytics.{Anomaly, AsOf, Attribution, Basket, Benford, Bfs, Bitmap, BloomJoin, BottomK, Intervals, CardEst, Cohort, Diff, Experiment, Forecast, Hll, Journey, Layout, Neighbors, PageRank, Paths, PrefixSum, RandWalk, Relational, Rfm, Scd, Series, Sessions, ShortestPath, Sketch, Skew, Stats, Tpch, TpchPs, Triangles, Twap, Upsert, Warehouse}
 import graft.dq.DataQuality
 import graft.io.Ingest
 import graft.llm.{AnnMulti, Cluster, Contain, CorpusFilter, DataCard, Dedup, Drift, EditJoin, EmbedStats, Eval, FeatureHash, Ivf, IvfPq, LangId, Pack, Pq, Privacy, Retrieval, Semantic, SimHash, SimJoin, Similarity, SpanDedup, Terms, TextClean, TextOps, WeakLabel}
@@ -33,6 +33,7 @@ object SparkEntry {
       Bfs.queries ++
       ShortestPath.queries ++
       BottomK.queries ++
+      Intervals.queries ++
       PrefixSum.queries ++
       Triangles.queries ++
       Tpch.queries ++
@@ -105,6 +106,7 @@ object SparkEntry {
       Bfs.oracles ++
       ShortestPath.oracles ++
       BottomK.oracles ++
+      Intervals.oracles ++
       PrefixSum.oracles ++
       Triangles.oracles ++
       Tpch.oracles ++

@@ -100,11 +100,93 @@ object Privacy {
        |SELECT -1, '__suppressed__', CAST(sum(n) AS BIGINT) FROM g WHERE n < $K HAVING count(*) > 0
        |ORDER BY nationkey, segment""".stripMargin
 
+  /** DP contribution bound: at most [[DpMaxPerDay]] events kept per
+    * (user, day), each value clipped into [0, [[DpClipCents]]] cents.
+    */
+  val DpMaxPerDay = 4
+  val DpClipCents = 5000L
+
+  /** x_dp_clip — differential-privacy PREP: bounded-contribution
+    * aggregation. Before any DP mechanism can add calibrated noise to a
+    * per-day statistic, the pipeline must bound each user's influence on
+    * it; this op does both textbook bounds in one pass — contribution
+    * capping (keep each user's first [[DpMaxPerDay]] events per day in a
+    * deterministic md5 order: append-order-independent, so the kept set is
+    * reproducible under any ingestion layout) and value clipping (clamp
+    * cents into [0, [[DpClipCents]]]). Per day it emits the raw vs
+    * bounded event counts and sums plus `max_user_contrib` — the realized
+    * per-user L1 contribution, whose guaranteed ceiling
+    * [[DpMaxPerDay]]·[[DpClipCents]] IS the sensitivity the noise scale
+    * would be calibrated to (the noise draw itself is out of scope by
+    * construction: it is the one deliberately nondeterministic step).
+    * All arithmetic is exact integer cents.
+    *
+    * Scale shape: one window rank partitioned by (user, day) — never a
+    * global sort — then two hash aggregates (per user-day, per day), all
+    * map-side combining. The spec pins max_user_contrib ≤ K·C and the
+    * clip actually firing on the fixture.
+    */
+  def dpClip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", to_date($"ts").as("day"),
+        graft.util.Det.cents($"value").as("cents"))
+    val w = Window.partitionBy($"user_id", $"day")
+      .orderBy(md5(concat($"event_id".cast("string"), lit(":dp"))), $"event_id")
+    val ranked = ev.withColumn("rk", row_number().over(w))
+    val perUserDay = ranked
+      .groupBy($"user_id", $"day")
+      .agg(count(lit(1)).as("n_raw"),
+        sum($"cents").as("sum_raw"),
+        sum(when($"rk" <= DpMaxPerDay, 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"rk" <= DpMaxPerDay,
+          greatest(lit(0L), least($"cents", lit(DpClipCents))))
+          .otherwise(0L)).as("contrib"))
+    perUserDay.groupBy($"day")
+      .agg(sum($"n_raw").as("n_events_raw"),
+        sum($"n_kept").as("n_events_kept"),
+        sum($"sum_raw").as("sum_raw_cents"),
+        sum($"contrib").as("sum_bounded_cents"),
+        count(lit(1)).as("n_users"),
+        max($"contrib").as("max_user_contrib"))
+      .orderBy($"day")
+  }
+
+  val dpClipSql: String =
+    s"""WITH ev AS (
+       | SELECT event_id, user_id, CAST(ts AS DATE) AS day,
+       |  CAST(round(value * 100) AS BIGINT) AS cents
+       | FROM events),
+       |ranked AS (
+       | SELECT *, row_number() OVER (PARTITION BY user_id, day
+       |   ORDER BY md5(CAST(event_id AS VARCHAR) || ':dp'), event_id) AS rk
+       | FROM ev),
+       |pud AS (
+       | SELECT user_id, day, count(*) AS n_raw,
+       |  sum(cents) AS sum_raw,
+       |  sum(CASE WHEN rk <= $DpMaxPerDay THEN 1 ELSE 0 END) AS n_kept,
+       |  sum(CASE WHEN rk <= $DpMaxPerDay
+       |      THEN greatest(0, least(cents, $DpClipCents)) ELSE 0 END)
+       |    AS contrib
+       | FROM ranked GROUP BY user_id, day)
+       |SELECT day,
+       | CAST(sum(n_raw) AS BIGINT) AS n_events_raw,
+       | CAST(sum(n_kept) AS BIGINT) AS n_events_kept,
+       | CAST(sum(sum_raw) AS BIGINT) AS sum_raw_cents,
+       | CAST(sum(contrib) AS BIGINT) AS sum_bounded_cents,
+       | CAST(count(*) AS BIGINT) AS n_users,
+       | CAST(max(contrib) AS BIGINT) AS max_user_contrib
+       |FROM pud GROUP BY day
+       |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_pii_scrub" -> (piiScrub _),
-    "x_k_anon" -> (kAnon _))
+    "x_k_anon" -> (kAnon _),
+    "x_dp_clip" -> (dpClip _))
 
   val oracles: Map[String, String] = Map(
     "x_pii_scrub" -> piiScrubSql,
-    "x_k_anon" -> kAnonSql)
+    "x_k_anon" -> kAnonSql,
+    "x_dp_clip" -> dpClipSql)
 }
