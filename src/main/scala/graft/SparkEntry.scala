@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.{Anomaly, AsOf, Attribution, Basket, Benford, Bfs, Bitmap, BloomJoin, BottomK, Intervals, CardEst, Cohort, Diff, Experiment, Forecast, Hll, Journey, Layout, Neighbors, PageRank, Paths, PrefixSum, RandWalk, Relational, Rfm, Scd, Series, Sessions, ShortestPath, Sketch, Skew, Stats, Tpch, TpchPs, Triangles, Twap, Upsert, Warehouse}
 import graft.dq.DataQuality
 import graft.io.Ingest
-import graft.llm.{AnnMulti, Cluster, Contain, CorpusFilter, DataCard, Dedup, Drift, EditJoin, EmbedStats, Eval, FeatureHash, Ivf, IvfPq, LangId, Pack, Pq, Privacy, Retrieval, Semantic, SimHash, SimJoin, Similarity, SpanDedup, Terms, TextClean, TextOps, WeakLabel}
+import graft.llm.{AnnMulti, Bpe, Cluster, Contain, CorpusFilter, DataCard, Dedup, Drift, EditJoin, EmbedStats, Eval, FeatureHash, Ivf, IvfPq, LangId, Pack, Pq, Privacy, Retrieval, Semantic, SimHash, SimJoin, Similarity, SpanDedup, Terms, TextClean, TextOps, WeakLabel}
 import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -51,6 +51,7 @@ object SparkEntry {
       WeakLabel.queries ++
       TextClean.queries ++
       Terms.queries ++
+      Bpe.queries ++
       Dedup.queries ++
       Pack.queries ++
       Privacy.queries ++
@@ -124,6 +125,7 @@ object SparkEntry {
       WeakLabel.oracles ++
       TextClean.oracles ++
       Terms.oracles ++
+      Bpe.oracles ++
       Dedup.oracles ++
       Pack.oracles ++
       Privacy.oracles ++
