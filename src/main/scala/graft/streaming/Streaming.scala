@@ -257,6 +257,44 @@ object Streaming {
       }
   }
 
+  final case class CdcEvent(
+    event_id: Long, user_id: Long, event_type: String, tus: Long, value: Double)
+  final case class LatestState(
+    event_id: Long, tus: Long, event_type: String, value: Double)
+  final case class LatestRow(
+    user_id: Long, event_id: Long, tus: Long, event_type: String, value: Double)
+
+  /** Streaming CDC keep-latest — the stateful-stream face of the batch
+    * `q_latest_event` snapshot (and the type-1 upsert [[graft.analytics
+    * .Upsert]] maintains from files): per-user state is the single newest
+    * row by the SAME total order the batch query ranks by
+    * (ts DESC, event_id DESC), and each micro-batch emits the group's
+    * current latest. The point of the state discipline is OUT-OF-ORDER
+    * safety: a late-arriving STALE row (older (tus, event_id) than the
+    * state) must not displace the newer one — which is exactly what a
+    * blind "last write wins" foreachBatch upsert gets wrong, and what
+    * CdcParitySpec feeds (event_id-parity-split batches, so every batch
+    * carries rows older than the other batch's state). State is one tiny
+    * record per user — bounded, RocksDB-friendly.
+    */
+  def keepLatestTracker(events: Dataset[CdcEvent]): Dataset[LatestRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[LatestState, LatestRow](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[CdcEvent], state: GroupState[LatestState]) =>
+          var cur = state.getOption
+          rows.foreach { e =>
+            if (cur.forall(s =>
+                e.tus > s.tus || (e.tus == s.tus && e.event_id > s.event_id)))
+              cur = Some(LatestState(e.event_id, e.tus, e.event_type, e.value))
+          }
+          val s = cur.get // the group had at least one row this batch
+          state.update(s)
+          LatestRow(uid, s.event_id, s.tus, s.event_type, s.value)
+      }
+  }
+
   /** batch_id-partitioned parquet sink via foreachBatch, idempotent under
     * replay: after a failure Structured Streaming re-runs the last batch with
     * the SAME batchId, and the dynamic-overwrite write replaces exactly that
