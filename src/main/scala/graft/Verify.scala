@@ -22,6 +22,9 @@ object Verify {
       // see Bench: cap retained SQL execution infos — across 150+ queries
       // the status store's plan graphs are real heap pressure
       .config("spark.sql.ui.retainedExecutions", "1")
+      // see Bench: default 100-entry codegen class cache thrashes across a
+      // 250-query dump; hold every generated class instead (static conf)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

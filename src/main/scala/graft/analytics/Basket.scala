@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
+import graft.util.Ckpt._
 
 /** Market-basket association mining over order baskets — support /
   * confidence / lift for co-purchased part pairs, the association-rule
@@ -39,10 +40,20 @@ object Basket {
   /** x_basket_pairs — top co-purchased part pairs with confidence + lift. */
   def basketPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val li = Tables.lineitem(spark, dir)
-      .select($"l_orderkey", $"l_partkey").distinct()
-    val pairs = li.groupBy($"l_orderkey")
+    // ONE shuffle of the fact table, straight into baskets: collect_set
+    // already dedups (orderkey, partkey) inside the aggregate, so a
+    // pre-aggregate distinct() pass would shuffle lineitem a second time
+    // for nothing (round-7 finding: 7.2 s driver-side, half of it that
+    // redundant exchange). Every downstream quantity — pair counts,
+    // per-part distinct-order counts, the order total — is a projection
+    // of the basket frame, which is orders-bounded (≤7-item sets), hence
+    // the single DISK_ONLY checkpoint feeding all three consumers.
+    val baskets = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey")
+      .groupBy($"l_orderkey")
       .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+      .ckptDisk()
+    val pairs = baskets
       .select(explode(expr(
         """flatten(transform(ps,
           |  (x, i) -> transform(slice(ps, i + 2, size(ps)),
@@ -50,8 +61,11 @@ object Basket {
       .select($"p.a", $"p.b")
       .groupBy($"a", $"b").agg(count(lit(1)).as("n_pair"))
       .filter($"n_pair" >= MinSupport)
-    val itemN = li.groupBy($"l_partkey").agg(count(lit(1)).as("c"))
-    val nOrders = li.agg(countDistinct($"l_orderkey").as("n_orders"))
+    // ps is a SET per order, so exploding it counts each (order, part)
+    // once — identical to distinct-then-count, without the distinct.
+    val itemN = baskets.select(explode($"ps").as("l_partkey"))
+      .groupBy($"l_partkey").agg(count(lit(1)).as("c"))
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
     pairs
       .join(broadcast(itemN.select($"l_partkey".as("a"), $"c".as("ca"))), "a")
       .join(broadcast(itemN.select($"l_partkey".as("b"), $"c".as("cb"))), "b")

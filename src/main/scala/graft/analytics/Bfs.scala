@@ -2,9 +2,9 @@ package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.io.Tables
+import graft.util.Ckpt._
 
 /** Bounded breadth-first search over the co-purchase graph (parts adjacent
   * when some order contains both — same graph as [[PageRank]]): minimum hop
@@ -44,10 +44,10 @@ object Bfs {
     // at the default level.
     val li = Tables.lineitem(spark, dir)
       .select($"l_orderkey", $"l_partkey")
-      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+      .ckptDisk()
     val seeds = li
       .select($"l_partkey".as("node")).filter($"node" < SeedMax).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint()
+      .withColumn("dist", lit(0L)).ckptDisk()
     var visited = seeds
     var frontier = seeds.select($"node")
     (1 to MaxHops).foreach { h =>
@@ -61,7 +61,7 @@ object Bfs {
       val next = rim
         .join(broadcast(visited.select($"node")), Seq("node"), "left_anti")
         .withColumn("dist", lit(h.toLong))
-        .localCheckpoint()
+        .ckptDisk()
       visited = visited.union(next)
       frontier = next.select($"node")
     }

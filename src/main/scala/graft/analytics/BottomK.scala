@@ -55,8 +55,13 @@ object BottomK {
     val slices = base.groupBy($"y")
       .agg(call_function("top_k_rows", -$"h", $"cents", lit(SketchK)).as("sk"),
         count(lit(1)).as("n_slice"))
+    // count(y), not count(*): one row per group means this counts the
+    // NON-NULL slice keys — the oracle's count(DISTINCT y) semantics. A
+    // NULL/unparseable-shipdate group would otherwise count as a slice on
+    // the Spark side only (its rows still belong in n_total and the
+    // sketch, matching the oracle's ungated base scan).
     val totals = slices.agg(sum($"n_slice").as("n_total"),
-      count(lit(1)).as("n_slices"))
+      count($"y").as("n_slices"))
     // Merge: union the slice samples, re-select the global bottom-k. The
     // input here is slices×k rows — coordinator-sized.
     val merged = slices

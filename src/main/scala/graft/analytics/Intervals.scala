@@ -43,12 +43,21 @@ object Intervals {
   def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val iv = Tables.events(spark, dir)
-      .filter(pmod($"user_id", lit(CohortMod)) === 0)
+      // % (sign-of-dividend), NOT pmod: the oracle's `user_id % 7 = 0`
+      // uses DuckDB's C-style remainder, and for a negative user_id pmod
+      // (always non-negative) would select a different cohort. Fixture IDs
+      // are positive, but the predicate should agree for ALL inputs.
+      .filter(($"user_id" % CohortMod) === 0)
       .select($"user_id", to_date($"ts").as("day"),
         unix_micros($"ts".cast("timestamp")).as("t_us"))
       .groupBy($"user_id", $"day")
       .agg(min($"t_us").as("s"), max($"t_us").as("e"))
-      .filter($"s" < $"e") // zero-length intervals can overlap nothing
+      // Deliberate contract, not a no-op: a zero-length (point) interval
+      // strictly inside another DOES satisfy the strict-overlap predicate
+      // and would contribute an n_days row with 0 overlap seconds —
+      // point intervals are excluded from the pair universe by choice,
+      // and the oracle's HAVING clause mirrors exactly this exclusion.
+      .filter($"s" < $"e")
       .withColumn("day_us", unix_micros($"day".cast("timestamp")))
     val b = iv.select($"user_id", $"day", $"s", $"e", $"day_us",
       explode(sequence(expr(s"(s - day_us) div $HourMicros"),

@@ -181,7 +181,11 @@ object Layout {
     * job keyed by (day, bin) — exactly the shuffle the plan's bin keys
     * co-locate.
     */
-  def compactPlan(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared bin assignment: one (day, hr) "file" row per ingest hour
+    * with its NEXT-FIT bin id. Metadata-sized (≤ 24·days rows) — both the
+    * declared plan query and the executing rewrite derive from it.
+    */
+  private def binnedFiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val files = Tables.events(spark, dir)
@@ -197,10 +201,42 @@ object Layout {
     files
       .withColumn("cum_excl", sum($"bytes").over(w) - $"bytes")
       .withColumn("bin", expr(s"cum_excl div $CompactTargetBytes"))
+  }
+
+  def compactPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    binnedFiles(spark, dir)
       .groupBy($"day", $"bin")
       .agg(count(lit(1)).as("n_files"), sum($"n_rows").as("bin_rows"),
         sum($"bytes").as("bin_bytes"))
       .orderBy($"day", $"bin")
+  }
+
+  /** EXECUTES the compaction plan [[compactPlan]] only describes: every
+    * event row is routed to its (day, bin) via a broadcast of the
+    * metadata-sized assignment frame, then ONE shuffle keyed by exactly
+    * the plan's bin keys lands each bin's rows in a single task, and the
+    * partitioned write emits ONE file per (day, bin) directory — the
+    * small-file rewrite a table-maintenance job runs. This is the shuffle
+    * the plan co-locates by construction: bin keys are contiguous in
+    * (day, hr), so the rewrite never moves a row across days, and the
+    * per-task row count is bounded by the bin target, not by skew in the
+    * source layout. CompactRoundTripSpec pins the contract: one data file
+    * per bin directory, read-back row multiset identical to the source,
+    * per-bin counts identical to the plan's `bin_rows`, and strictly
+    * fewer output files than source (day, hr) micro-files.
+    */
+  def compactExecute(spark: SparkSession, dir: String, outPath: String): Unit = {
+    import spark.implicits._
+    val assign = binnedFiles(spark, dir).select($"day", $"hr", $"bin")
+    val rows = Tables.events(spark, dir)
+      .withColumn("day",
+        datediff(to_date($"ts"), lit("1970-01-01").cast("date")).cast("long"))
+      .withColumn("hr", hour($"ts").cast("long"))
+      .join(broadcast(assign), Seq("day", "hr"))
+      .drop("hr")
+    rows.repartition($"day", $"bin")
+      .write.mode("overwrite").partitionBy("day", "bin").parquet(outPath)
   }
 
   val compactPlanSql: String =

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
+import graft.util.Ckpt._
 
 /** Structural graph analytics over the co-purchase graph: common-neighbor
   * (Jaccard) link prediction and k-core decomposition — the two
@@ -116,7 +117,7 @@ object Neighbors {
     */
   def kcore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val und = inducedEdges(spark, dir).localCheckpoint()
+    val und = inducedEdges(spark, dir).ckptDisk()
     def degrees(edges: DataFrame): DataFrame =
       edges.select($"a".as("node")).unionAll(edges.select($"b".as("node")))
         .groupBy($"node").agg(count(lit(1)).as("deg"))
@@ -130,7 +131,7 @@ object Neighbors {
         .join(broadcast(alive.select($"node".as("b"))), "b")
       // survivor set is node-bounded; materialize so the next round's
       // broadcast doesn't re-run the whole peel chain
-      alive = degrees(cur).filter($"deg" >= CoreK).select($"node").localCheckpoint()
+      alive = degrees(cur).filter($"deg" >= CoreK).select($"node").ckptDisk()
     }
     val finalEdges = und
       .join(broadcast(alive.select($"node".as("a"))), "a")

@@ -2,9 +2,9 @@ package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.io.Tables
+import graft.util.Ckpt._
 
 /** Iterative graph analytics over a DERIVED graph: parts are nodes, and two
   * parts are adjacent when some order contains both (the co-purchase graph —
@@ -83,7 +83,7 @@ object PageRank {
     // driver bench: 20.4/14.6/12.4 s vs 3.6 s isolated). Serialized disk
     // blocks cost one stable re-read per iteration and CANNOT be evicted
     // mid-query, making the cost insensitive to suite position.
-    val e = edges(spark, dir).localCheckpoint(true, StorageLevel.DISK_ONLY)
+    val e = edges(spark, dir).ckptDisk()
     val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
     val nNodes = deg.agg(count(lit(1)).as("n"))
     // The static (node, deg, n) frame is materialized once; each iteration
@@ -99,7 +99,7 @@ object PageRank {
     // which is exactly what the next iteration's rank ⋈ edges join needs.
     // Steady state: ONE exchange per iteration (the inflow aggregate).
     val degN = deg.crossJoin(broadcast(nNodes)).repartition($"src")
-      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+      .ckptDisk()
     var r = degN.select($"src".as("part"), $"deg",
       expr(s"$TotalMass DIV n").as("rank"))
     for (_ <- 1 to Iterations) {

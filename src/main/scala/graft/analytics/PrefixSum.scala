@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.io.Tables
 import graft.util.Det
+import graft.util.Ckpt._
 
 /** Distributed GLOBAL prefix sum — the scalable replacement for the
   * single-partition `Window.orderBy(key)` that Spark plans for an ungrouped
@@ -44,7 +45,7 @@ object PrefixSum {
       .withColumn("__pid", spark_partition_id())
     // cache: the partition totals pass and the main pass must see the SAME
     // partitioning decision (range bounds are sampled per execution)
-    val materialized = keyed.localCheckpoint()
+    val materialized = keyed.ckptDisk()
     // coalesce: sum() over an all-NULL partition is NULL — without it the
     // getLong below NPEs on any range slice whose values are entirely NULL
     val offsets = materialized.groupBy($"__pid")

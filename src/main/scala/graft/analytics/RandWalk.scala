@@ -2,6 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.util.Ckpt._
 
 /** Deterministic random walks over the co-purchase graph — the walk-corpus
   * generator a node2vec/DeepWalk-style graph-embedding pipeline starts
@@ -42,7 +43,7 @@ object RandWalk {
   /** x_rand_walk — (start, walk) → the 3 hash-chosen hops. */
   def randWalk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = PageRank.edges(spark, dir).localCheckpoint()
+    val e = PageRank.edges(spark, dir).ckptDisk()
     // Deterministic ¼ start-sample (md5 hex gate) — a walk corpus is built
     // in sampled epochs, not from every node every time; the gate is the
     // same replay-stable selection the quota/stratified samplers use.

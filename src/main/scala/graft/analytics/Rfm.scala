@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
+import graft.util.Ckpt._
 import graft.util.Det
 
 /** RFM segmentation — recency / frequency / monetary quintile scoring over
@@ -41,9 +42,14 @@ object Rfm {
       .agg(count(lit(1)).as("f"), sum($"cents").as("m_cents"),
         max($"day").as("last_day"))
     val mx = pc.agg(max($"last_day").as("maxd"))
+    // One DISK_ONLY materialization of the customer aggregate: it feeds
+    // the 3-pass rank chain AND the n_cust count, and without the pin each
+    // consumer re-derives the orders scan + aggregate (round-7 driver
+    // bench: 5.2 s for a query whose work is customer-bounded).
     val base = pc.crossJoin(broadcast(mx))
       .select($"o_custkey", $"f", $"m_cents",
         ($"maxd" - $"last_day").as("r_days"))
+      .ckptDisk()
     // three global ranks, each a parallel two-phase prefix count
     val withR = PrefixSum.globalRunningSum(spark, base,
         struct($"r_days", $"o_custkey"), lit(1L))

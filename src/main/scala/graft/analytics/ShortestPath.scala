@@ -2,9 +2,9 @@ package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.io.Tables
+import graft.util.Ckpt._
 
 /** Bounded WEIGHTED shortest paths over the co-purchase graph — the
   * Bellman–Ford relaxation [[Bfs]]'s unweighted hop count cannot express:
@@ -65,10 +65,10 @@ object ShortestPath {
   def shortestPath(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = weightedEdges(spark, dir)
-      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+      .ckptDisk()
     val seeds = Tables.lineitem(spark, dir)
       .select($"l_partkey".as("node")).filter($"node" < SeedMax).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint()
+      .withColumn("dist", lit(0L)).ckptDisk()
     var dist = seeds
     var frontier = seeds
     (1 to MaxRounds).foreach { _ =>
@@ -76,7 +76,7 @@ object ShortestPath {
         .select($"dst".as("node"), ($"dist" + $"w").as("dist"))
       val merged = dist.union(cand)
         .groupBy($"node").agg(min($"dist").as("dist"))
-        .localCheckpoint()
+        .ckptDisk()
       // Next frontier: strictly-improved nodes only. A node absent from the
       // old frame joins with old=null (new discovery — improved by
       // definition); an unimproved node relaxes nothing new next round.
@@ -84,7 +84,7 @@ object ShortestPath {
         .join(dist.withColumnRenamed("dist", "old"), Seq("node"), "left")
         .filter($"old".isNull || $"dist" < $"old")
         .select($"node", $"dist")
-        .localCheckpoint()
+        .ckptDisk()
       dist = merged
       frontier = improved
     }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
+import graft.util.Ckpt._
 
 /** Cardinality sketching that survives a cross-engine hash gate.
   *
@@ -97,8 +98,8 @@ object Sketch {
       .select(when($"k" < K, $"k".cast("double"))
         .otherwise(($"k".cast("double") - 1.0) * lit(HashSpace) /
           conv($"kth", 16, 10).cast("long").cast("double")).as("est"))
-    val sa = sketch("view").localCheckpoint()
-    val sb = sketch("purchase").localCheckpoint()
+    val sa = sketch("view").ckptDisk()
+    val sb = sketch("purchase").ckptDisk()
     // union sketch = merge of the two SKETCHES (k smallest of their union)
     val su = sa.union(sb).distinct().orderBy($"h13").limit(K)
     val exact = e.filter($"event_type".isin("view", "purchase"))
@@ -167,8 +168,8 @@ object Sketch {
       .filter($"o_orderpriority" === prio)
       .select(substring(md5($"o_custkey".cast("string")), 1, 13).as("h13"))
       .distinct().orderBy($"h13").limit(K)
-    val sa = sketch("1-URGENT").localCheckpoint()
-    val sb = sketch("5-LOW").localCheckpoint()
+    val sa = sketch("1-URGENT").ckptDisk()
+    val sb = sketch("5-LOW").ckptDisk()
     // θ per sketch as an exact long: kth-min when full, 2^52 when the
     // sketch holds its entire set.
     def theta(sk: DataFrame): DataFrame = sk

@@ -2,9 +2,9 @@ package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.io.Tables
+import graft.util.Ckpt._
 
 /** Triangle counting over the co-purchase graph (same derived graph as
   * [[PageRank]]: parts are nodes, edges connect parts sharing an order) —
@@ -77,7 +77,7 @@ object Triangles {
     // round-5 driver bench medianed 18.9 s (runs 25.6/4.4/18.9) vs 3.3 s
     // isolated, same commit. Serialized disk blocks have a fixed re-read
     // cost and cannot be evicted mid-query.
-    val und = undirected(spark, dir).localCheckpoint(true, StorageLevel.DISK_ONLY)
+    val und = undirected(spark, dir).ckptDisk()
     val deg = und.select($"u".as("n")).union(und.select($"v".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("d"))
     // Orient x -> y iff (d(x), x) < (d(y), y): join both endpoint degrees in
@@ -112,7 +112,7 @@ object Triangles {
     // whole-query 5.7 s → 3.3 s).
     val adj = o.groupBy($"src")
       .agg(array_sort(collect_list($"dst")).as("nbrs"))
-      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+      .ckptDisk()
     val contrib = adj
       .select($"src", $"nbrs".as("na"), explode($"nbrs").as("dst"))
       .join(broadcast(adj.select($"src".as("dst"), $"nbrs".as("nb"))),

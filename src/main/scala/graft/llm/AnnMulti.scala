@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
 import graft.io.Tables
 import graft.llm.Similarity.cosineFast
+import graft.util.Ckpt._
 
 /** Multi-probe ANN retrieval with its recall eval — the answer to the
   * number x_ann_recall exists to surface: the single 8-bit sign-table
@@ -194,7 +195,7 @@ object AnnMulti {
     val scored = broadcast(pcell).join(lists, Seq("ccid"))
       .filter($"neighbor_id" =!= $"query_id")
       .select($"query_id", $"neighbor_id", microSim($"qv", $"nv").as("s"))
-      .localCheckpoint() // referenced twice (top-k + n_cand): one scan, not two
+      .ckptDisk() // referenced twice (top-k + n_cand): one scan, not two
     val approx = topIds(scored)
 
     val tc = truth.groupBy($"query_id").agg(count(lit(1)).as("n_true"))
@@ -540,7 +541,7 @@ object AnnMulti {
       .filter($"neighbor_id" =!= $"query_id")
       .select($"query_id", $"prn", $"neighbor_id",
         microSim($"qv", $"nv").as("s"))
-      .localCheckpoint()
+      .ckptDisk()
 
     val truth = probes.crossJoin(
         e.select($"vec_id".as("neighbor_id"), $"v".as("nv")))
@@ -558,7 +559,7 @@ object AnnMulti {
       .agg(call_function("top_k_rows", $"s", $"neighbor_id",
         lit(Similarity.RecallK)).as("top"),
         count(lit(1)).as("n_cand"))
-      .localCheckpoint() // referenced twice (overlap + base): one computation
+      .ckptDisk() // referenced twice (overlap + base): one computation
     val overlap = approx
       .select($"nprobe", $"query_id", explode($"top").as("x"))
       .select($"nprobe", $"query_id", $"x.tag".as("neighbor_id"))

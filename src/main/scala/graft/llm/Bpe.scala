@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
+import graft.util.Ckpt._
 
 /** TRUE iterative BPE training (Sennrich et al., ACL 2016) — the
   * multi-round tokenizer-training loop [[Terms.bpeMerge]]'s single-round
@@ -49,7 +50,7 @@ object Bpe {
       .select(concat(lit(" "),
         array_join(expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"),
           "  "), lit(" ")).as("s"), $"wc")
-      .localCheckpoint()
+      .ckptDisk()
     val bests = (1 to rounds).map { r =>
       val best = v
         .select(split(trim($"s"), "  ").as("syms"), $"wc")
@@ -61,12 +62,12 @@ object Bpe {
         .groupBy($"pair").agg(sum($"wc").as("n"))
         .orderBy($"n".desc, $"pair")
         .limit(1)
-        .localCheckpoint()
+        .ckptDisk()
       v = v.crossJoin(broadcast(best))
         .select(expr(
           "replace(s, ' ' || replace(pair, ' ', '  ') || ' ', " +
             "' ' || replace(pair, ' ', '') || ' ')").as("s"), $"wc")
-        .localCheckpoint()
+        .ckptDisk()
       best.select(lit(r.toLong).as("round"), $"pair",
         expr("replace(pair, ' ', '')").as("merged"), $"n")
     }

@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.util.Ckpt._
 
 /** Duplicate-cluster assignment — the step between "candidate pairs" and "a
   * deduplicated corpus". LSH emits PAIRS (a~b, b~c); keeping one doc per
@@ -85,19 +86,19 @@ object Cluster {
       driverSolveMaxPairs: Long = DriverSolveMaxPairs): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val pairRows = pairs.select($"doc_a", $"doc_b").localCheckpoint()
+    val pairRows = pairs.select($"doc_a", $"doc_b").ckptDisk()
     if (pairRows.count() <= driverSolveMaxPairs)
       return driverSolve(pairRows)
     // Symmetric closure: propagate both ways along each pair.
     val edges = pairRows
       .select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(pairRows.select($"doc_b".as("src"), $"doc_a".as("dst")))
-      .localCheckpoint()
+      .ckptDisk()
     // Materialized: round 1 references labels TWICE (join side + union
     // side) — without the checkpoint the distinct aggregate runs twice.
     var labels = edges.select($"src".as("doc_id")).distinct()
       .withColumn("label", $"doc_id")
-      .localCheckpoint()
+      .ckptDisk()
     var round = 0
     var converged = false
     while (!converged && round < MaxRounds) {
@@ -132,7 +133,7 @@ object Cluster {
         s"cc_improved_${Cluster.obsId.incrementAndGet()}")
       val next = jumped
         .observe(obs, count(when($"label" < $"prev", lit(1))).as("improved"))
-        .localCheckpoint()
+        .ckptDisk()
       val improved =
         if (round == 0) 1L else obs.get("improved").asInstanceOf[Long]
       labels = next.select($"doc_id", $"label")

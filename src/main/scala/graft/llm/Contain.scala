@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
+import graft.util.Ckpt._
 
 /** EXACT asymmetric containment join — the sub-document twin of
   * [[SimJoin]]'s symmetric Jaccard join. Containment
@@ -73,7 +74,7 @@ object Contain {
       .select($"doc_id", $"lang",
         array_distinct(Dedup.shinglesFromToks($"toks")).as("s"))
       .withColumn("sz", size($"s"))
-      .localCheckpoint()
+      .ckptDisk()
     val postings = docs.select($"doc_id", $"lang", $"sz", explode($"s").as("tok"))
     // Vocabulary ≪ token stream (Heaps' law) — broadcast the df side so the
     // rarest-first ordering is a map-side lookup (same trade as SimJoin;

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
+import graft.util.Ckpt._
 
 /** Corpus-level operators: the vocabulary histogram and the composed
   * retention filter — the two queries that turn per-doc signals into an
@@ -153,7 +154,7 @@ object CorpusFilter {
       .select($"doc_id", explode(expr(
         "transform(sequence(0, size(cs) - 3), i -> concat(cs[i], cs[i+1], cs[i+2]))"))
         .as("g"))
-      .localCheckpoint()
+      .ckptDisk()
     val vocab = grams
       .groupBy($"g").agg(count(lit(1)).as("n"))
       .orderBy($"n".desc, $"g").limit(OovVocab)
@@ -213,7 +214,7 @@ object CorpusFilter {
       .select($"doc_id", explode(expr(
         "transform(sequence(1, size(tk) - 1), i -> concat(tk[i-1], ' ', tk[i]))"))
         .as("bigram"))
-      .localCheckpoint()
+      .ckptDisk()
     val counts = grams.groupBy($"bigram").agg(count(lit(1)).as("n"))
     grams.join(counts, "bigram")
       .groupBy($"doc_id")

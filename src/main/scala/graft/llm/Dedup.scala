@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
+import graft.util.Ckpt._
 
 /** Deduplication operators for training-data pipelines over `documents`.
   *
@@ -234,7 +235,7 @@ object Dedup {
     // lost-executor resilient — on a real cluster swap for
     // persist(StorageLevel.DISK_ONLY) or a reliable checkpoint dir.
     val docs = Tables.documents(spark, dir)
-    jaccardOver(docs, dedupMinhashOver(bandsOver(docs)).localCheckpoint())
+    jaccardOver(docs, dedupMinhashOver(bandsOver(docs)).ckptDisk())
   }
 
   /** Exact Jaccard scoring of a MATERIALIZED candidate-pair set over any

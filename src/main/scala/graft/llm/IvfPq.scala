@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.io.Tables
 import graft.llm.Similarity.cosineFast
+import graft.util.Ckpt._
 
 /** IVF-PQ — the billion-scale ANN architecture (Jégou et al. 2011, the
   * layout behind FAISS's workhorse index): an [[Ivf]]-style coarse
@@ -73,7 +74,7 @@ object IvfPq {
     // aggregates all sit on ep — without the checkpoint each action
     // re-executes the scan + exchange (measured 3.6 s vs 2.0 s at sf0.1).
     val ep = e.repartition(spark.sparkContext.defaultParallelism, $"vec_id")
-      .localCheckpoint()
+      .ckptDisk()
 
     // coarse quantizer: stride-seeded centroids, 6dp-rounded cosine argmax
     val n = ep.count()

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
+import graft.util.Ckpt._
 
 /** EXACT set-similarity join via prefix filtering (the PPJoin family:
   * Xiao et al., "Efficient Similarity Joins for Near Duplicate Detection",
@@ -74,7 +75,7 @@ object SimJoin {
       .filter(size($"toks") >= 3)
       .select($"doc_id", $"lang",
         array_distinct(Dedup.shinglesFromToks($"toks")).as("s"))
-      .localCheckpoint()
+      .ckptDisk()
     val tok = docs.select($"doc_id", $"lang", explode($"s").as("tok"))
     // The vocabulary is tiny next to the token stream (Heaps' law) —
     // broadcast it so the df lookup is map-side and the whole prefix
@@ -98,7 +99,7 @@ object SimJoin {
           slice($"ft", lit(1),
             $"sz" - expr(s"(sz * $TauNum + $TauDen - 1) DIV $TauDen") + 1),
           x => x("tok"))).as("tok"))
-      .localCheckpoint()
+      .ckptDisk()
     val cand = prefixes.as("a").join(prefixes.as("b"),
         $"a.tok" === $"b.tok" && $"a.lang" === $"b.lang" &&
           $"a.doc_id" < $"b.doc_id" &&

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
 import graft.io.Tables
+import graft.util.Ckpt._
 
 /** Similarity search over the `embeddings` table (embedding: array<float>,
   * dim 64). Brute-force cosine top-k as the exact baseline, and an
@@ -720,7 +721,7 @@ object Similarity {
       .filter($"sim" >= RateCurveThresholds.min)
       .select($"vec_a", $"vec_b", $"sim")
       .distinct()
-      .localCheckpoint() // one scored candidate set serves all four points
+      .ckptDisk() // one scored candidate set serves all four points
     val nTotal = e.agg(count(lit(1)).as("n_total"))
     val points = RateCurveThresholds.toDF("threshold")
     val perT = broadcast(points).join(pairs, $"sim" >= $"threshold")

@@ -134,6 +134,31 @@ object LshDedup {
       ttlMs: Long = 60L * 60 * 1000): Dataset[BandDecision] =
     bucketDecisions(bandArrivals(docs, watermark), ttlMs)
 
+  /** The decision stream's OUTPUT PATH: batch_id-partitioned parquet via
+    * foreachBatch + dynamic partition overwrite. The exactly-once contract
+    * is the idempotent-replay one: after a failure Structured Streaming
+    * re-runs the last micro-batch under the SAME batchId, the rewrite
+    * replaces exactly that batch's partition, and — because
+    * [[bucketDecisions]] orders each batch by (tsMs, doc_id) before
+    * claiming — the replayed payload is row-identical to the original, so
+    * the sink converges instead of accumulating duplicates. This is the
+    * same contract an idempotent Kafka producer provides via
+    * (producer-id, epoch, sequence); parquet partitions stand in for the
+    * broker here (no broker in the test environment — the serializer
+    * contract is pinned separately by EventGenSpec). LshDedupSinkSpec
+    * replays the final batch against a live sink and proves the no-op.
+    */
+  def decisionsSink(
+      decisions: Dataset[BandDecision],
+      outRoot: String,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[BandDecision] =
+    decisions.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: Dataset[BandDecision], id: Long) =>
+        Streaming.writeBatch(b.toDF(), id, outRoot)
+      }
+
   /** Batch roll-up (for foreachBatch sinks or tests): a doc is a near-dup
     * candidate iff ANY of its bands hit a bucket claimed by an EARLIER doc;
     * `dup_of` is the smallest such claimant, NULL for keepers.

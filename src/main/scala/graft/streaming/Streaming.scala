@@ -280,18 +280,25 @@ object Streaming {
   def keepLatestTracker(events: Dataset[CdcEvent]): Dataset[LatestRow] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[LatestState, LatestRow](
-        GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[LatestState, LatestRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[CdcEvent], state: GroupState[LatestState]) =>
-          var cur = state.getOption
+          val prev = state.getOption
+          var cur = prev
           rows.foreach { e =>
             if (cur.forall(s =>
                 e.tus > s.tus || (e.tus == s.tus && e.event_id > s.event_id)))
               cur = Some(LatestState(e.event_id, e.tus, e.event_type, e.value))
           }
-          val s = cur.get // the group had at least one row this batch
-          state.update(s)
-          LatestRow(uid, s.event_id, s.tus, s.event_type, s.value)
+          // Emit ONLY when state advanced: a batch whose rows were all
+          // stale must not re-emit the unchanged row — a downstream CDC
+          // sink would re-upsert a no-op (and at scale, every late
+          // straggler batch would re-touch every key it mentions).
+          if (cur != prev) {
+            val s = cur.get
+            state.update(s)
+            Iterator.single(LatestRow(uid, s.event_id, s.tus, s.event_type, s.value))
+          } else Iterator.empty
       }
   }
 

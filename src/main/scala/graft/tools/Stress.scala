@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.llm.{Cluster, Dedup, Semantic}
+import graft.util.Ckpt._
 
 /** Scale-stress harness for the dedup pipeline: generates an N-doc corpus
   * with PLANTED near-duplicate groups (deterministically, from murmur3 of
@@ -64,7 +65,7 @@ object Stress {
         .otherwise(concat(lit("cold"), pmod(hash($"id", lit(7)), lit(1000000))))
         .as("token"))
       .withColumn("h", xxhash64($"token"))
-      .localCheckpoint()
+      .ckptDisk()
     val viaSketch = timed("mg candidates + exact rescan") {
       val cand = toks.agg(call_function("mg_candidates", $"h", lit(512)).as("c"))
         .select(explode($"c").as("h"))
@@ -105,7 +106,7 @@ object Stress {
         transform(sequence(lit(0), lit(63)), j =>
           (pmod(hash(base * 31 + j, lit(11)), lit(1000)).cast("double") / 1000.0)
             - 0.5).as("v"))
-      .localCheckpoint()
+      .ckptDisk()
     val losers = timed(s"semantic dedup (nlist=1024, tau=0.6) over $n vectors") {
       Semantic.semanticDedupOver(spark, vecs, nlist = 1024, tau = 0.6)
         .select($"loser_id").as[Long].collect().toSet
@@ -143,7 +144,7 @@ object Stress {
         transform(sequence(lit(0), lit(63)), j =>
           (pmod(hash(base * 31 + j, lit(11)), lit(1000)).cast("double") / 1000.0)
             - 0.5).as("v"))
-      .localCheckpoint()
+      .ckptDisk()
     val probes = vecs.filter(pmod($"vec_id", lit(100)) === 1)
       .select($"vec_id".as("query_id"), $"v".as("qv"))
     val nlist = math.max(16, math.sqrt(n.toDouble).toInt)
@@ -196,7 +197,7 @@ object Stress {
         transform(sequence(lit(0), lit(63)), j =>
           (pmod(hash(base * 31 + j, lit(11)), lit(1000)).cast("double") / 1000.0)
             - 0.5).as("v"))
-      .localCheckpoint()
+      .ckptDisk()
     val probes = vecs.filter(pmod($"vec_id", lit(100)) === 1)
       .select($"vec_id".as("query_id"), $"v".as("qv"))
     val nlist = math.max(16, math.sqrt(n.toDouble).toInt)
@@ -204,7 +205,7 @@ object Stress {
       graft.llm.AnnMulti.searchOver(spark, vecs, probes, nlist, nProbe = 8, topK = 10)
         .filter($"rnk" === 1)
         .select($"query_id", $"neighbor_id", $"micro_sim")
-        .localCheckpoint()
+        .ckptDisk()
     }
     val nProbes = top1.count()
     val bad = top1.filter($"neighbor_id" =!= $"query_id" - 1 ||
@@ -234,7 +235,7 @@ object Stress {
       println(f"[stress] $what: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
     }
     val docs = corpus(spark, n)
-      .withColumn("lang", lit("en")).localCheckpoint()
+      .withColumn("lang", lit("en")).ckptDisk()
     val pairs = timed(s"ppjoin (prefix+length+lang filters, tau=0.6) over $n docs") {
       graft.llm.SimJoin.jaccardJoinOver(docs)
         .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
@@ -343,11 +344,11 @@ object Stress {
       r
     }
 
-    val docs = corpus(spark, n).localCheckpoint() // generation cost excluded
+    val docs = corpus(spark, n).ckptDisk() // generation cost excluded
     println(s"[stress] corpus: $n docs in groups of $GroupSize, $DocTokens tokens each")
 
     val pairs = timed("signatures -> LSH bands -> capped pairs") {
-      Dedup.dedupMinhashOver(Dedup.bandsOver(docs)).localCheckpoint()
+      Dedup.dedupMinhashOver(Dedup.bandsOver(docs)).ckptDisk()
     }
     val nPairs = pairs.count()
     def intraOf(p: org.apache.spark.sql.DataFrame): Long =
@@ -364,7 +365,7 @@ object Stress {
     val verified = timed("jaccard verify stage") {
       Dedup.jaccardOver(docs, pairs)
         .filter($"jaccard" >= Cluster.VerifyThreshold)
-        .select($"doc_a", $"doc_b").localCheckpoint()
+        .select($"doc_a", $"doc_b").ckptDisk()
     }
     val nVerified = verified.count()
 
@@ -375,7 +376,7 @@ object Stress {
         .write.format("noop").mode("overwrite").save()
     }
     val clusters = timed("connected components (hybrid gate)") {
-      Cluster.componentsOver(verified).localCheckpoint()
+      Cluster.componentsOver(verified).ckptDisk()
     }
     val nClustered = clusters.count()
     val nClusters = clusters.filter($"is_keeper").count()

@@ -1,0 +1,37 @@
+package graft.util
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.storage.StorageLevel
+
+/** The ONE way this codebase truncates iterative lineage.
+  *
+  * `df.localCheckpoint()` defaults to deserialized MEMORY_AND_DISK blocks —
+  * fine in isolation, but inside a long suite those on-heap blocks compete
+  * with every later query's execution memory, and the measured effect is
+  * suite-position-sensitive timings (docs/BENCH_NOTES.md #30: x_pagerank
+  * 5.4 s isolated vs 14.9 s mid-suite; round-7 driver run: x_rand_walk
+  * 20.6 s — the one graph substrate that had missed the pin). DISK_ONLY
+  * stores the serialized blocks off-heap-of-the-JVM entirely: checkpoint
+  * reads pay a local-disk round trip (sub-second for every frame we pin —
+  * these are edge lists, frontiers, and candidate sets, not the fact
+  * table), and the heap stays owned by whoever is executing NOW.
+  *
+  * Every lineage-truncation site in src/main goes through [[CkptOps
+  * .ckptDisk]] so the storage level is a single decision, not a per-file
+  * convention that new modules can silently miss (exactly how RandWalk
+  * regressed in round 7).
+  *
+  * Same caveat as always applies to localCheckpoint in any form: blocks
+  * live in executor storage, so executor loss loses them — a multi-tenant
+  * production run with preemption would use `spark.sparkContext
+  * .setCheckpointDir` + reliable `checkpoint()` instead. Single-JVM
+  * local[n] (this bench) and dedicated clusters take the cheaper local
+  * form deliberately.
+  */
+object Ckpt {
+  implicit class CkptOps[T](private val ds: Dataset[T]) extends AnyVal {
+    /** Eager localCheckpoint with serialized DISK_ONLY block storage. */
+    def ckptDisk(): Dataset[T] =
+      ds.localCheckpoint(true, StorageLevel.DISK_ONLY)
+  }
+}

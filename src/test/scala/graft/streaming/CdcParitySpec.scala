@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.SparkSpec
 import graft.io.Tables
 
-/** Stream/batch parity for CDC keep-latest: the mapGroupsWithState
+/** Stream/batch parity for CDC keep-latest: the flatMapGroupsWithState
   * tracker fed the fixture events in event_id-PARITY-split batches (so
   * each batch carries rows OLDER than state the other batch already
   * installed — the out-of-order arrival a real CDC stream produces)
@@ -55,5 +55,18 @@ class CdcParitySpec extends SparkSpec {
     // batch also carried rows for that user.
     val oddUsers = oddIds.map(_.user_id).toSet
     assert(batch.values.exists(r => r.event_id % 2 == 0 && oddUsers.contains(r.user_id)))
+    // no-op suppression: a user whose entire second batch was stale must
+    // have exactly ONE emitted row (the pre-round-8 tracker re-emitted
+    // unchanged state for every batch that merely touched the group —
+    // a real CDC sink would re-upsert no-op rows on every straggler).
+    val emitted = spark.table("cdc_parity").as[Streaming.LatestRow].collect()
+    val staleSecondBatch = batch.collect {
+      case (u, r) if r.event_id % 2 == 0 && oddUsers.contains(u) => u
+    }
+    assert(staleSecondBatch.nonEmpty)
+    staleSecondBatch.foreach { u =>
+      assert(emitted.count(_.user_id == u) == 1,
+        s"user $u re-emitted despite an all-stale batch")
+    }
   }
 }
