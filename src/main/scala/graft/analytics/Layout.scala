@@ -69,7 +69,11 @@ object Layout {
     * pruner must read for the box, rows inside those files, true matching
     * rows, and scan amplification (rows_scanned per 1000 matching rows).
     */
-  def zorderPrune(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared layout assignment: each order row under BOTH layouts with
+    * its file id — the frame the declared plan query scores and the
+    * executing rewrite [[zorderExecute]] writes.
+    */
+  private def taggedLayouts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = Tables.orders(spark, dir).select(
       $"o_custkey".cast("long").as("u"),
@@ -81,7 +85,7 @@ object Layout {
     val norm = base.crossJoin(broadcast(ranges))
       .withColumn("u_n", expr("((u - ulo) * 65535) div greatest(uhi - ulo, 1)"))
       .withColumn("v_n", expr("((v - vlo) * 65535) div greatest(vhi - vlo, 1)"))
-    val tagged = norm
+    norm
       .withColumn("z", morton($"u_n", $"v_n"))
       .select($"u", $"v", explode(array(
         struct(lit("zorder").as("layout"),
@@ -89,7 +93,15 @@ object Layout {
         struct(lit("linear").as("layout"),
           shiftright($"v_n", 16 - FileBits).as("file")))).as("lf"))
       .select($"lf.layout".as("layout"), $"lf.file".as("file"), $"u", $"v")
-    val fileStats = tagged
+  }
+
+  def zorderPrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.orders(spark, dir).select(
+      $"o_custkey".cast("long").as("u"),
+      datediff(to_date($"o_orderdate"), lit("1970-01-01").cast("date"))
+        .cast("long").as("v"))
+    val fileStats = taggedLayouts(spark, dir)
       .groupBy($"layout", $"file")
       .agg(count(lit(1)).as("n"),
         min($"u").as("u_min"), max($"u").as("u_max"),
@@ -110,6 +122,24 @@ object Layout {
         expr("(rows_scanned * 1000) div rows_matching")
           .as("amp_permille"))
       .orderBy($"layout")
+  }
+
+  /** EXECUTES both layouts [[zorderPrune]] only scores: writes the orders
+    * projection to parquet clustered exactly as the plan's file ids say —
+    * one shuffle on (layout, file) and a partitioned write, one data file
+    * per (layout, file) directory. Because the executed grouping IS the
+    * plan's grouping, the real files' column min/max footprints must
+    * reproduce the declared query's `files_hit` / `rows_scanned` numbers
+    * exactly — ZorderRoundTripSpec recomputes the pruning verdict from
+    * the written files and gates it against [[zorderPrune]]'s own output.
+    * At 100 TB this is the writer half of layout maintenance: the scored
+    * plan picks the key geometry; this rewrite pays for it once.
+    */
+  def zorderExecute(spark: SparkSession, dir: String, outPath: String): Unit = {
+    import spark.implicits._
+    taggedLayouts(spark, dir)
+      .repartition($"layout", $"file")
+      .write.mode("overwrite").partitionBy("layout", "file").parquet(outPath)
   }
 
   val zorderPruneSql: String =

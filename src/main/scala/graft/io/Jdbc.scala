@@ -37,6 +37,54 @@ object Jdbc {
       .mode(mode)
       .save()
 
+  /** Exactly-once (in row terms) micro-batch JDBC sink — the foreachBatch
+    * recipe for the reference's daily-KPIs Postgres leg. Structured
+    * Streaming re-runs a failed micro-batch under the SAME batchId, so the
+    * write must converge under replay: delete this batch's rows by
+    * `batch_id`, then append the payload stamped with it — the JDBC
+    * analogue of the parquet sink's dynamic partition overwrite
+    * ([[graft.streaming.Streaming]] writeBatch). The delete is ONE
+    * driver-side statement on the (indexable) batch key; the insert is the
+    * ordinary batched parallel write. The two statements are not one
+    * transaction — a crash between them leaves a MISSING batch that the
+    * replay itself repairs, never a duplicate: at-least-once delete +
+    * idempotent re-insert is the standard converge-under-replay contract.
+    */
+  def writeBatchIdempotent(
+      batch: DataFrame,
+      batchId: Long,
+      url: String,
+      table: String,
+      user: String,
+      password: String,
+      driver: String = "org.postgresql.Driver",
+      batchSize: Int = 10000): Unit = {
+    Class.forName(driver)
+    val conn = java.sql.DriverManager.getConnection(url, user, password)
+    try {
+      // first-batch bootstrap: the sink table is created by the first
+      // append below (Spark's JDBC append creates a missing table), so
+      // the keyed delete only runs once the table exists — probed via
+      // metadata, not a swallowed exception, so real errors stay loud
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      val exists =
+        try Iterator.continually(rs).takeWhile(_.next())
+          .exists(_.getString(3).equalsIgnoreCase(table))
+        finally rs.close()
+      if (exists) {
+        // Spark's JDBC writer quotes column identifiers on CREATE, so the
+        // stored column is the case-sensitive "batch_id" — the delete must
+        // quote it the same way (ANSI double quotes: Derby + Postgres)
+        val st = conn.prepareStatement(
+          s"""DELETE FROM $table WHERE "batch_id" = ?""")
+        try { st.setLong(1, batchId); st.executeUpdate() } finally st.close()
+      }
+    } finally conn.close()
+    write(batch.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId)),
+      url, table, user, password, mode = "append",
+      driver = driver, batchSize = batchSize)
+  }
+
   /** Parallel partitioned read: numPartitions concurrent range scans on a
     * numeric column — without these options a JDBC read is a single-task
     * bottleneck regardless of cluster size.

@@ -63,4 +63,26 @@ class JdbcSpec extends SparkSpec {
       numPartitions = 2, driver = DerbyDriver)
     assert(back.count() == 6)
   }
+
+  test("batch_id-keyed delete-then-append converges under micro-batch replay") {
+    val u = url("replay")
+    // bootstrap the sink table with batch 0 (the column set a foreachBatch
+    // JDBC sink owns: payload + batch_id)
+    Jdbc.writeBatchIdempotent(kpis.filter($"id" <= 3), 0L, u, "kpi_sink",
+      user = "app", password = "", driver = DerbyDriver)
+    Jdbc.writeBatchIdempotent(kpis.filter($"id" > 3), 1L, u, "kpi_sink",
+      user = "app", password = "", driver = DerbyDriver)
+    def rows() = Jdbc.readPartitioned(spark, u, "kpi_sink",
+      user = "app", password = "",
+      partitionColumn = "id", lowerBound = 1L, upperBound = 7L,
+      numPartitions = 2, driver = DerbyDriver)
+      .select($"batch_id", $"id").as[(Long, Long)].collect().toSet
+    val before = rows()
+    assert(before == Set((0L, 1L), (0L, 2L), (0L, 3L), (1L, 4L), (1L, 5L), (1L, 6L)))
+    // failure recovery: the SAME batchId re-delivers the SAME payload —
+    // a plain append would duplicate batch 1; the keyed delete converges
+    Jdbc.writeBatchIdempotent(kpis.filter($"id" > 3), 1L, u, "kpi_sink",
+      user = "app", password = "", driver = DerbyDriver)
+    assert(rows() == before)
+  }
 }
