@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Anomaly, AsOf, Attribution, Basket, Benford, Bfs, Bitmap, BloomJoin, BottomK, Intervals, CardEst, Cohort, Diff, Experiment, Forecast, Hll, Journey, Layout, Neighbors, PageRank, Paths, PrefixSum, RandWalk, Relational, Rfm, Scd, Series, Sessions, ShortestPath, Sketch, Skew, Stats, Tpch, TpchPs, Triangles, Twap, Upsert, Warehouse}
+import graft.analytics.{Anomaly, AsOf, Attribution, Basket, Benford, Bfs, Bitmap, BloomJoin, BottomK, Intervals, CardEst, Cohort, Diff, Experiment, Forecast, Hll, Incremental, Journey, Layout, Neighbors, PageRank, Paths, PrefixSum, RandWalk, Relational, Rfm, Scd, Series, Sessions, ShortestPath, Sketch, Skew, Stats, Tpch, TpchPs, Triangles, Twap, Upsert, Warehouse}
 import graft.dq.DataQuality
 import graft.io.Ingest
 import graft.llm.{AnnMulti, Bpe, Cluster, Contain, CorpusFilter, DataCard, Dedup, Drift, EditJoin, EmbedStats, Eval, FeatureHash, Ivf, IvfPq, LangId, Pack, Pq, Privacy, Retrieval, Semantic, SimHash, SimJoin, Similarity, SpanDedup, Terms, TextClean, TextOps, WeakLabel}
@@ -34,6 +34,7 @@ object SparkEntry {
       ShortestPath.queries ++
       BottomK.queries ++
       Intervals.queries ++
+      Incremental.queries ++
       PrefixSum.queries ++
       Triangles.queries ++
       Tpch.queries ++
@@ -108,6 +109,7 @@ object SparkEntry {
       ShortestPath.oracles ++
       BottomK.oracles ++
       Intervals.oracles ++
+      Incremental.oracles ++
       PrefixSum.oracles ++
       Triangles.oracles ++
       Tpch.oracles ++

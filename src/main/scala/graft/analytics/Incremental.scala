@@ -1,0 +1,89 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.util.Ckpt._
+import graft.util.Det
+
+/** Incremental aggregate maintenance — materialized-view refresh as an
+  * operator. A production warehouse never re-aggregates 100 TB of history
+  * when a day of deltas lands; it keeps the summary table and MERGES the
+  * new slice's partial aggregate into it (counts/sums add, mins/maxes
+  * compare — the commutative-monoid property every mergeable summary in
+  * this repo leans on, here applied to the plain relational aggregate).
+  * The declared query PROVES that maintenance discipline converges: the
+  * event history is replayed as its chronological month-slices, each
+  * folded into the running per-user state exactly as an incremental
+  * refresh job would, and the oracle is the direct one-shot aggregate —
+  * the hash gate certifies fold(deltas) ≡ recompute(all), including the
+  * count/sum-of-counts distinction the merge leg must get right.
+  *
+  * Scale shape: each refresh round is one hash aggregate of the DELTA
+  * (the only data that is new) plus one co-partitioned merge with the
+  * key-partitioned state — at 100 TB the state is bucketed on user and
+  * the merge is exchange-free; here both sides shuffle once on the same
+  * key. State is DISK_ONLY-checkpointed per round ([[graft.util.Ckpt]])
+  * — it is read by exactly the next round, and an O(rounds) lineage
+  * would otherwise re-execute the whole history per action (the 2^k
+  * iterative-lineage trap). The month list is a driver-side collect
+  * bounded by the CALENDAR (≤ a few dozen entries at any corpus size),
+  * the same bounded-collect pattern as the IVF centroid seeds.
+  */
+object Incremental {
+
+  /** x_incr_agg — per-user lifetime summary maintained by chronological
+    * month-delta folds; provably identical to the direct aggregate.
+    */
+  def incrAgg(spark: SparkSession, dir: String): DataFrame =
+    incrAggOver(Tables.events(spark, dir))
+
+  /** Same fold over any (user_id, value, ts) frame — the spec's seam. */
+  def incrAggOver(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events.select(
+      $"user_id",
+      Det.cents($"value").as("cents"),
+      datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+        .cast("long").as("day"),
+      trunc(to_date($"ts"), "month").as("mth"))
+    val months = ev.select($"mth").distinct().orderBy($"mth")
+      .as[java.sql.Date].collect()
+    var state: DataFrame = null
+    months.foreach { m =>
+      val delta = ev.filter($"mth" === m)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"cents").as("sum_cents"),
+          min($"day").as("min_day"),
+          max($"day").as("max_day"))
+      state =
+        if (state == null) delta.ckptDisk()
+        else state.unionByName(delta)
+          .groupBy($"user_id")
+          .agg(sum($"n_events").as("n_events"),
+            sum($"sum_cents").as("sum_cents"),
+            min($"min_day").as("min_day"),
+            max($"max_day").as("max_day"))
+          .ckptDisk()
+    }
+    state.orderBy($"user_id")
+  }
+
+  val incrAggSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      | CAST(min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS BIGINT) AS min_day,
+      | CAST(max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS BIGINT) AS max_day
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_incr_agg" -> (incrAgg _))
+
+  val oracles: Map[String, String] = Map(
+    "x_incr_agg" -> incrAggSql)
+}

@@ -1,0 +1,57 @@
+package graft.analytics
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** The incremental-refresh fold must equal the direct aggregate on inputs
+  * that exercise every merge law separately: counts ADD across slices
+  * (not count-of-counts), sums add including negatives, min comes from an
+  * EARLY slice while max comes from a LATE one for the same user, and a
+  * user absent from intermediate slices survives the fold unchanged.
+  */
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(uid: Long, t: String, v: Double) =
+    (uid, Timestamp.valueOf(t), v)
+
+  test("month-delta fold equals the direct aggregate under cross-slice mins, gaps, and negatives") {
+    val events = Seq(
+      // user 1: present in all three months; min_day in month 1, max in month 3
+      ev(1L, "2024-01-05 10:00:00", 10.25),
+      ev(1L, "2024-02-10 10:00:00", -3.75),
+      ev(1L, "2024-03-20 10:00:00", 1.00),
+      // user 2: only the FIRST month — state must ride untouched through
+      // two merges it takes no part in
+      ev(2L, "2024-01-07 09:00:00", 5.50),
+      ev(2L, "2024-01-08 09:00:00", 4.50),
+      // user 3: only the LAST month — enters the fold late
+      ev(3L, "2024-03-01 00:00:00", 7.00))
+      .toDF("user_id", "ts", "value")
+
+    val got = Incremental.incrAggOver(events)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+
+    def day(d: String): Long = java.time.LocalDate.parse(d).toEpochDay
+    assert(got == Seq(
+      (1L, 3L, 750L, day("2024-01-05"), day("2024-03-20")),
+      (2L, 2L, 1000L, day("2024-01-07"), day("2024-01-08")),
+      (3L, 1L, 700L, day("2024-03-01"), day("2024-03-01"))))
+
+    // and the fold is slice-count invariant: same result directly
+    val direct = events
+      .selectExpr("user_id",
+        "cast(round(value * 100) as long) AS cents",
+        "cast(datediff(to_date(ts), date '1970-01-01') as long) AS day")
+      .groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_events"),
+        org.apache.spark.sql.functions.sum($"cents").as("sum_cents"),
+        org.apache.spark.sql.functions.min($"day").as("min_day"),
+        org.apache.spark.sql.functions.max($"day").as("max_day"))
+      .orderBy($"user_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == direct)
+  }
+}
