@@ -51,7 +51,15 @@ object Incremental {
       trunc(to_date($"ts"), "month").as("mth"))
     val months = ev.select($"mth").distinct().orderBy($"mth")
       .as[java.sql.Date].collect()
-    var state: DataFrame = null
+    // empty history → empty summary with the declared schema (a refresh
+    // job's first run against a not-yet-landed source must not throw)
+    val empty = ev.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"cents").as("sum_cents"),
+        min($"day").as("min_day"),
+        max($"day").as("max_day"))
+      .limit(0)
+    var state: DataFrame = empty
     months.foreach { m =>
       val delta = ev.filter($"mth" === m)
         .groupBy($"user_id")
@@ -59,15 +67,13 @@ object Incremental {
           sum($"cents").as("sum_cents"),
           min($"day").as("min_day"),
           max($"day").as("max_day"))
-      state =
-        if (state == null) delta.ckptDisk()
-        else state.unionByName(delta)
-          .groupBy($"user_id")
-          .agg(sum($"n_events").as("n_events"),
-            sum($"sum_cents").as("sum_cents"),
-            min($"min_day").as("min_day"),
-            max($"max_day").as("max_day"))
-          .ckptDisk()
+      state = state.unionByName(delta)
+        .groupBy($"user_id")
+        .agg(sum($"n_events").as("n_events"),
+          sum($"sum_cents").as("sum_cents"),
+          min($"min_day").as("min_day"),
+          max($"max_day").as("max_day"))
+        .ckptDisk()
     }
     state.orderBy($"user_id")
   }

@@ -54,4 +54,13 @@ class IncrementalSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(got == direct)
   }
+
+  test("empty history yields an empty summary with the declared schema, not a throw") {
+    val none = Seq.empty[(Long, Timestamp, Double)]
+      .toDF("user_id", "ts", "value")
+    val out = Incremental.incrAggOver(none)
+    assert(out.columns.toSeq ==
+      Seq("user_id", "n_events", "sum_cents", "min_day", "max_day"))
+    assert(out.count() == 0)
+  }
 }
