@@ -63,7 +63,6 @@ object PageRank {
     * top-20 cut.
     */
   def ranks(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     // The edge set appears once per iteration in the final plan; without
     // materialization Spark re-runs the self-join + distinct each time
     // (measured 9.4 s -> ~2 s at sf0.1). localCheckpoint truncates lineage
@@ -83,7 +82,17 @@ object PageRank {
     // driver bench: 20.4/14.6/12.4 s vs 3.6 s isolated). Serialized disk
     // blocks cost one stable re-read per iteration and CANNOT be evicted
     // mid-query, making the cost insensitive to suite position.
-    val e = edges(spark, dir).ckptDisk()
+    ranksOver(edges(spark, dir).ckptDisk())
+  }
+
+  /** Same [[Iterations]]-step integer PageRank over any directed edge
+    * frame (src, dst) — distinct edges, ideally already src-partitioned
+    * and lineage-truncated like [[edges]] delivers. The seam the
+    * scale-stress harness drives with synthetic multi-million-edge graphs.
+    */
+  private[graft] def ranksOver(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
     val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
     val nNodes = deg.agg(count(lit(1)).as("n"))
     // The static (node, deg, n) frame is materialized once; each iteration

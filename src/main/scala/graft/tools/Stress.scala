@@ -299,6 +299,106 @@ object Stress {
     hllOk && bmOk
   }
 
+  /** Graph-tier stress: PageRank + connected components over a SYNTHETIC
+    * planted-structure graph several times the bench fixture's edge count —
+    * the "would the iterative tier survive a much bigger graph" evidence
+    * the fixed sf0.1 co-purchase graph (2.4M directed edges) can't give.
+    *
+    * Structure: `n` nodes in disjoint 4-cliques, plus [[GraphHubs]] star
+    * hubs of [[GraphLeaves]] dedicated leaves each. Every invariant below
+    * is EXACT, not statistical:
+    *  - all clique nodes are structurally identical (degree 3, symmetric
+    *    neighborhoods), so after any number of exact integer PR steps they
+    *    all carry the SAME rank — `countDistinct(rank) == 1` over n nodes
+    *    is simultaneously a symmetry check and a corpus-wide determinism
+    *    check (one drifting partition would split the value);
+    *  - hubs aggregate their leaves' mass, so the top-[[GraphHubs]] ranks
+    *    are exactly the hub ids, strictly above the clique level;
+    *  - integer flooring leaks strictly less than one unit per division,
+    *    so total mass lands in (TotalMass − bound, TotalMass];
+    *  - components must recover exactly n/4 cliques of size 4 plus
+    *    [[GraphHubs]] stars of size leaves+1, through the DISTRIBUTED
+    *    pointer-jumping path (the pair count clears the driver-solve gate).
+    */
+  val GraphHubs = 10
+  val GraphLeaves = 5000L
+
+  def runGraph(spark: SparkSession, n: Long): Boolean = {
+    import spark.implicits._
+    require(n % 4 == 0, "clique-node count must be a multiple of 4")
+    def timed[T](what: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[stress] $what: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+    }
+    val hubBase = n
+    val leafBase = n + GraphHubs
+    // directed clique edges: each node to its 3 siblings (map-side explode)
+    val clique = spark.range(n)
+      .select($"id".as("src"), explode(expr("sequence(0, 3)")).as("j"))
+      .select($"src", (($"src" - ($"src" % 4)) + $"j").as("dst"))
+      .where($"src" =!= $"dst")
+    // star edges: hub h ↔ its dedicated leaves, both directions
+    val hubLeaf = spark.range(GraphHubs * GraphLeaves)
+      .select((lit(hubBase) + ($"id" / GraphLeaves).cast("long")).as("hub"),
+        (lit(leafBase) + $"id").as("leaf"))
+    val e = timed("edge build + checkpoint") {
+      clique
+        .union(hubLeaf.select($"hub".as("src"), $"leaf".as("dst")))
+        .union(hubLeaf.select($"leaf".as("src"), $"hub".as("dst")))
+        .repartition(spark.sparkContext.defaultParallelism, $"src")
+        .ckptDisk()
+    }
+    val nEdges = e.count()
+    val nNodes = n + GraphHubs + GraphHubs * GraphLeaves
+    println(s"[stress] $nNodes nodes, $nEdges directed edges " +
+      s"(${n / 4} cliques + $GraphHubs stars of $GraphLeaves)")
+
+    val r = timed(s"pagerank ${graft.analytics.PageRank.Iterations} iterations") {
+      graft.analytics.PageRank.ranksOver(e).ckptDisk()
+    }
+    val cliqueRanks = r.filter($"part" < n)
+      .agg(countDistinct($"rank").cast("long"), min($"rank").cast("long"))
+      .as[(Long, Long)].head()
+    val topHubs = r.orderBy($"rank".desc, $"part").limit(GraphHubs)
+      .select($"part", $"rank").as[(Long, Long)].collect()
+    val mass = r.agg(sum($"rank").cast("long")).as[Long].head()
+    val M = graft.analytics.PageRank.TotalMass
+    val iters = graft.analytics.PageRank.Iterations
+    // per iteration: < 1 unit per edge (rank DIV deg), < 3 per node (two
+    // floored terms + teleport share); plus the initial M DIV n floor
+    val lossBound = iters.toLong * (nEdges + 3 * nNodes) + nNodes
+    val symOk = cliqueRanks._1 == 1
+    val hubsOk = topHubs.map(_._1).toSet ==
+      (hubBase until hubBase + GraphHubs).toSet &&
+      topHubs.map(_._2).min > cliqueRanks._2
+    val massOk = mass <= M && mass > M - lossBound
+    println(s"[stress] clique symmetry: ${cliqueRanks._1} distinct rank value(s); " +
+      s"hub floor=${topHubs.map(_._2).min} vs clique=${cliqueRanks._2}; " +
+      s"mass=$mass of $M (loss bound $lossBound)")
+
+    // undirected unique pairs for components: src < dst halves the edges
+    val comps = timed("connected components (distributed path)") {
+      Cluster.componentsOver(
+        e.where($"src" < $"dst")
+          .select($"src".as("doc_a"), $"dst".as("doc_b")),
+        driverSolveMaxPairs = 0L) // force the pointer-jumping path
+        .ckptDisk()
+    }
+    val sizes = comps.groupBy($"cluster_id")
+      .agg(count(lit(1)).as("sz"))
+      .groupBy($"sz").agg(count(lit(1)).as("n_comp"))
+      .as[(Long, Long)].collect().toMap
+    val compOk = sizes.get(4L).contains(n / 4) &&
+      sizes.get(GraphLeaves + 1).contains(GraphHubs.toLong) &&
+      sizes.size == 2
+    println(s"[stress] component size histogram: $sizes " +
+      s"(expect {4 -> ${n / 4}, ${GraphLeaves + 1} -> $GraphHubs})")
+
+    val ok = symOk && hubsOk && massOk && compOk
+    println(s"[stress] structure recovered: ${if (ok) "YES" else "NO"}")
+    ok
+  }
+
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 200000L
     val scenario = if (args.length > 1) args(1) else "dedup"
@@ -312,6 +412,10 @@ object Stress {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    if (scenario == "graph") {
+      val ok = runGraph(spark, n)
+      spark.stop(); if (!ok) sys.exit(1); return
+    }
     if (scenario == "hh") {
       val ok = runHeavyHitters(spark, n)
       spark.stop(); if (!ok) sys.exit(1); return
