@@ -55,6 +55,38 @@ class IncrementalSpec extends SparkSpec {
     assert(got == direct)
   }
 
+  test("fold equals direct aggregate on generated histories (random users, months, signed 2-decimal values)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // deterministic manual sampling — the scalatest↔scalacheck bridge is
+    // not in the offline cache (same pattern as graft.PropertySpec)
+    def samples[A](gen: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(97L + i)))
+    val eventGen: Gen[List[(Long, Int, Int, Long)]] = Gen.listOfN(60,
+      for {
+        uid <- Gen.chooseNum(1L, 8L)           // few users → heavy overlap
+        month <- Gen.chooseNum(0, 11)          // spread across 12 slices
+        dayOfM <- Gen.chooseNum(1, 28)
+        centsV <- Gen.chooseNum(-99999L, 99999L) // signed 2-decimal values
+      } yield (uid, month, dayOfM, centsV))
+    samples(eventGen, 5).foreach { rows =>
+      val events = rows.map { case (uid, m, d, cents) =>
+        (uid, Timestamp.valueOf(f"2024-${m + 1}%02d-$d%02d 12:00:00"),
+          cents / 100.0)
+      }.toDF("user_id", "ts", "value")
+      val folded = Incremental.incrAggOver(events)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      val direct = rows
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (uid, rs) =>
+          val days = rs.map { case (_, m, d, _) =>
+            java.time.LocalDate.of(2024, m + 1, d).toEpochDay }
+          (uid, rs.size.toLong, rs.map(_._4).sum, days.min, days.max)
+        }
+      assert(folded == direct)
+    }
+  }
+
   test("empty history yields an empty summary with the declared schema, not a throw") {
     val none = Seq.empty[(Long, Timestamp, Double)]
       .toDF("user_id", "ts", "value")
