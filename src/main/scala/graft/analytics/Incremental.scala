@@ -49,6 +49,12 @@ object Incremental {
       datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
         .cast("long").as("day"),
       trunc(to_date($"ts"), "month").as("mth"))
+    // distinct() KEEPS a NULL month (NULL/unparseable ts): those rows
+    // belong in the summary — the oracle's count(*) counts them, with
+    // NULL cents/day falling out of sum/min/max on both engines — so
+    // they fold as their own slice via the null-safe filter below.
+    // Silently dropping them would diverge from the oracle on any input
+    // with a bad timestamp.
     val months = ev.select($"mth").distinct().orderBy($"mth")
       .as[java.sql.Date].collect()
     // empty history → empty summary with the declared schema (a refresh
@@ -61,7 +67,7 @@ object Incremental {
       .limit(0)
     var state: DataFrame = empty
     months.foreach { m =>
-      val delta = ev.filter($"mth" === m)
+      val delta = ev.filter($"mth" <=> lit(m))
         .groupBy($"user_id")
         .agg(count(lit(1)).as("n_events"),
           sum($"cents").as("sum_cents"),

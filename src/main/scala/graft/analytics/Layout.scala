@@ -65,20 +65,26 @@ object Layout {
       s"((($u >> $i) & 1) << ${2 * i}) + ((($v >> $i) & 1) << ${2 * i + 1})"
     }.mkString(" + ")
 
-  /** x_zorder_prune — per layout: nonempty files, files a stats-based
-    * pruner must read for the box, rows inside those files, true matching
-    * rows, and scan amplification (rows_scanned per 1000 matching rows).
+  /** The ONE definition of the clustering key space: (customer, epoch-day)
+    * per order. Both the layout assignment and the true-matching-rows
+    * baseline derive from here — duplicating it would let the pruning
+    * verdict silently score file stats against a different key space.
     */
+  private def uvBase(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir).select(
+      $"o_custkey".cast("long").as("u"),
+      datediff(to_date($"o_orderdate"), lit("1970-01-01").cast("date"))
+        .cast("long").as("v"))
+  }
+
   /** The shared layout assignment: each order row under BOTH layouts with
     * its file id — the frame the declared plan query scores and the
     * executing rewrite [[zorderExecute]] writes.
     */
   private def taggedLayouts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = Tables.orders(spark, dir).select(
-      $"o_custkey".cast("long").as("u"),
-      datediff(to_date($"o_orderdate"), lit("1970-01-01").cast("date"))
-        .cast("long").as("v"))
+    val base = uvBase(spark, dir)
     val ranges = base.agg(
       min($"u").as("ulo"), max($"u").as("uhi"),
       min($"v").as("vlo"), max($"v").as("vhi"))
@@ -95,12 +101,13 @@ object Layout {
       .select($"lf.layout".as("layout"), $"lf.file".as("file"), $"u", $"v")
   }
 
+  /** x_zorder_prune — per layout: nonempty files, files a stats-based
+    * pruner must read for the box, rows inside those files, true matching
+    * rows, and scan amplification (rows_scanned per 1000 matching rows).
+    */
   def zorderPrune(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = Tables.orders(spark, dir).select(
-      $"o_custkey".cast("long").as("u"),
-      datediff(to_date($"o_orderdate"), lit("1970-01-01").cast("date"))
-        .cast("long").as("v"))
+    val base = uvBase(spark, dir)
     val fileStats = taggedLayouts(spark, dir)
       .groupBy($"layout", $"file")
       .agg(count(lit(1)).as("n"),

@@ -98,8 +98,25 @@ object PageRank {
     * frame (src, dst) — distinct edges, ideally already src-partitioned
     * and lineage-truncated like [[edges]] delivers. The seam the
     * scale-stress harness drives with synthetic multi-million-edge graphs.
+    *
+    * `dstNodeBound`: an upper bound on the DISTINCT dst cardinality, used
+    * with the (exactly counted, ~free) src cardinality to size the
+    * per-iteration broadcast hints. The default `None` asserts the graph
+    * is endpoint-symmetric (dst set ⊆ src set) — TRUE for the declared
+    * co-purchase graph, whose every edge is emitted in both directions —
+    * so src alone bounds both broadcast frames. A sink-heavy caller (few
+    * crawlers fanning out to many dst-only pages: the inflow frame is
+    * dst-keyed and src gives NO bound on it) must pass its dst bound, or
+    * `Some(Long.MaxValue)` to force the partitioned path. A bound
+    * parameter instead of a runtime probe because the probe was measured
+    * at 0.4-1.0 s per call (exact countDistinct expands the edge frame;
+    * even an approx pass re-reads the DISK_ONLY blocks) — a real tax on
+    * every fixture query to defend against a caller who already knows
+    * their graph's shape.
     */
-  private[graft] def ranksOver(e: DataFrame): DataFrame = {
+  private[graft] def ranksOver(
+      e: DataFrame,
+      dstNodeBound: Option[Long] = None): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
@@ -118,11 +135,14 @@ object PageRank {
     // Steady state: ONE exchange per iteration (the inflow aggregate).
     val degN = deg.crossJoin(broadcast(nNodes)).repartition($"src")
       .ckptDisk()
-    // The checkpointed degN frame is already materialized, so its row
-    // count (= |V|) is a metadata-cheap action — the one driver-side fact
-    // the adaptive hint below needs.
-    val nodeCount = degN.count()
-    val hint = nodeCount <= BroadcastNodeLimit
+    // Both endpoint cardinalities gate the hints: the rank frame r is
+    // src-keyed (counted exactly — degN is already materialized, so the
+    // count is metadata-cheap), and the dst-keyed inflow frame is bounded
+    // by srcCount under the default symmetric-graph contract or by the
+    // caller-supplied dstNodeBound otherwise (see the scaladoc).
+    val srcCount = degN.count()
+    val hint = srcCount <= BroadcastNodeLimit &&
+      dstNodeBound.getOrElse(srcCount) <= BroadcastNodeLimit
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (hint) broadcast(df) else df
     var r = degN.select($"src".as("part"), $"deg",

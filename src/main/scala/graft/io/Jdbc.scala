@@ -65,11 +65,23 @@ object Jdbc {
       // first-batch bootstrap: the sink table is created by the first
       // append below (Spark's JDBC append creates a missing table), so
       // the keyed delete only runs once the table exists — probed via
-      // metadata, not a swallowed exception, so real errors stay loud
+      // metadata, not a swallowed exception, so real errors stay loud.
+      // The probe honors a schema-qualified name: "analytics.kpis" must
+      // match (TABLE_SCHEM=analytics, TABLE_NAME=kpis) and nothing else —
+      // a bare-name match across all schemas would skip the delete for
+      // qualified sinks (replay would then DUPLICATE) and false-positive
+      // on a same-named table in an unrelated schema.
+      val (schemaPart, namePart) = table.lastIndexOf('.') match {
+        case -1 => (None, table)
+        case i  => (Some(table.substring(0, i)), table.substring(i + 1))
+      }
       val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
       val exists =
-        try Iterator.continually(rs).takeWhile(_.next())
-          .exists(_.getString(3).equalsIgnoreCase(table))
+        try Iterator.continually(rs).takeWhile(_.next()).exists { r =>
+          r.getString(3).equalsIgnoreCase(namePart) &&
+            schemaPart.forall(sc =>
+              sc.equalsIgnoreCase(Option(r.getString(2)).getOrElse("")))
+        }
         finally rs.close()
       if (exists) {
         // Spark's JDBC writer quotes column identifiers on CREATE, so the

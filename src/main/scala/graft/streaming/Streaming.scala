@@ -268,8 +268,10 @@ object Streaming {
     * `q_latest_event` snapshot (and the type-1 upsert [[graft.analytics
     * .Upsert]] maintains from files): per-user state is the single newest
     * row by the SAME total order the batch query ranks by
-    * (ts DESC, event_id DESC), and each micro-batch emits the group's
-    * current latest. The point of the state discipline is OUT-OF-ORDER
+    * (ts DESC, event_id DESC), and a micro-batch emits a group's row ONLY
+    * when its state actually advanced — a batch whose rows were all stale
+    * produces no output for that group, so a downstream CDC sink never
+    * re-upserts a no-op. The point of the state discipline is OUT-OF-ORDER
     * safety: a late-arriving STALE row (older (tus, event_id) than the
     * state) must not displace the newer one — which is exactly what a
     * blind "last write wins" foreachBatch upsert gets wrong, and what

@@ -87,6 +87,24 @@ class IncrementalSpec extends SparkSpec {
     }
   }
 
+  test("NULL timestamps fold as their own slice instead of being dropped") {
+    val events = Seq(
+      ev(1L, "2024-01-05 10:00:00", 10.00),
+      (1L, null.asInstanceOf[Timestamp], 2.50),   // null ts, known user
+      (9L, null.asInstanceOf[Timestamp], 7.00))   // user with ONLY null ts
+      .toDF("user_id", "ts", "value")
+    val got = Incremental.incrAggOver(events)
+      .selectExpr("user_id", "n_events", "sum_cents", "min_day", "max_day")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    val d = java.time.LocalDate.parse("2024-01-05").toEpochDay
+    // the oracle's count(*) counts NULL-ts rows; sum/min/max skip NULLs
+    assert(got == Seq(
+      (1L, 2L, 1250L, Some(d), Some(d)),
+      (9L, 1L, 700L, None, None)))
+  }
+
   test("empty history yields an empty summary with the declared schema, not a throw") {
     val none = Seq.empty[(Long, Timestamp, Double)]
       .toDF("user_id", "ts", "value")

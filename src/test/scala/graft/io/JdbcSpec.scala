@@ -85,4 +85,26 @@ class JdbcSpec extends SparkSpec {
       user = "app", password = "", driver = DerbyDriver)
     assert(rows() == before)
   }
+
+  test("schema-qualified sink names replay-converge too (the probe matches schema AND name)") {
+    val u = url("qualified")
+    // Derby resolves the unqualified form to the user's default schema APP;
+    // the qualified name must hit the SAME existence probe path
+    Jdbc.writeBatchIdempotent(kpis.filter($"id" <= 2), 0L, u, "app.kpi_q",
+      user = "app", password = "", driver = DerbyDriver)
+    Jdbc.writeBatchIdempotent(kpis.filter($"id" === 3), 1L, u, "app.kpi_q",
+      user = "app", password = "", driver = DerbyDriver)
+    def rows() = Jdbc.readPartitioned(spark, u, "app.kpi_q",
+      user = "app", password = "",
+      partitionColumn = "id", lowerBound = 1L, upperBound = 7L,
+      numPartitions = 2, driver = DerbyDriver)
+      .select($"batch_id", $"id").as[(Long, Long)].collect().toSet
+    val before = rows()
+    assert(before == Set((0L, 1L), (0L, 2L), (1L, 3L)))
+    // replay of batch 1 under the qualified name: a bare-name probe that
+    // failed to match would skip the delete and duplicate (1L, 3L)
+    Jdbc.writeBatchIdempotent(kpis.filter($"id" === 3), 1L, u, "app.kpi_q",
+      user = "app", password = "", driver = DerbyDriver)
+    assert(rows() == before)
+  }
 }
