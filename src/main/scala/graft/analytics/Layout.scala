@@ -222,10 +222,19 @@ object Layout {
     * with its NEXT-FIT bin id. Metadata-sized (≤ 24·days rows) — both the
     * declared plan query and the executing rewrite derive from it.
     */
-  private def binnedFiles(spark: SparkSession, dir: String): DataFrame = {
+  private def binnedFiles(spark: SparkSession, dir: String): DataFrame =
+    binnedFilesOver(Tables.events(spark, dir))
+
+  /** Same bin assignment over any events-shaped frame — the dirty-input
+    * seam: rows with NULL/unparseable ts land in the NULL (day, hr) group,
+    * which gets a bin like any other (quarantining bad rows is a DQ
+    * decision upstream, not something layout maintenance may silently do).
+    */
+  private def binnedFilesOver(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val files = Tables.events(spark, dir)
+    val files = events
       .select(
         datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
           .cast("long").as("day"),
@@ -240,9 +249,14 @@ object Layout {
       .withColumn("bin", expr(s"cum_excl div $CompactTargetBytes"))
   }
 
-  def compactPlan(spark: SparkSession, dir: String): DataFrame = {
+  def compactPlan(spark: SparkSession, dir: String): DataFrame =
+    compactPlanOver(Tables.events(spark, dir))
+
+  /** The declared plan over any events-shaped frame (testing seam). */
+  def compactPlanOver(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
     import spark.implicits._
-    binnedFiles(spark, dir)
+    binnedFilesOver(events)
       .groupBy($"day", $"bin")
       .agg(count(lit(1)).as("n_files"), sum($"n_rows").as("bin_rows"),
         sum($"bytes").as("bin_bytes"))
@@ -263,15 +277,28 @@ object Layout {
     * per-bin counts identical to the plan's `bin_rows`, and strictly
     * fewer output files than source (day, hr) micro-files.
     */
-  def compactExecute(spark: SparkSession, dir: String, outPath: String): Unit = {
+  def compactExecute(spark: SparkSession, dir: String, outPath: String): Unit =
+    compactExecuteOver(Tables.events(spark, dir), outPath)
+
+  /** The executing rewrite over any events-shaped frame (testing seam). */
+  def compactExecuteOver(events: DataFrame, outPath: String): Unit = {
+    val spark = events.sparkSession
     import spark.implicits._
-    val assign = binnedFiles(spark, dir).select($"day", $"hr", $"bin")
-    val rows = Tables.events(spark, dir)
+    // NULL-SAFE route keys: rows with NULL/unparseable ts carry NULL
+    // (day, hr), and binnedFilesOver's groupBy keeps that group as a
+    // planned bin — an equi-join here would never match NULL = NULL and
+    // silently DROP those rows from the compacted table, breaking the
+    // "compaction moves bytes, never rows" contract on dirty input. The
+    // <=> conditions route them to their planned bin instead (the NULL
+    // day lands in the Hive default-partition directory on write).
+    val assign = binnedFilesOver(events)
+      .select($"day".as("a_day"), $"hr".as("a_hr"), $"bin")
+    val rows = events
       .withColumn("day",
         datediff(to_date($"ts"), lit("1970-01-01").cast("date")).cast("long"))
       .withColumn("hr", hour($"ts").cast("long"))
-      .join(broadcast(assign), Seq("day", "hr"))
-      .drop("hr")
+      .join(broadcast(assign), $"day" <=> $"a_day" && $"hr" <=> $"a_hr")
+      .drop("a_day", "a_hr", "hr")
     rows.repartition($"day", $"bin")
       .write.mode("overwrite").partitionBy("day", "bin").parquet(outPath)
   }

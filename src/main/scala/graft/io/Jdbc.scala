@@ -70,19 +70,39 @@ object Jdbc {
       // match (TABLE_SCHEM=analytics, TABLE_NAME=kpis) and nothing else —
       // a bare-name match across all schemas would skip the delete for
       // qualified sinks (replay would then DUPLICATE) and false-positive
-      // on a same-named table in an unrelated schema.
+      // on a same-named table in an unrelated schema. An UNQUALIFIED name
+      // resolves against the connection's CURRENT schema (what the DELETE
+      // below will see), never against same-named tables elsewhere — a
+      // cross-schema hit would key the DELETE to a name the search path
+      // can't resolve yet and fail the micro-batch. Both patterns are
+      // pushed into getTables so the driver filters server-side instead
+      // of this probe enumerating the whole catalog every micro-batch.
       val (schemaPart, namePart) = table.lastIndexOf('.') match {
         case -1 => (None, table)
         case i  => (Some(table.substring(0, i)), table.substring(i + 1))
       }
-      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
-      val exists =
-        try Iterator.continually(rs).takeWhile(_.next()).exists { r =>
-          r.getString(3).equalsIgnoreCase(namePart) &&
-            schemaPart.forall(sc =>
-              sc.equalsIgnoreCase(Option(r.getString(2)).getOrElse("")))
-        }
-        finally rs.close()
+      val md = conn.getMetaData
+      // Unquoted identifiers are case-folded by the engine before storage
+      // (Derby/Oracle/DB2 upper-case, Postgres/MySQL lower-case) — fold the
+      // probe the same way so the metadata pattern matches what the CREATE
+      // actually stored.
+      def folded(id: String): String =
+        if (md.storesUpperCaseIdentifiers) id.toUpperCase(java.util.Locale.ROOT)
+        else if (md.storesLowerCaseIdentifiers) id.toLowerCase(java.util.Locale.ROOT)
+        else id
+      // getTables' pattern args are LIKE patterns: escape the wildcards so
+      // "kpi_sink" probes for exactly that table, not any "kpi?sink".
+      val esc = Option(md.getSearchStringEscape).getOrElse("")
+      def pat(id: String): String =
+        if (esc.isEmpty) id
+        else id.replace(esc, esc + esc)
+          .replace("_", esc + "_").replace("%", esc + "%")
+      val schemaPattern = schemaPart.map(s => pat(folded(s)))
+        .orElse(Option(conn.getSchema).map(pat))
+        .orNull // driver without getSchema support: fall back to any-schema
+      val rs = md.getTables(null, schemaPattern, pat(folded(namePart)),
+        Array("TABLE"))
+      val exists = try rs.next() finally rs.close()
       if (exists) {
         // Spark's JDBC writer quotes column identifiers on CREATE, so the
         // stored column is the case-sensitive "batch_id" — the delete must

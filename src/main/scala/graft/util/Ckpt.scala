@@ -34,4 +34,20 @@ object Ckpt {
     def ckptDisk(): Dataset[T] =
       ds.localCheckpoint(true, StorageLevel.DISK_ONLY)
   }
+
+  /** Drops a [[CkptOps.ckptDisk]] frame's storage blocks NOW instead of
+    * waiting for the ContextCleaner to notice the RDD is unreachable. An
+    * iterative fold that checkpoints per round otherwise accumulates one
+    * dead block set per round on executor disk for the whole query
+    * (ADVICE round 8 on [[graft.analytics.Incremental]]). ONLY safe once
+    * nothing will read the frame again: its lineage is truncated, so a
+    * post-release access cannot recompute — it fails. No-op on frames
+    * that aren't checkpoint scans.
+    */
+  def release(ds: Dataset[_]): Unit =
+    ds.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

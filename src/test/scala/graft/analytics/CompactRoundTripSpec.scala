@@ -76,4 +76,41 @@ class CompactRoundTripSpec extends SparkSpec {
       assert(executed == plan)
     } finally deleteRec(Path.of(out))
   }
+
+  test("NULL-ts rows survive the executed rewrite and land in their planned bin") {
+    // Dirty input: row 3 has a NULL timestamp. The plan's groupBy keeps
+    // the NULL (day, hr) group as a bin; the executing join must route the
+    // row there (null-safe keys), not silently drop it — an equi-join on
+    // (day, hr) loses it and the compacted table diverges from the plan.
+    val dirty = Seq(
+      (1L, Option("2024-01-01 00:10:00"), "a"),
+      (2L, Option("2024-01-01 05:00:00"), "bb"),
+      (3L, Option.empty[String], "ccc"),
+      (4L, Option("2024-01-02 23:59:59"), "d"))
+      .toDF("event_id", "ts_s", "props")
+      .select($"event_id", $"ts_s".cast("timestamp").as("ts"), $"props")
+    val out = Files.createTempDirectory("compact_null").toString
+    try {
+      Layout.compactExecuteOver(dirty, out)
+      val back = spark.read.parquet(out)
+      // every row survived, including the NULL-ts one
+      assert(back.count() == 4L)
+      assert(back.select($"event_id").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L, 4L))
+      // the NULL-ts row reads back under the Hive default partition (NULL day)
+      assert(back.filter($"day".isNull).select($"event_id")
+        .as[Long].collect().toSeq == Seq(3L))
+      // executed per-bin counts equal the plan's, NULL group included
+      val plan = Layout.compactPlanOver(dirty)
+        .select($"day", $"bin", $"bin_rows").collect()
+        .map(r => (Option(r.get(0)).map(_.toString.toLong),
+          r.getLong(1)) -> r.getLong(2)).toMap
+      val executed = back
+        .groupBy($"day".cast("long").as("day"), $"bin".cast("long").as("bin"))
+        .count().collect()
+        .map(r => (Option(r.get(0)).map(_.toString.toLong),
+          r.getLong(1)) -> r.getLong(2)).toMap
+      assert(executed == plan)
+    } finally deleteRec(Path.of(out))
+  }
 }

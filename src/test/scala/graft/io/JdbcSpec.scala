@@ -107,4 +107,42 @@ class JdbcSpec extends SparkSpec {
       user = "app", password = "", driver = DerbyDriver)
     assert(rows() == before)
   }
+
+  test("unqualified probe resolves against the CURRENT schema, not any schema") {
+    val u = url("xschema")
+    // Plant a same-named table in an UNRELATED schema before the sink's
+    // first batch: a probe that scans all schemas would see it, believe
+    // the sink exists, and run the keyed DELETE against the current-schema
+    // name — which Derby rejects (APP.KPI_X doesn't exist yet), failing
+    // the very first micro-batch.
+    val conn = java.sql.DriverManager.getConnection(u, "app", "")
+    try {
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate("CREATE SCHEMA other")
+        st.executeUpdate(
+          "CREATE TABLE other.kpi_x (id BIGINT, batch_id BIGINT)")
+      } finally st.close()
+    } finally conn.close()
+    Jdbc.writeBatchIdempotent(kpis.filter($"id" <= 2), 0L, u, "kpi_x",
+      user = "app", password = "", driver = DerbyDriver)
+    // replay still converges through the schema-scoped probe
+    Jdbc.writeBatchIdempotent(kpis.filter($"id" <= 2), 0L, u, "kpi_x",
+      user = "app", password = "", driver = DerbyDriver)
+    val back = Jdbc.readPartitioned(spark, u, "kpi_x",
+      user = "app", password = "",
+      partitionColumn = "id", lowerBound = 1L, upperBound = 7L,
+      numPartitions = 2, driver = DerbyDriver)
+      .select($"batch_id", $"id").as[(Long, Long)].collect().toSet
+    assert(back == Set((0L, 1L), (0L, 2L)))
+    // the decoy in the other schema was never touched
+    val conn2 = java.sql.DriverManager.getConnection(u, "app", "")
+    try {
+      val rs = conn2.createStatement()
+        .executeQuery("SELECT count(*) FROM other.kpi_x")
+      rs.next()
+      assert(rs.getInt(1) == 0)
+      rs.close()
+    } finally conn2.close()
+  }
 }
