@@ -32,15 +32,34 @@ object PrefixSum {
       spark: SparkSession,
       df: DataFrame,
       key: Column,
-      value: Column): DataFrame = {
+      value: Column): DataFrame =
+    globalRunningSums(spark, df, key, Seq("running" -> value))
+
+  /** N running totals over the SAME key order for the price of one: ONE
+    * range exchange, ONE checkpoint pin, ONE window pass (every sum shares
+    * the window spec, so Spark plans a single WindowExec), one bounded
+    * offsets collect. A statistic needing both a rank (value 1) and a
+    * group-cumulative (value indicator) — [[graft.llm.Eval.ksStat]] —
+    * would otherwise chain whole [[globalRunningSum]] passes, paying the
+    * exchange and the pin per statistic (round-8 verdict: 3 materialized
+    * passes for a 2-column statistic).
+    */
+  def globalRunningSums(
+      spark: SparkSession,
+      df: DataFrame,
+      key: Column,
+      values: Seq[(String, Column)]): DataFrame = {
     import spark.implicits._
     val n = spark.sparkContext.defaultParallelism
+    def vcol(name: String) = s"__val_$name"
     // NULL values count as 0 (pinned contract): without the coalesce, an
     // all-NULL range slice makes its partition total NULL (getLong NPEs)
     // and leading-NULL rows would get NULL runnings that disagree with the
     // downstream offsets — null-as-zero keeps every row's running defined.
-    val keyed = df.withColumn("__key", key)
-      .withColumn("__val", coalesce(value, lit(0L)))
+    val keyed = values.foldLeft(df.withColumn("__key", key)) {
+      case (acc, (name, value)) =>
+        acc.withColumn(vcol(name), coalesce(value, lit(0L)))
+    }
       .repartitionByRange(n, $"__key")
       .withColumn("__pid", spark_partition_id())
     // cache: the partition totals pass and the main pass must see the SAME
@@ -48,20 +67,34 @@ object PrefixSum {
     val materialized = keyed.ckptDisk()
     // coalesce: sum() over an all-NULL partition is NULL — without it the
     // getLong below NPEs on any range slice whose values are entirely NULL
-    val offsets = materialized.groupBy($"__pid")
-      .agg(coalesce(sum($"__val"), lit(0L)).as("__total"))
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val totalCols = values.map { case (name, _) =>
+      coalesce(sum(col(vcol(name))), lit(0L)).as(s"__total_$name")
+    }
+    val totals = materialized.groupBy($"__pid")
+      .agg(totalCols.head, totalCols.tail: _*)
+      .collect()
+      .map(r => (r.getInt(0), values.indices.map(i => r.getLong(i + 1))))
       .sortBy(_._1)
-      .scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) => (pid, acc + tot) }
+    // exclusive prefix per pid, per value — numPartitions entries, not rows
+    val offsets = totals
+      .scanLeft((0, values.map(_ => 0L).toIndexedSeq)) {
+        case ((_, acc), (pid, tots)) =>
+          (pid, acc.zip(tots).map { case (a, t) => a + t })
+      }
       .sliding(2).collect { case Array((_, acc), (pid, _)) => (pid, acc) }
       .toSeq
-    val offsetDf = spark.createDataFrame(offsets).toDF("__pid", "__offset")
+    val offsetDf = spark.createDataFrame(
+        offsets.map { case (pid, accs) => (pid, accs.toArray) })
+      .toDF("__pid", "__offs")
     val w = Window.partitionBy($"__pid").orderBy($"__key")
-    materialized
-      .withColumn("__local", sum($"__val").over(w))
-      .join(broadcast(offsetDf), Seq("__pid"))
-      .withColumn("running", $"__local" + $"__offset")
-      .drop("__key", "__val", "__pid", "__local", "__offset")
+    val withLocals = values.zipWithIndex
+      .foldLeft(materialized.join(broadcast(offsetDf), Seq("__pid"))) {
+        case (acc, ((name, _), i)) =>
+          acc.withColumn(name,
+            sum(col(vcol(name))).over(w) + element_at($"__offs", i + 1))
+      }
+    withLocals.drop("__key", "__pid", "__offs")
+      .drop(values.map(v => vcol(v._1)): _*)
   }
 
   /** q_running_global — corpus-wide running revenue in cents over orders

@@ -143,10 +143,10 @@ object Eval {
     * positive and negative score distributions: at every cut point the
     * CDF gap is the cross-multiplied integer
     * |posCum·nNeg − negCum·nPos| (no per-row division), maximized in one
-    * aggregate; the running positive count is a second
-    * [[PrefixSum.globalRunningSum]] pass with the same key (each pass
-    * samples its own range bounds — results are bound-independent by that
-    * operator's contract; negCum = rank − posCum, free). KS and AUC disagree about WHERE
+    * aggregate; the rank and the running positive count come out of ONE
+    * [[PrefixSum.globalRunningSums]] pass (one range exchange, one pin,
+    * one window — chaining single-value passes paid both per statistic;
+    * negCum = rank − posCum, free). KS and AUC disagree about WHERE
     * separation lives — KS is the max local gap, AUC the global rank
     * integral — which is why an eval tier carries both.
     */
@@ -154,13 +154,12 @@ object Eval {
     import spark.implicits._
     val base = scored(spark, dir)
       .withColumn("is_pos", when($"label" === PosLabel, 1L).otherwise(0L))
-    val ranked = PrefixSum.globalRunningSum(spark, base,
-        struct($"score", $"vec_id"), lit(1L))
-      .withColumnRenamed("running", "rnk")
-    val withPos = PrefixSum.globalRunningSum(spark, ranked,
-        struct($"score", $"vec_id"), $"is_pos")
-      .withColumnRenamed("running", "pos_cum")
-    val n = base.agg(sum($"is_pos").as("n_pos"),
+    val withPos = PrefixSum.globalRunningSums(spark, base,
+      struct($"score", $"vec_id"),
+      Seq("rnk" -> lit(1L), "pos_cum" -> $"is_pos"))
+    // counts read the pass's checkpointed frame, not a re-execution of
+    // the (posexplode-heavy) scored subtree
+    val n = withPos.agg(sum($"is_pos").as("n_pos"),
       sum(lit(1L) - $"is_pos").as("n_neg"))
     withPos.crossJoin(broadcast(n))
       .select($"n_pos", $"n_neg",

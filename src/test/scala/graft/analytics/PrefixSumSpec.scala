@@ -40,6 +40,35 @@ class PrefixSumSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("globalRunningSums: N totals in one pass equal N independent passes") {
+    // two values with different NULL patterns over one key order — the
+    // multi-value pass must agree with the single-value contract per column
+    // AND plan exactly ONE range exchange + ONE window for both
+    val rows = (1L to 300L).map { k =>
+      (k * 11 % 301,
+        if (k % 5 == 0) None else Some(k % 13),
+        if (k % 2 == 0) 1L else 0L)
+    }
+    val df = spark.createDataset(rows).toDF("k", "a", "flag")
+      .select($"k", $"a".cast("long").as("a"), $"flag")
+    val got = PrefixSum.globalRunningSums(spark, df, $"k",
+        Seq("run_a" -> $"a", "run_flag" -> $"flag"))
+      .select($"k", $"run_a", $"run_flag").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val want = rows.map { case (k, a, f) => (k, a.getOrElse(0L), f) }
+      .sortBy(_._1)
+      .scanLeft((0L, 0L, 0L)) { case ((_, sa, sf), (k, a, f)) =>
+        (k, sa + a, sf + f)
+      }
+      .drop(1).map { case (k, sa, sf) => k -> (sa, sf) }.toMap
+    assert(got == want)
+    val plan = PrefixSum.globalRunningSums(spark, df, $"k",
+        Seq("run_a" -> $"a", "run_flag" -> $"flag"))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Window")) == 1,
+      s"expected ONE window pass for both totals:\n$plan")
+  }
+
   test("the running-sum plan has no SinglePartition exchange") {
     val df = spark.range(0, 1000).select($"id".as("k"), ($"id" % 5).as("v"))
     val plan = PrefixSum.globalRunningSum(spark, df, $"k", $"v")
