@@ -399,6 +399,75 @@ object Stress {
     ok
   }
 
+  /** Broadcast-boundary stress: PageRank's per-iteration broadcast hints
+    * switch off at [[graft.analytics.PageRank.BroadcastNodeLimit]] (1M src
+    * nodes) — this scenario pins that the CROSSOVER itself is seamless,
+    * not just the far sides (#37-38 tested 2.05M and 8.05M):
+    *  1. on a graph just UNDER the limit, the default (hinted) path and a
+    *     forced-partitioned run (`dstNodeBound = Some(Long.MaxValue)`)
+    *     must produce BIT-IDENTICAL rank frames — the hint is a physical
+    *     strategy choice with zero semantic surface;
+    *  2. a graph just OVER the limit (auto-partitioned) must run in
+    *     comparable time per edge — no cliff where the gate flips.
+    * Disjoint 4-cliques only: every node degree-3 and symmetric, so
+    * `countDistinct(rank) == 1` is an exact corpus-wide determinism check
+    * on BOTH sides of the boundary.
+    */
+  def runGraphBoundary(spark: SparkSession, n: Long): Boolean = {
+    import spark.implicits._
+    def timedS[T](what: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[stress] $what: $s%.1f s"); (r, s)
+    }
+    val limit = graft.analytics.PageRank.BroadcastNodeLimit
+    def cliqueGraph(m: Long): DataFrame =
+      spark.range(m)
+        .select($"id".as("src"), explode(expr("sequence(0, 3)")).as("j"))
+        .select($"src", (($"src" - ($"src" % 4)) + $"j").as("dst"))
+        .where($"src" =!= $"dst")
+        .repartition(spark.sparkContext.defaultParallelism, $"src")
+        .ckptDisk()
+    // ±4% around the gate, multiples of 4 (whole cliques)
+    val nBelow = (limit * 96 / 100) / 4 * 4
+    val nAbove = (limit * 104 / 100) / 4 * 4
+
+    val eBelow = cliqueGraph(nBelow)
+    eBelow.count()
+    val (hinted, tHint) = timedS(s"pagerank hinted ($nBelow nodes, under the gate)") {
+      graft.analytics.PageRank.ranksOver(eBelow).ckptDisk()
+    }
+    val (parted, tPart) = timedS(s"pagerank forced-partitioned (same $nBelow-node graph)") {
+      graft.analytics.PageRank
+        .ranksOver(eBelow, dstNodeBound = Some(Long.MaxValue)).ckptDisk()
+    }
+    // bit-identity across the strategy flip: multiset equality both ways
+    val diff = hinted.exceptAll(parted).count() + parted.exceptAll(hinted).count()
+    val symBelow = hinted.agg(countDistinct($"rank").cast("long")).as[Long].head()
+
+    val eAbove = cliqueGraph(nAbove)
+    eAbove.count()
+    val (above, tAbove) = timedS(s"pagerank auto ($nAbove nodes, over the gate)") {
+      graft.analytics.PageRank.ranksOver(eAbove).ckptDisk()
+    }
+    val symAbove = above.agg(countDistinct($"rank").cast("long")).as[Long].head()
+    val nAboveRows = above.count()
+
+    // no cliff: the over-the-gate run must stay within 3x the hinted run's
+    // per-node cost (the documented far-from-gate ratio is ~2x at 2.05M)
+    val perNodeHint = tHint / nBelow
+    val perNodeAbove = tAbove / nAbove
+    println(f"[stress] per-Mnode cost: hinted ${perNodeHint * 1e6}%.1f s, " +
+      f"partitioned-same-graph ${tPart / nBelow * 1e6}%.1f s, " +
+      f"auto-above ${perNodeAbove * 1e6}%.1f s")
+    println(s"[stress] strategy-flip diff rows=$diff; " +
+      s"distinct clique ranks below/above=$symBelow/$symAbove")
+    val ok = diff == 0 && symBelow == 1 && symAbove == 1 &&
+      nAboveRows == nAbove && perNodeAbove < perNodeHint * 3
+    println(s"[stress] structure recovered: ${if (ok) "YES" else "NO"}")
+    ok
+  }
+
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 200000L
     val scenario = if (args.length > 1) args(1) else "dedup"
@@ -414,6 +483,10 @@ object Stress {
 
     if (scenario == "graph") {
       val ok = runGraph(spark, n)
+      spark.stop(); if (!ok) sys.exit(1); return
+    }
+    if (scenario == "graphboundary") {
+      val ok = runGraphBoundary(spark, n)
       spark.stop(); if (!ok) sys.exit(1); return
     }
     if (scenario == "hh") {

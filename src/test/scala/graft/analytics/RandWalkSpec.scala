@@ -56,4 +56,27 @@ class RandWalkSpec extends SparkSpec {
     }
     assert(diverged > sampled.size / 2)
   }
+
+  test("every step broadcasts the FRONTIER side in the AQE-final plan") {
+    // The broadcast(f) hint is load-bearing (RandWalk.scala: edge-side
+    // broadcast measured 15.3 s vs 5.0 s at sf0.1) and, until this spec,
+    // nothing would catch it being lost — the plan still executes, just
+    // 3-4x slower, which is exactly the in-suite inflation profile the
+    // round-8 driver bench showed. The frontier is always the LEFT join
+    // input, so every join must plan as BroadcastHashJoin BuildLeft; an
+    // edge-side broadcast shows up as BuildRight, a lost hint usually as
+    // SortMergeJoin.
+    val df = RandWalk.randWalk(spark, dir)
+    df.write.format("noop").mode("overwrite").save() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    val joins = plan.linesIterator
+      .filter(_.contains("BroadcastHashJoin")).toSeq
+    assert(joins.size == RandWalk.Steps,
+      s"expected ${RandWalk.Steps} broadcast joins:\n$plan")
+    assert(joins.forall(_.contains("BuildLeft")),
+      s"a step broadcasts the EDGE side, not the frontier:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"a step lost its broadcast hint entirely:\n$plan")
+  }
 }
