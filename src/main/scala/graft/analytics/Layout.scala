@@ -322,11 +322,216 @@ object Layout {
        |FROM binned GROUP BY 1, 2
        |ORDER BY day, bin""".stripMargin
 
+  // ---- Retention / VACUUM -------------------------------------------------
+
+  /** Retention window: day partitions more than this many days behind the
+    * table's NEWEST day are expired. Data-derived (max observed day, not
+    * wall clock) so the plan is deterministic over a fixed fixture; a
+    * production deployment substitutes current_date and nothing else
+    * changes.
+    */
+  val RetentionDays = 14L
+
+  /** Erasure cohort: the deterministic md5 slice of users with a pending
+    * right-to-be-forgotten request — the events-side sibling of
+    * dq_erasure_scope's customer cohort. One hex digit = 1/16 of the id
+    * space; over the fixture's 15-user domain that selects exactly one
+    * user, enough to force both `rewrite` and `keep` partitions.
+    */
+  val ErasePrefix = "1"
+
+  /** TRUE exactly on erasure-cohort rows. NULL user_id yields NULL (md5 of
+    * NULL is NULL on both engines), which every consumer below treats as
+    * not-erased — an id-less row can't match a deletion list.
+    */
+  private def erased(userId: Column): Column =
+    substring(md5(userId.cast("string")), 1, ErasePrefix.length) === ErasePrefix
+
+  /** x_retention_plan — the third layout-maintenance op (Z-order chooses
+    * the KEY, compaction chooses the FILES, retention chooses what stays):
+    * one row per day partition with its action under the combined
+    * retention + erasure policy and the rows a vacuum would reclaim.
+    *
+    *  - `drop`: the whole partition is past the retention window — at
+    *    100 TB this is a METADATA delete; the bytes are never read.
+    *  - `rewrite`: inside the window but holding erasure-cohort rows — the
+    *    only partitions whose bytes the vacuum pays to scan and rewrite.
+    *  - `keep`: untouched, byte for byte.
+    *
+    * NULL-day rows (unparseable ts) can't prove their age, so the policy
+    * errs toward retaining them: `rewrite` if they hold erased rows,
+    * `keep` otherwise — never silently `drop`.
+    *
+    * Scale shape: one scan → per-day aggregate (≤ days rows at any data
+    * size) joined to a broadcast 1-row max; the plan frame is
+    * metadata-sized and the expensive part (the rewrite) touches only the
+    * partitions this frame names.
+    */
+  def retentionPlan(spark: SparkSession, dir: String): DataFrame =
+    retentionPlanOver(Tables.events(spark, dir))
+
+  /** The declared plan over any events-shaped frame (testing seam). */
+  def retentionPlanOver(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val days = events
+      .select(
+        datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"),
+        when(erased($"user_id"), 1L).otherwise(0L).as("erase"))
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_rows"), sum($"erase").as("erase_rows"))
+    val mx = days.agg(max($"day").as("max_day"))
+    days.crossJoin(broadcast(mx))
+      .withColumn("action",
+        when($"day".isNull,
+          when($"erase_rows" > 0, "rewrite").otherwise("keep"))
+          .when($"day" <= $"max_day" - RetentionDays, "drop")
+          .when($"erase_rows" > 0, "rewrite")
+          .otherwise("keep"))
+      .withColumn("reclaim_rows",
+        when($"action" === "drop", $"n_rows")
+          .when($"action" === "rewrite", $"erase_rows")
+          .otherwise(lit(0L)))
+      .select($"day", $"n_rows", $"erase_rows", $"action", $"reclaim_rows")
+      .orderBy($"day")
+  }
+
+  val retentionPlanSql: String =
+    s"""WITH d AS (
+       | SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+       |  count(*) AS n_rows,
+       |  CAST(sum(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1,
+       |    ${ErasePrefix.length}) = '$ErasePrefix' THEN 1 ELSE 0 END)
+       |   AS BIGINT) AS erase_rows
+       | FROM events GROUP BY 1),
+       |mx AS (SELECT max(day) AS max_day FROM d)
+       |SELECT day, n_rows, erase_rows,
+       | CASE WHEN day IS NULL THEN
+       |   (CASE WHEN erase_rows > 0 THEN 'rewrite' ELSE 'keep' END)
+       |  WHEN day <= max_day - $RetentionDays THEN 'drop'
+       |  WHEN erase_rows > 0 THEN 'rewrite' ELSE 'keep' END AS action,
+       | CASE WHEN day IS NULL AND erase_rows > 0 THEN erase_rows
+       |  WHEN day IS NULL THEN CAST(0 AS BIGINT)
+       |  WHEN day <= max_day - $RetentionDays THEN n_rows
+       |  WHEN erase_rows > 0 THEN erase_rows
+       |  ELSE CAST(0 AS BIGINT) END AS reclaim_rows
+       |FROM d, mx ORDER BY day""".stripMargin
+
+  /** Writes the canonical day-partitioned layout of an events frame — the
+    * table shape [[retentionVacuum]] maintains. Day derivation is the ONE
+    * the plan uses; NULL-ts rows land in the Hive default partition.
+    */
+  def writeDayPartitioned(events: DataFrame, path: String): Unit = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("day",
+        datediff(to_date($"ts"), lit("1970-01-01").cast("date")).cast("long"))
+      .repartition($"day")
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+  }
+
+  /** What a vacuum run did, partition by partition. `None` is the NULL-day
+    * (Hive default) partition.
+    */
+  final case class RetentionStats(
+    droppedDays: Seq[Long],
+    rewrittenDays: Seq[Option[Long]],
+    keptDays: Seq[Option[Long]])
+
+  private val NullPartDir = "__HIVE_DEFAULT_PARTITION__"
+
+  /** EXECUTES the retention plan against a day-partitioned parquet table,
+    * IN PLACE, with the cost profile the plan promises:
+    *
+    *  1. partition values come from the DIRECTORY LISTING — no data read;
+    *  2. expired partitions are deleted as filesystem metadata ops — their
+    *     bytes are never scanned;
+    *  3. erasure detection scans ONLY retained partitions (partition
+    *     pruning) and ONLY the user_id column (column pruning);
+    *  4. only partitions that actually hold erased rows are rewritten —
+    *     new files staged beside the table, then swapped in per-directory,
+    *     so `keep` partitions keep their exact original files.
+    *
+    * Idempotent: a second run finds nothing expired and nothing erased.
+    * RetentionRoundTripSpec pins all four properties plus plan/execute
+    * row-count agreement.
+    */
+  def retentionVacuum(spark: SparkSession, tablePath: String): RetentionStats = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // 1. Partition inventory from the listing (metadata-only, like a table
+    //    format's manifest read). NULL-day partition parses to None.
+    val partDays: Seq[Option[Long]] = fs.listStatus(root)
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("day="))
+      .map(_.stripPrefix("day=") match {
+        case NullPartDir => None
+        case n => Some(n.toLong)
+      }).toSeq
+    val numericDays = partDays.flatten
+    if (numericDays.isEmpty)
+      return RetentionStats(Nil, Nil, partDays.sorted)
+    val cutoff = numericDays.max - RetentionDays
+
+    // 2. DROP: pure metadata deletes; NULL-day partitions never expire.
+    val expired = numericDays.filter(_ <= cutoff).sorted
+    expired.foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"day=$d"), true))
+
+    // 3. Find rewrite partitions: retained days only, user_id column only.
+    val t = spark.read.parquet(tablePath)
+    val rewriteDays: Seq[Option[Long]] = t
+      .filter($"day".isNull || $"day".cast("long") > cutoff)
+      .filter(erased($"user_id"))
+      .select($"day".cast("long")).distinct().collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+
+    // 4. Rewrite ONLY those partitions: stage cleaned files, swap per-dir.
+    if (rewriteDays.nonEmpty) {
+      val numeric = rewriteDays.flatten
+      val numericPred =
+        if (numeric.nonEmpty) $"day".cast("long").isin(numeric: _*)
+        else lit(false)
+      val rewritePred =
+        if (rewriteDays.contains(None)) numericPred || $"day".isNull
+        else numericPred
+      val stage =
+        new org.apache.hadoop.fs.Path(root.getParent, root.getName + "_vacstage")
+      t.filter(rewritePred)
+        // keep rows where `erased` is not TRUE — NULL user_id stays.
+        .filter(!(erased($"user_id") <=> lit(true)))
+        .repartition($"day")
+        .write.mode("overwrite").partitionBy("day").parquet(stage.toString)
+      rewriteDays.foreach { d =>
+        val name = d.map(v => s"day=$v").getOrElse(s"day=$NullPartDir")
+        fs.delete(new org.apache.hadoop.fs.Path(root, name), true)
+        val staged = new org.apache.hadoop.fs.Path(stage, name)
+        // a partition whose every row was erased has no staged dir — the
+        // delete above already removed it from the table, correctly.
+        if (fs.exists(staged))
+          fs.rename(staged, new org.apache.hadoop.fs.Path(root, name))
+      }
+      fs.delete(stage, true)
+    }
+
+    val retained = partDays.filterNot(_.exists(_ <= cutoff))
+    RetentionStats(
+      expired,
+      rewriteDays.sortBy(_.getOrElse(Long.MaxValue)),
+      retained.diff(rewriteDays).sortBy(_.getOrElse(Long.MaxValue)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_zorder_prune" -> (zorderPrune _),
-    "x_compact_plan" -> (compactPlan _))
+    "x_compact_plan" -> (compactPlan _),
+    "x_retention_plan" -> (retentionPlan _))
 
   val oracles: Map[String, String] = Map(
     "x_zorder_prune" -> zorderPruneSql,
-    "x_compact_plan" -> compactPlanSql)
+    "x_compact_plan" -> compactPlanSql,
+    "x_retention_plan" -> retentionPlanSql)
 }

@@ -1,0 +1,126 @@
+package graft.analytics
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-trip proof that [[Layout.retentionVacuum]] EXECUTES the plan
+  * `x_retention_plan` declares, with the cost profile the plan promises:
+  *
+  *  1. every `drop` partition is gone and every retained day survives;
+  *  2. `keep` partitions keep their EXACT original data files (path +
+  *     length + mtime) — the vacuum never touched their bytes;
+  *  3. the read-back holds zero erasure-cohort rows, and per-day counts
+  *     equal the plan's `n_rows - reclaim_rows` — the executed vacuum IS
+  *     the declared plan, partition for partition;
+  *  4. a second run is a no-op: nothing rewritten, file inventory
+  *     identical (idempotence — safe to schedule blindly);
+  *  5. NULL-ts rows are retained (rewritten if erased, never dropped).
+  */
+class RetentionRoundTripSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def deleteRec(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+
+  /** (path, length, mtime) of every data file, keyed by partition dir. */
+  private def inventory(root: Path): Map[String, Set[(String, Long, Long)]] =
+    Files.walk(root).filter(f => f.getFileName.toString.endsWith(".parquet"))
+      .toArray.map(_.asInstanceOf[Path]).toSeq
+      .groupBy(_.getParent.getFileName.toString)
+      .map { case (k, v) =>
+        k -> v.map(f => (f.toString, Files.size(f),
+          Files.getLastModifiedTime(f).toMillis)).toSet
+      }
+
+  test("retentionVacuum executes the declared plan in place") {
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.io.Tables.events(spark, dir)
+    val out = Files.createTempDirectory("retention_rt").resolve("t")
+    try {
+      Layout.writeDayPartitioned(events, out.toString)
+
+      val plan = Layout.retentionPlanOver(events).collect().map { r =>
+        val day = if (r.isNullAt(0)) None else Some(r.getLong(0))
+        day -> (r.getLong(1), r.getString(3), r.getLong(4))
+      }.toMap
+      val actions = plan.values.map(_._2).toSet
+      assert(actions == Set("drop", "rewrite", "keep"),
+        s"fixture should exercise all three actions, got $actions")
+
+      val before = inventory(out)
+      val stats = Layout.retentionVacuum(spark, out.toString)
+
+      // 1. drop partitions gone, retained days present (unless rewritten
+      //    down to zero rows, which the fixture's mix never does)
+      val after = inventory(out)
+      plan.foreach { case (day, (_, action, _)) =>
+        val dirName =
+          day.map(d => s"day=$d").getOrElse("day=__HIVE_DEFAULT_PARTITION__")
+        if (action == "drop")
+          assert(!after.contains(dirName), s"$dirName should be dropped")
+        else assert(after.contains(dirName), s"$dirName should survive")
+      }
+      assert(stats.droppedDays.toSet ==
+        plan.collect { case (Some(d), (_, "drop", _)) => d }.toSet)
+      assert(stats.rewrittenDays.toSet ==
+        plan.collect { case (d, (_, "rewrite", _)) => d }.toSet)
+
+      // 2. keep partitions byte-untouched
+      plan.collect { case (Some(d), (_, "keep", _)) => s"day=$d" }
+        .foreach { k =>
+          assert(after(k) == before(k), s"$k files changed but action=keep")
+        }
+
+      // 3. executed vacuum == declared plan, partition for partition
+      val survived = spark.read.parquet(out.toString)
+      assert(survived.filter(
+        substring(md5($"user_id".cast("string")), 1, 1) === Layout.ErasePrefix)
+        .count() == 0L, "erasure-cohort rows survived the vacuum")
+      val counts = survived.groupBy($"day".cast("long").as("day"))
+        .count().collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+          r.getLong(1)).toMap
+      plan.foreach { case (day, (nRows, action, reclaim)) =>
+        val want = if (action == "drop") 0L else nRows - reclaim
+        assert(counts.getOrElse(day, 0L) == want,
+          s"day=$day survived=${counts.getOrElse(day, 0L)} want=$want")
+      }
+
+      // 4. idempotent: second run rewrites nothing, moves nothing
+      val again = Layout.retentionVacuum(spark, out.toString)
+      assert(again.rewrittenDays.isEmpty && again.droppedDays.isEmpty)
+      assert(inventory(out) == after, "second vacuum changed files")
+    } finally deleteRec(out.getParent)
+  }
+
+  test("NULL-ts rows are retained, and rewritten only if erased") {
+    // user 6 is the fixture erasure cohort (md5 prefix '1'); user 0 is not.
+    val rows = Seq(
+      (1L, "2024-01-20 10:00:00", 0L), // keep day, clean user
+      (2L, null.asInstanceOf[String], 0L), // NULL ts, clean user
+      (3L, null.asInstanceOf[String], 6L), // NULL ts, erased user
+      (4L, "2024-01-01 00:00:00", 0L)) // expired day
+      .toDF("event_id", "ts_s", "user_id")
+      .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+    val plan = Layout.retentionPlanOver(rows).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+        r.getString(3)).toMap
+    assert(plan(None) == "rewrite", "NULL day with erased rows must rewrite")
+
+    val out = Files.createTempDirectory("retention_null").resolve("t")
+    try {
+      Layout.writeDayPartitioned(rows, out.toString)
+      val stats = Layout.retentionVacuum(spark, out.toString)
+      assert(stats.rewrittenDays == Seq(None))
+      val back = spark.read.parquet(out.toString)
+        .select($"event_id").as[Long].collect().sorted
+      assert(back.toSeq == Seq(1L, 2L),
+        "vacuum must drop expired day 4 and erased NULL-ts row 3, keep 1 and 2")
+    } finally deleteRec(out.getParent)
+  }
+}
