@@ -468,6 +468,122 @@ object Stress {
     ok
   }
 
+  /** Retention/VACUUM economics at scale: an `n`-row events table spread
+    * over [[RetDays]] day partitions (~28x the fixture's day count), with
+    * the erasure cohort PLANTED into exactly three retained days so the
+    * vacuum's promised cost profile is checkable, not assumed:
+    *
+    *  - ~96% of the table's days (and bytes) are past retention — the
+    *    vacuum must shed them as METADATA deletes, never reading them;
+    *  - erasure detection may scan only the 14 retained partitions;
+    *  - exactly the three dirty partitions get rewritten; the other
+    *    eleven keep their original files byte for byte.
+    *
+    * The full-table `count` baseline is printed next to the vacuum time:
+    * at 100 TB that ratio IS the operator — retention over a partitioned
+    * table costs a listing plus a sliver-scan, not a table scan.
+    */
+  def runRetention(spark: SparkSession, n: Long): Boolean = {
+    import spark.implicits._
+    def timedS[T](what: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[stress] $what: $s%.1f s"); (r, s)
+    }
+    val RetDays = 400L
+    val keepWindow = graft.analytics.Layout.RetentionDays // 14
+    // three retained days that will hold every cohort row
+    val dirtyDays = Seq(RetDays - 3, RetDays - 6, RetDays - 10)
+    val cohort = substring(md5($"user_id".cast("string")), 1, 1) ===
+      graft.analytics.Layout.ErasePrefix
+    // uid over a 100k domain; cohort rows route to a dirty day, clean rows
+    // spread uniformly over all days — so clean retained days provably
+    // hold ZERO cohort rows and must survive untouched.
+    val df = spark.range(n).select(
+      $"id".as("event_id"),
+      pmod(hash($"id", lit(5L)), lit(100000L)).as("user_id"))
+      .withColumn("day_off",
+        when(cohort,
+          element_at(
+            array(dirtyDays.map(lit(_)): _*),
+            (pmod(hash($"event_id", lit(3L)), lit(3)) + 1).cast("int"))
+            .cast("long"))
+          .otherwise(pmod(hash($"event_id", lit(11L)), lit(RetDays))))
+      .withColumn("ts",
+        to_timestamp(date_add(lit("2024-01-01").cast("date"),
+          $"day_off".cast("int"))))
+      .select($"event_id", $"user_id", $"ts")
+
+    val root = java.nio.file.Files.createTempDirectory("ret_stress")
+    val tbl = root.resolve("t").toString
+    try {
+      val (_, tBuild) = timedS(s"build $n-row / $RetDays-day table") {
+        graft.analytics.Layout.writeDayPartitioned(df, tbl)
+      }
+      val (nTotal, tScan) = timedS("full-table count (the scan the vacuum must NOT do)") {
+        spark.read.parquet(tbl).count()
+      }
+      // keep-day inventory before (paths + sizes), for byte-untouched proof
+      def inv(): Map[String, Long] = {
+        val p = java.nio.file.Path.of(tbl)
+        java.nio.file.Files.walk(p)
+          .filter(f => f.getFileName.toString.endsWith(".parquet"))
+          .toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .map(f => f.toString -> java.nio.file.Files.size(f)).toMap
+      }
+      val before = inv()
+      val (stats, tVac) = timedS("retentionVacuum (drop 386 days + rewrite 3)") {
+        graft.analytics.Layout.retentionVacuum(spark, tbl)
+      }
+      val after = inv()
+
+      val maxDay = java.time.LocalDate.parse("2024-01-01").toEpochDay +
+        RetDays - 1
+      val cutoff = maxDay - keepWindow
+      val wantDropped = (RetDays - keepWindow).toInt
+      val wantRewrite = dirtyDays
+        .map(d => java.time.LocalDate.parse("2024-01-01").toEpochDay + d)
+        .map(x => Some(x)).toSet
+      val keptFiles = before.keys.filter { f =>
+        "day=(\\d+)".r.findFirstMatchIn(f)
+          .exists(m => m.group(1).toLong > cutoff &&
+            !wantRewrite.contains(Some(m.group(1).toLong)))
+      }.toSet
+      val keepUntouched = keptFiles.forall(f => after.get(f) == before.get(f))
+
+      val back = spark.read.parquet(tbl)
+      val survivors = back.count()
+      val cohortLeft = back.filter(
+        substring(md5($"user_id".cast("string")), 1, 1) ===
+          graft.analytics.Layout.ErasePrefix).count()
+      // expected survivors: clean rows whose day is retained
+      val wantSurvivors = df.filter(!cohort)
+        .filter(datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+          .cast("long") > cutoff).count()
+
+      val (again, tVac2) = timedS("second vacuum (must be a listing-only no-op)") {
+        graft.analytics.Layout.retentionVacuum(spark, tbl)
+      }
+
+      println(f"[stress] build $tBuild%.1f s, full scan $tScan%.1f s, " +
+        f"vacuum $tVac%.1f s, re-vacuum $tVac2%.1f s")
+      println(s"[stress] dropped=${stats.droppedDays.size} (want $wantDropped), " +
+        s"rewritten=${stats.rewrittenDays.toSet == wantRewrite}, " +
+        s"keep files untouched=$keepUntouched, survivors=$survivors " +
+        s"(want $wantSurvivors), cohort rows left=$cohortLeft, total was $nTotal")
+      val ok = stats.droppedDays.size == wantDropped &&
+        stats.rewrittenDays.toSet == wantRewrite &&
+        keepUntouched && cohortLeft == 0L && survivors == wantSurvivors &&
+        again.droppedDays.isEmpty && again.rewrittenDays.isEmpty
+      println(s"[stress] structure recovered: ${if (ok) "YES" else "NO"}")
+      ok
+    } finally {
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 200000L
     val scenario = if (args.length > 1) args(1) else "dedup"
@@ -487,6 +603,10 @@ object Stress {
     }
     if (scenario == "graphboundary") {
       val ok = runGraphBoundary(spark, n)
+      spark.stop(); if (!ok) sys.exit(1); return
+    }
+    if (scenario == "retention") {
+      val ok = runRetention(spark, n)
       spark.stop(); if (!ok) sys.exit(1); return
     }
     if (scenario == "hh") {
