@@ -91,8 +91,14 @@ object Bench {
     // in the same environment). A steady-state deployment reads hot data;
     // cold page-cache + parquet-footer I/O is a fixture artifact the
     // measured window should exclude, once, here.
-    graft.io.Tables.names
-      .foreach(t => exec(graft.io.Tables(spark, sfDir, t)))
+    // Per-table try: warmup is best-effort — a missing/unreadable fixture
+    // table must fail ONLY its own queries (reported via the per-run
+    // try/catch as failed entries), not abort the run before any artifact
+    // is written.
+    graft.io.Tables.names.foreach { t =>
+      try exec(graft.io.Tables(spark, sfDir, t))
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
 
     // Run 1 pays Janino/JIT compilation of the query-specific generated
     // code (a JVM artifact a steady-state deployment amortizes away); data

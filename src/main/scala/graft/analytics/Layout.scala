@@ -342,9 +342,11 @@ object Layout {
 
   /** TRUE exactly on erasure-cohort rows. NULL user_id yields NULL (md5 of
     * NULL is NULL on both engines), which every consumer below treats as
-    * not-erased — an id-less row can't match a deletion list.
+    * not-erased — an id-less row can't match a deletion list. `private
+    * [graft]` so the stress scenario and spec plant/check the SAME cohort
+    * the vacuum removes instead of re-deriving the predicate.
     */
-  private def erased(userId: Column): Column =
+  private[graft] def erased(userId: Column): Column =
     substring(md5(userId.cast("string")), 1, ErasePrefix.length) === ErasePrefix
 
   /** x_retention_plan — the third layout-maintenance op (Z-order chooses
@@ -442,6 +444,39 @@ object Layout {
 
   private val NullPartDir = "__HIVE_DEFAULT_PARTITION__"
 
+  /** Tombstone suffix for the crash-safe partition swap: the original dir
+    * is renamed aside under this suffix BEFORE the cleaned dir takes its
+    * name, so no moment exists where the partition's clean rows live
+    * nowhere. A leftover tombstone is repaired by [[recoverVacuum]].
+    */
+  private val BakSuffix = ".__vacbak"
+
+  /** Repairs a table a previous vacuum crashed mid-swap, making
+    * [[retentionVacuum]] converge under retry instead of losing rows:
+    * for each `day=X.__vacbak` tombstone, if the live `day=X` dir exists
+    * the swap had completed (drop the tombstone); if not, the crash hit
+    * between rename-aside and rename-in (restore the original — its
+    * erased rows reappear and THIS run re-cleans them, which is the safe
+    * direction). A stale `_vacstage` dir is dropped either way: its
+    * contents are recomputed from live data.
+    */
+  private def recoverVacuum(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.endsWith(BakSuffix))
+      .foreach { s =>
+        val live = new org.apache.hadoop.fs.Path(
+          root, s.getPath.getName.stripSuffix(BakSuffix))
+        if (fs.exists(live)) fs.delete(s.getPath, true)
+        else require(fs.rename(s.getPath, live),
+          s"vacuum recovery: cannot restore ${s.getPath} to $live")
+      }
+    val stage = new org.apache.hadoop.fs.Path(
+      root.getParent, root.getName + "_vacstage")
+    if (fs.exists(stage)) fs.delete(stage, true)
+  }
+
   /** EXECUTES the retention plan against a day-partitioned parquet table,
     * IN PLACE, with the cost profile the plan promises:
     *
@@ -455,13 +490,22 @@ object Layout {
     *     so `keep` partitions keep their exact original files.
     *
     * Idempotent: a second run finds nothing expired and nothing erased.
-    * RetentionRoundTripSpec pins all four properties plus plan/execute
-    * row-count agreement.
+    * Crash-safe: each swap renames the original dir to a tombstone BEFORE
+    * the cleaned dir takes its name, and a leftover tombstone from a
+    * killed run is repaired on the next call ([[recoverVacuum]]) — retry
+    * converges, never loses clean rows. RetentionRoundTripSpec pins all
+    * four cost properties plus plan/execute row-count agreement;
+    * crash-window recovery and the NULL-day-only table are spec-pinned
+    * there too.
     */
   def retentionVacuum(spark: SparkSession, tablePath: String): RetentionStats = {
     import spark.implicits._
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // 0. Repair any tombstone/stage a killed predecessor left behind so
+    //    the inventory below sees only live partitions.
+    recoverVacuum(fs, root)
 
     // 1. Partition inventory from the listing (metadata-only, like a table
     //    format's manifest read). NULL-day partition parses to None.
@@ -472,20 +516,30 @@ object Layout {
         case NullPartDir => None
         case n => Some(n.toLong)
       }).toSeq
+    if (partDays.isEmpty) return RetentionStats(Nil, Nil, Nil)
     val numericDays = partDays.flatten
-    if (numericDays.isEmpty)
-      return RetentionStats(Nil, Nil, partDays.sorted)
-    val cutoff = numericDays.max - RetentionDays
+    // No numeric day ⇒ nothing can prove its age ⇒ nothing expires, but
+    // the erasure scan below MUST still run: a NULL-day-only table can
+    // hold cohort rows the plan marks `rewrite` (age-unprovable rows are
+    // retained, never exempted from erasure).
+    val cutoff: Option[Long] = numericDays.sorted.lastOption
+      .map(_ - RetentionDays)
 
     // 2. DROP: pure metadata deletes; NULL-day partitions never expire.
-    val expired = numericDays.filter(_ <= cutoff).sorted
-    expired.foreach(d =>
-      fs.delete(new org.apache.hadoop.fs.Path(root, s"day=$d"), true))
+    val expired =
+      cutoff.map(c => numericDays.filter(_ <= c).sorted).getOrElse(Nil)
+    expired.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(root, s"day=$d")
+      require(fs.delete(p, true), s"vacuum: cannot drop expired $p")
+    }
 
     // 3. Find rewrite partitions: retained days only, user_id column only.
     val t = spark.read.parquet(tablePath)
+    val retainedPred = cutoff
+      .map(c => $"day".isNull || $"day".cast("long") > c)
+      .getOrElse(lit(true))
     val rewriteDays: Seq[Option[Long]] = t
-      .filter($"day".isNull || $"day".cast("long") > cutoff)
+      .filter(retainedPred)
       .filter(erased($"user_id"))
       .select($"day".cast("long")).distinct().collect()
       .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
@@ -504,21 +558,35 @@ object Layout {
       t.filter(rewritePred)
         // keep rows where `erased` is not TRUE — NULL user_id stays.
         .filter(!(erased($"user_id") <=> lit(true)))
+        // a table whose ONLY partition is the NULL-day one infers the
+        // partition column as VOID on read — re-type it or partitionBy
+        // refuses to write the staged dirs
+        .withColumn("day", $"day".cast("long"))
         .repartition($"day")
         .write.mode("overwrite").partitionBy("day").parquet(stage.toString)
       rewriteDays.foreach { d =>
         val name = d.map(v => s"day=$v").getOrElse(s"day=$NullPartDir")
-        fs.delete(new org.apache.hadoop.fs.Path(root, name), true)
+        val live = new org.apache.hadoop.fs.Path(root, name)
+        val bak = new org.apache.hadoop.fs.Path(root, name + BakSuffix)
         val staged = new org.apache.hadoop.fs.Path(stage, name)
+        // CRASH-SAFE swap: rename the original ASIDE (tombstone), rename
+        // the cleaned dir IN, only then drop the tombstone — at no point
+        // do the partition's clean rows live nowhere, and every rename's
+        // result is checked so a failed FS op aborts loudly instead of
+        // reporting a rewrite that didn't happen. A crash in the window
+        // leaves a tombstone the next run repairs (recoverVacuum).
+        require(fs.rename(live, bak), s"vacuum: cannot move $live aside")
         // a partition whose every row was erased has no staged dir — the
-        // delete above already removed it from the table, correctly.
+        // tombstone drop below removes it from the table, correctly.
         if (fs.exists(staged))
-          fs.rename(staged, new org.apache.hadoop.fs.Path(root, name))
+          require(fs.rename(staged, live), s"vacuum: cannot land $staged")
+        require(fs.delete(bak, true), s"vacuum: cannot drop tombstone $bak")
       }
       fs.delete(stage, true)
     }
 
-    val retained = partDays.filterNot(_.exists(_ <= cutoff))
+    val retained =
+      partDays.filterNot(pd => cutoff.exists(c => pd.exists(_ <= c)))
     RetentionStats(
       expired,
       rewriteDays.sortBy(_.getOrElse(Long.MaxValue)),

@@ -98,7 +98,13 @@ object Jdbc {
         else id.replace(esc, esc + esc)
           .replace("_", esc + "_").replace("%", esc + "%")
       val schemaPattern = schemaPart.map(s => pat(folded(s)))
-        .orElse(Option(conn.getSchema).map(pat))
+        // pre-JDBC-4.1 drivers THROW from getSchema (SQLFeatureNotSupported,
+        // or AbstractMethodError for jars compiled against JDBC 3/4.0 —
+        // a LinkageError scala.util.Try would NOT catch) rather than
+        // returning null; any failure here means "driver can't say",
+        // which is exactly the any-schema fallback case.
+        .orElse((try Option(conn.getSchema)
+          catch { case _: Throwable => None }).map(pat))
         .orNull // driver without getSchema support: fall back to any-schema
       val rs = md.getTables(null, schemaPattern, pat(folded(namePart)),
         Array("TABLE"))

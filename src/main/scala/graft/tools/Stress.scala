@@ -27,6 +27,29 @@ import graft.util.Ckpt._
   */
 object Stress {
 
+  /** One timing helper for every scenario (was copy-pasted per scenario —
+    * ten drifting closures for one job). `timed` passes the result
+    * through; `timedS` also returns the seconds for scenarios that assert
+    * on ratios between phases.
+    */
+  private def timedS[T](what: String)(f: => T): (T, Double) = {
+    val t0 = System.nanoTime(); val r = f
+    val s = (System.nanoTime() - t0) / 1e9
+    println(f"[stress] $what: $s%.1f s"); (r, s)
+  }
+
+  private def timed[T](what: String)(f: => T): T = timedS(what)(f)._1
+
+  /** Runs `java.nio.file.Files.walk`, CLOSES the stream (its javadoc
+    * requires it — an unclosed walk leaks directory handles until GC),
+    * and hands back the paths.
+    */
+  private def walkPaths(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = java.nio.file.Files.walk(p)
+    try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+    finally s.close()
+  }
+
   val GroupSize = 4
   val DocTokens = 40
   val Vocab = 50000
@@ -54,10 +77,6 @@ object Stress {
   def runHeavyHitters(spark: SparkSession, n: Long): Boolean = {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
-    def timed[T](what: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[stress] $what: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
-    }
     val phiDen = 200L
     val sel = pmod(hash($"id", lit(3)), lit(1000))
     val toks = spark.range(n).select(
@@ -97,10 +116,6 @@ object Stress {
     */
   def runSemantic(spark: SparkSession, n: Long): Boolean = {
     import spark.implicits._
-    def timed[T](what: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[stress] $what: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
-    }
     val base = when(pmod($"id", lit(100)) === 1, $"id" - 1).otherwise($"id")
     val vecs = spark.range(n).select($"id".as("vec_id"),
         transform(sequence(lit(0), lit(63)), j =>
@@ -135,10 +150,6 @@ object Stress {
     */
   def runIvfPq(spark: SparkSession, n: Long): Boolean = {
     import spark.implicits._
-    def timed[T](what: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[stress] $what: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
-    }
     val base = when(pmod($"id", lit(100)) === 1, $"id" - 1).otherwise($"id")
     val vecs = spark.range(n).select($"id".as("vec_id"),
         transform(sequence(lit(0), lit(63)), j =>
@@ -188,10 +199,6 @@ object Stress {
     */
   def runMultiprobe(spark: SparkSession, n: Long): Boolean = {
     import spark.implicits._
-    def timed[T](what: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[stress] $what: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
-    }
     val base = when(pmod($"id", lit(100)) === 1, $"id" - 1).otherwise($"id")
     val vecs = spark.range(n).select($"id".as("vec_id"),
         transform(sequence(lit(0), lit(63)), j =>
@@ -230,10 +237,6 @@ object Stress {
     */
   def runPpjoin(spark: SparkSession, n: Long): Boolean = {
     import spark.implicits._
-    def timed[T](what: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[stress] $what: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
-    }
     val docs = corpus(spark, n)
       .withColumn("lang", lit("en")).ckptDisk()
     val pairs = timed(s"ppjoin (prefix+length+lang filters, tau=0.6) over $n docs") {
@@ -259,12 +262,6 @@ object Stress {
   def runSketches(spark: SparkSession, n: Long): Boolean = {
     import spark.implicits._
     import graft.analytics.Hll
-    def timed[T](what: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[stress] $what: ${(System.nanoTime() - t0) / 1e9}%.1f s")
-      r
-    }
     val est = timed(s"hll registers over $n distinct keys") {
       val regs = spark.range(n)
         .select(md5($"id".cast("string")).as("h"))
@@ -326,10 +323,6 @@ object Stress {
   def runGraph(spark: SparkSession, n: Long): Boolean = {
     import spark.implicits._
     require(n % 4 == 0, "clique-node count must be a multiple of 4")
-    def timed[T](what: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[stress] $what: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
-    }
     val hubBase = n
     val leafBase = n + GraphHubs
     // directed clique edges: each node to its 3 siblings (map-side explode)
@@ -415,11 +408,6 @@ object Stress {
     */
   def runGraphBoundary(spark: SparkSession, n: Long): Boolean = {
     import spark.implicits._
-    def timedS[T](what: String)(f: => T): (T, Double) = {
-      val t0 = System.nanoTime(); val r = f
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"[stress] $what: $s%.1f s"); (r, s)
-    }
     val limit = graft.analytics.PageRank.BroadcastNodeLimit
     def cliqueGraph(m: Long): DataFrame =
       spark.range(m)
@@ -485,17 +473,13 @@ object Stress {
     */
   def runRetention(spark: SparkSession, n: Long): Boolean = {
     import spark.implicits._
-    def timedS[T](what: String)(f: => T): (T, Double) = {
-      val t0 = System.nanoTime(); val r = f
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"[stress] $what: $s%.1f s"); (r, s)
-    }
     val RetDays = 400L
     val keepWindow = graft.analytics.Layout.RetentionDays // 14
     // three retained days that will hold every cohort row
     val dirtyDays = Seq(RetDays - 3, RetDays - 6, RetDays - 10)
-    val cohort = substring(md5($"user_id".cast("string")), 1, 1) ===
-      graft.analytics.Layout.ErasePrefix
+    // THE predicate the vacuum executes — not a re-derivation that could
+    // silently drift from it if ErasePrefix ever widens
+    val cohort = graft.analytics.Layout.erased($"user_id")
     // uid over a 100k domain; cohort rows route to a dirty day, clean rows
     // spread uniformly over all days — so clean retained days provably
     // hold ZERO cohort rows and must survive untouched.
@@ -524,13 +508,10 @@ object Stress {
         spark.read.parquet(tbl).count()
       }
       // keep-day inventory before (paths + sizes), for byte-untouched proof
-      def inv(): Map[String, Long] = {
-        val p = java.nio.file.Path.of(tbl)
-        java.nio.file.Files.walk(p)
-          .filter(f => f.getFileName.toString.endsWith(".parquet"))
-          .toArray.map(_.asInstanceOf[java.nio.file.Path])
+      def inv(): Map[String, Long] =
+        walkPaths(java.nio.file.Path.of(tbl))
+          .filter(_.getFileName.toString.endsWith(".parquet"))
           .map(f => f.toString -> java.nio.file.Files.size(f)).toMap
-      }
       val before = inv()
       val (stats, tVac) = timedS("retentionVacuum (drop 386 days + rewrite 3)") {
         graft.analytics.Layout.retentionVacuum(spark, tbl)
@@ -553,9 +534,7 @@ object Stress {
 
       val back = spark.read.parquet(tbl)
       val survivors = back.count()
-      val cohortLeft = back.filter(
-        substring(md5($"user_id".cast("string")), 1, 1) ===
-          graft.analytics.Layout.ErasePrefix).count()
+      val cohortLeft = back.filter(cohort).count()
       // expected survivors: clean rows whose day is retained
       val wantSurvivors = df.filter(!cohort)
         .filter(datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
@@ -578,9 +557,8 @@ object Stress {
       println(s"[stress] structure recovered: ${if (ok) "YES" else "NO"}")
       ok
     } finally {
-      java.nio.file.Files.walk(root)
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.delete(f))
+      walkPaths(root).sorted(Ordering[String].on[java.nio.file.Path](_.toString).reverse)
+        .foreach(f => java.nio.file.Files.delete(f))
     }
   }
 
@@ -632,13 +610,6 @@ object Stress {
     if (scenario == "sketches") {
       val ok = runSketches(spark, n)
       spark.stop(); if (!ok) sys.exit(1); return
-    }
-
-    def timed[T](what: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[stress] $what: ${(System.nanoTime() - t0) / 1e9}%.1f s")
-      r
     }
 
     val docs = corpus(spark, n).ckptDisk() // generation cost excluded

@@ -22,15 +22,20 @@ import graft.SparkSpec
 class RetentionRoundTripSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Files.walk with the close its javadoc requires. */
+  private def walked(p: Path): Seq[Path] = {
+    val s = Files.walk(p)
+    try s.toArray.toSeq.map(_.asInstanceOf[Path]) finally s.close()
+  }
+
   private def deleteRec(p: Path): Unit =
     if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
+      walked(p).sortBy(_.toString)(Ordering[String].reverse)
+        .foreach(f => Files.delete(f))
 
   /** (path, length, mtime) of every data file, keyed by partition dir. */
   private def inventory(root: Path): Map[String, Set[(String, Long, Long)]] =
-    Files.walk(root).filter(f => f.getFileName.toString.endsWith(".parquet"))
-      .toArray.map(_.asInstanceOf[Path]).toSeq
+    walked(root).filter(_.getFileName.toString.endsWith(".parquet"))
       .groupBy(_.getParent.getFileName.toString)
       .map { case (k, v) =>
         k -> v.map(f => (f.toString, Files.size(f),
@@ -78,8 +83,7 @@ class RetentionRoundTripSpec extends SparkSpec {
 
       // 3. executed vacuum == declared plan, partition for partition
       val survived = spark.read.parquet(out.toString)
-      assert(survived.filter(
-        substring(md5($"user_id".cast("string")), 1, 1) === Layout.ErasePrefix)
+      assert(survived.filter(Layout.erased($"user_id"))
         .count() == 0L, "erasure-cohort rows survived the vacuum")
       val counts = survived.groupBy($"day".cast("long").as("day"))
         .count().collect()
@@ -122,5 +126,85 @@ class RetentionRoundTripSpec extends SparkSpec {
       assert(back.toSeq == Seq(1L, 2L),
         "vacuum must drop expired day 4 and erased NULL-ts row 3, keep 1 and 2")
     } finally deleteRec(out.getParent)
+  }
+
+  test("a table with ONLY the NULL-day partition still gets its erasure scan") {
+    // No numeric day exists, so nothing can expire — but the plan marks the
+    // NULL partition `rewrite` (erase_rows > 0) and the vacuum must agree:
+    // age-unprovable rows are retained, never exempted from erasure.
+    val rows = Seq((1L, 0L), (2L, 6L), (3L, 0L)) // user 6 = cohort
+      .toDF("event_id", "user_id")
+      .withColumn("ts", lit(null).cast("timestamp"))
+    val plan = Layout.retentionPlanOver(rows).collect()
+    assert(plan.length == 1 && plan(0).isNullAt(0) &&
+      plan(0).getString(3) == "rewrite")
+    val out = Files.createTempDirectory("retention_nullonly").resolve("t")
+    try {
+      Layout.writeDayPartitioned(rows, out.toString)
+      val stats = Layout.retentionVacuum(spark, out.toString)
+      assert(stats.droppedDays.isEmpty && stats.rewrittenDays == Seq(None))
+      val back = spark.read.parquet(out.toString)
+        .select($"event_id").as[Long].collect().sorted
+      assert(back.toSeq == Seq(1L, 3L), "erased row 2 must go, 1 and 3 stay")
+    } finally deleteRec(out.getParent)
+  }
+
+  test("a vacuum killed mid-swap is repaired by the next run, losing no clean rows") {
+    // The swap is rename(live→bak); rename(staged→live); delete(bak). Both
+    // crash windows leave a `day=X.__vacbak` tombstone on disk:
+    //  A) after rename-aside, before rename-in → live MISSING, bak = original
+    //  B) after rename-in, before tombstone delete → live = cleaned, bak left
+    // The next vacuum must converge both to the cleaned table with every
+    // clean row intact — the row-loss mode this design exists to prevent.
+    val rows = Seq(
+      (1L, "2024-01-20 10:00:00", 0L), // clean row in the dirty partition
+      (2L, "2024-01-20 11:00:00", 6L), // erased row (user 6 = cohort)
+      (3L, "2024-01-19 10:00:00", 0L)) // clean partition
+      .toDF("event_id", "ts_s", "user_id")
+      .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+    val dirtyDay = Layout.retentionPlanOver(rows).collect()
+      .collectFirst { case r if r.getString(3) == "rewrite" => r.getLong(0) }
+      .get
+
+    def freshTable(): Path = {
+      val out = Files.createTempDirectory("retention_crash").resolve("t")
+      Layout.writeDayPartitioned(rows, out.toString)
+      out
+    }
+    def surviving(out: Path): Seq[Long] =
+      spark.read.parquet(out.toString)
+        .select($"event_id").as[Long].collect().sorted.toSeq
+
+    // window A: the original was moved aside and the crash hit before the
+    // cleaned dir landed — the partition's rows live ONLY in the tombstone
+    val a = freshTable()
+    try {
+      Files.move(a.resolve(s"day=$dirtyDay"),
+        a.resolve(s"day=$dirtyDay.__vacbak"))
+      val stats = Layout.retentionVacuum(spark, a.toString)
+      assert(stats.rewrittenDays == Seq(Some(dirtyDay)),
+        "recovery must restore the tombstone and THEN re-clean it")
+      assert(surviving(a) == Seq(1L, 3L), "clean row 1 must survive window A")
+      assert(!Files.exists(a.resolve(s"day=$dirtyDay.__vacbak")))
+    } finally deleteRec(a.getParent)
+
+    // window B: the cleaned dir landed but the tombstone was never dropped
+    val b = freshTable()
+    try {
+      val live = b.resolve(s"day=$dirtyDay")
+      Files.move(live, b.resolve(s"day=$dirtyDay.__vacbak"))
+      // land a "cleaned" dir the way the crashed run would have: vacuum a
+      // copy of the same table and steal its rewritten partition dir
+      val donor = freshTable()
+      try {
+        Layout.retentionVacuum(spark, donor.toString)
+        Files.move(donor.resolve(s"day=$dirtyDay"), live)
+      } finally deleteRec(donor.getParent)
+      val stats = Layout.retentionVacuum(spark, b.toString)
+      assert(stats.rewrittenDays.isEmpty,
+        "window B's live dir is already clean — nothing to rewrite")
+      assert(surviving(b) == Seq(1L, 3L), "clean row 1 must survive window B")
+      assert(!Files.exists(b.resolve(s"day=$dirtyDay.__vacbak")))
+    } finally deleteRec(b.getParent)
   }
 }
