@@ -562,6 +562,120 @@ object Stress {
     }
   }
 
+  /** Streaming LSH near-dup suppression stress — the streaming tier's
+    * past-fixture-scale evidence (the batch tiers have theirs: dedup,
+    * graph, retention, sketches). The SAME planted-group [[corpus]] the
+    * batch dedup scenario recovers is streamed through
+    * [[graft.streaming.LshDedup.lshDedupStream]] in UNEVEN micro-batches,
+    * and three claims are checked at ~100x the parity spec's corpus:
+    *
+    *  1. candidate recall: ≥90% of non-first group members are attributed
+    *     to an earlier member of their OWN group (per-pair band-match odds
+    *     ≈ 1−(1−J²)⁴ ≈ 0.95 at intra-group J ≈ 0.73) — the suppressor
+    *     finds the planted near-dups without ever comparing documents;
+    *  2. the downstream verify leg the operator's contract names (stream
+    *     emits CANDIDATES; `Dedup.jaccardOver` confirms): cross-group
+    *     noise attributions — which GROW with corpus size because the
+    *     15-bit slice space makes band collisions a birthday effect
+    *     (measured: 0.4% of docs at 20k, 2.9% at 100k) — must ALL be
+    *     rejected by exact Jaccard, and ≥90% of non-first members must
+    *     survive it, so verified suppression kills no keeper at any scale;
+    *  3. state boundedness: the state store holds EXACTLY one row per
+    *     claimed (band, bucket) — `numRowsTotal == countDistinct(band,bh)`
+    *     over the decision log — i.e. state scales with distinct content
+    *     fingerprints, not with documents seen (the O(1)-per-bucket claim
+    *     made in LshDedup's scaladoc, here observed, not asserted);
+    *  4. ingest + verify cost: docs/s over the drained run and the verify
+    *     leg's seconds, reported.
+    *
+    * Event time advances at 64 docs/s so the whole run spans <1h and no
+    * bucket hits the TTL — expiry semantics are spec-pinned separately
+    * (LshDedupSpec); this scenario isolates the scale claims.
+    */
+  def runLshStream(spark: SparkSession, n: Long): Boolean = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val docs = timed(s"materialize $n-doc corpus to the driver (feed data)") {
+      corpus(spark, n).select($"doc_id", $"text").as[(Long, String)].collect()
+    }
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+      // 64 docs/s of event time, monotone with doc_id → no late data; the
+      // full span is n/64 s (<1h below ~230k docs, under the default TTL)
+      .select($"doc_id", $"text",
+        timestamp_seconds(lit(1700000000L) + ($"doc_id" / 64L)).as("ts"))
+    val q = graft.streaming.LshDedup.lshDedupStream(stream)
+      .writeStream.format("memory").queryName("lsh_stress")
+      .outputMode("append").start()
+
+    val ok = try {
+      // uneven batches: the claimant path must not depend on batching
+      val cuts = Seq(0.05, 0.35, 0.45, 0.70, 0.83, 1.0)
+        .map(f => (f * docs.length).toInt)
+      val (_, tDrain) = timedS(s"stream $n docs through ${cuts.size} uneven micro-batches") {
+        cuts.foldLeft(0) { (from, to) =>
+          input.addData(docs.slice(from, to))
+          q.processAllAvailable()
+          to
+        }
+      }
+      println(f"[stress] ingest throughput: ${n / tDrain}%.0f docs/s (drain incl. state I/O)")
+
+      val dec = spark.table("lsh_stress").ckptDisk()
+      val rolled = graft.streaming.LshDedup.rollup(dec)
+        .select($"doc_id", $"dup_of").as[(Long, Option[Long])].collect()
+      val byDoc = rolled.toMap
+      assert(byDoc.size == n.toInt, s"decisions cover ${byDoc.size} of $n docs")
+
+      val firsts = (0L until n by GroupSize.toLong)
+      val firstKept = firsts.count(byDoc(_).isEmpty)
+      val laters = (0L until n).filterNot(_ % GroupSize == 0)
+      val inGroup = laters.count(d =>
+        byDoc(d).exists(c => c / GroupSize == d / GroupSize))
+      val crossGroup = rolled.count { case (d, c) =>
+        c.exists(cl => cl / GroupSize != d / GroupSize)
+      }
+
+      // state rows vs distinct claimed buckets (one claim per bucket)
+      val buckets = dec.select($"band", $"bh").distinct().count()
+      val stateRows = q.lastProgress.stateOperators.headOption
+        .map(_.numRowsTotal).getOrElse(-1L)
+
+      println(s"[stress] groups: first-member keepers $firstKept/${firsts.size}, " +
+        s"in-group candidates $inGroup/${laters.size}, cross-group candidates $crossGroup")
+      println(s"[stress] state rows $stateRows vs distinct buckets $buckets " +
+        f"(${stateRows.toDouble / n}%.2f state rows per doc seen)")
+
+      // Downstream verify: exact Jaccard over ONLY the flagged pairs —
+      // the contract's second half. Cross-group candidates are slice-space
+      // birthday noise (J ≈ 0); planted pairs sit at J ≈ 0.73; 0.5 splits
+      // them with a wide margin on both sides.
+      val pairsSeq = rolled.collect { case (d, Some(c)) => (c, d) }.toSeq
+      val candPairs = pairsSeq.toDF("doc_a", "doc_b")
+      val (verified, tVerify) = timedS(s"Jaccard-verify ${pairsSeq.size} candidate pairs") {
+        Dedup.jaccardOver(corpus(spark, n), candPairs)
+          .filter($"jaccard" >= 0.5)
+          .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+      }
+      val verInGroup = verified.count { case (c, d) =>
+        c / GroupSize == d / GroupSize
+      }
+      val verCross = verified.length - verInGroup
+      println(f"[stress] verified: $verInGroup in-group kept, $verCross " +
+        f"cross-group survived the verify, ${tVerify}%.1f s")
+
+      val pass = inGroup >= laters.size * 9 / 10 &&
+        verCross == 0 &&
+        verInGroup >= laters.size * 9 / 10 &&
+        stateRows == buckets
+      println(s"[stress] structure recovered: ${if (pass) "YES" else "NO"}")
+      pass
+    } finally q.stop()
+    ok
+  }
+
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 200000L
     val scenario = if (args.length > 1) args(1) else "dedup"
@@ -609,6 +723,10 @@ object Stress {
     }
     if (scenario == "sketches") {
       val ok = runSketches(spark, n)
+      spark.stop(); if (!ok) sys.exit(1); return
+    }
+    if (scenario == "lshstream") {
+      val ok = runLshStream(spark, n)
       spark.stop(); if (!ok) sys.exit(1); return
     }
 
