@@ -602,6 +602,12 @@ object Stress {
     }
     val input = MemoryStream[(Long, String)]
     val stream = input.toDF().toDF("doc_id", "text")
+      // MemoryStream plans as a SINGLE-partition LocalTableScan, which
+      // would run the whole fingerprint projection on one core (measured:
+      // 18 s vs 2.8 s for a 6k-doc batch) — a harness artifact, not an
+      // operator property; a real source (Kafka) arrives partitioned.
+      // Spread the feed the way a partitioned source would.
+      .repartition(spark.sparkContext.defaultParallelism)
       // 64 docs/s of event time, monotone with doc_id → no late data; the
       // full span is n/64 s (<1h below ~230k docs, under the default TTL)
       .select($"doc_id", $"text",
