@@ -3,6 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.analytics.Skew
 import graft.llm.{Cluster, Dedup, Semantic}
 import graft.util.Ckpt._
 
@@ -562,6 +563,255 @@ object Stress {
     }
   }
 
+  /** Max shuffle-read records observed on any single task while attached —
+    * the STRAGGLER metric. A skewed shuffle join concentrates a hot key's
+    * rows in one reducer task; no local[32] wall-clock number shows it as
+    * crisply as "the biggest task read X of the shuffled rows". Listener
+    * delivery is asynchronous, so [[settled]] polls until the max stops
+    * moving instead of assuming the bus drained with the job.
+    */
+  private final class MaxShuffleTaskListener
+      extends org.apache.spark.scheduler.SparkListener {
+    private val max = new java.util.concurrent.atomic.AtomicLong(0L)
+    def reset(): Unit = max.set(0L)
+    def settled(): Long = {
+      var prev = -1L; var cur = max.get; var i = 0
+      while (cur != prev && i < 50) {
+        Thread.sleep(100); prev = cur; cur = max.get; i += 1
+      }
+      cur
+    }
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        val r = m.shuffleReadMetrics.recordsRead
+        max.updateAndGet(v => Math.max(v, r))
+      }
+    }
+  }
+
+  /** Skew-mitigation stress — the 100 TB requirement ("skewed keys →
+    * salting or AQE skew-join", SURVEY §7.4-5) measured instead of
+    * asserted. An n-row fact table with ONE key holding ~25% of all rows
+    * joins a 100k-row dimension modeled as too big to broadcast (both
+    * plain routes are hinted sort-merge, because at fixture scale Spark
+    * would broadcast the dim and the skew would vanish — at 100 TB neither
+    * side fits). Three routes must return the SAME per-group aggregate:
+    *
+    *  a. plain shuffle join, AQE skew-split OFF — the straggler baseline:
+    *     one reducer task reads every hot-key row;
+    *  b. plain shuffle join, AQE skew-split ON, thresholds scaled down to
+    *     fixture bytes (the DEFAULT 256 MB threshold trips on its own at
+    *     real partition sizes; a 4M-row fixture's hot partition is ~30 MB)
+    *     — Spark's runtime mitigation, observed via the same metric;
+    *  c. [[Skew.saltedJoin]] — the deterministic mitigation that also
+    *     covers shapes AQE skew-split doesn't (it only rewrites
+    *     sort-merge/shuffled-hash joins; a salted key survives any
+    *     downstream plan change).
+    *
+    * Claims pinned:
+    *  1. routes a/b/c return identical 64-row group aggregates;
+    *  2. the hot key's rows spread over EXACTLY saltBuckets salt slices,
+    *     max/min ≤ 1.1 (the deterministic hash salt really spreads — no
+    *     rand(), so the spread is replayable). The stress salts at
+    *     saltBuckets = cores, the sizing guidance when one key dominates
+    *     (the declared query's SaltBuckets=8 suits many-warm-keys skew;
+    *     with few buckets, two hot slices hash-colliding into one reducer
+    *     re-concentrates what the salt spread — measured: 8 buckets over
+    *     32 partitions left a 1.35M-record max task at 16M rows, 32
+    *     buckets cut it to ~0.7M);
+    *  3. straggler metric: route a's biggest task reads ≥ the whole hot
+    *     key; route c's biggest task reads ≤ 1/3 of route a's; route b's
+    *     is reported (AQE's split quantum is bytes-advisory, not exact);
+    *  4. [[Skew.twoPhaseAgg]] per-key stats == plain groupBy per-key
+    *     stats, exact, all ~100k keys (the aggregation-side mitigation
+    *     answers the same numbers).
+    *
+    * The assertions are deliberately all STRUCTURAL: the per-task
+    * shuffle-read concentration is bit-stable run over run (16M rows:
+    * plain 4,730,407 / AQE-split 730,920 / salted ≤1M, every run), while
+    * local[32] wall-clock for the same routes swings 2x across JVMs (a
+    * 1/32-of-slots straggler is easily masked or amplified by JIT and GC
+    * timing). Wall seconds are printed as context; the concentration
+    * ratio IS the claim — at 1000 executors the stage ends when its
+    * biggest task does, and that task just got 5-6x smaller.
+    */
+  def runSkew(spark: SparkSession, n: Long): Boolean = {
+    import spark.implicits._
+    val nDim = 100005L
+    val sel = pmod(hash($"id", lit(3)), lit(1000))
+    val fact = spark.range(n).select(
+        when(sel < 250, 0L)
+          .when(sel < 350, (sel % 4 + 1).cast("long"))
+          .otherwise(pmod(hash($"id", lit(7)), lit(nDim - 5)) + 5L)
+          .as("key"),
+        $"id".as("distr"),
+        pmod(hash($"id", lit(11)), lit(10000)).cast("long").as("cents"))
+      .ckptDisk()
+    val dim = spark.range(nDim).select(
+        $"id".as("dkey"), pmod($"id", lit(64)).cast("long").as("grp"))
+      .ckptDisk()
+    val hotRows = fact.filter($"key" === 0L).count()
+    println(s"[stress] fact=$n rows, hot key holds $hotRows " +
+      f"(${hotRows * 100.0 / n}%.1f%%), dim=$nDim keys")
+
+    def groupAgg(joined: DataFrame): Seq[(Long, Long, Long)] =
+      joined.groupBy($"grp")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("c"))
+        .select($"grp", $"n", $"c").as[(Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+
+    val listener = new MaxShuffleTaskListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // a. straggler baseline: forced sort-merge, no AQE skew rescue
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val (resPlain, tPlain) = timedS("plain SMJ join+agg (AQE skew OFF)") {
+        groupAgg(fact.hint("merge").join(dim, $"key" === $"dkey"))
+      }
+      val maxPlain = listener.settled()
+
+      // b. Spark's runtime rescue: AQE skew-split, thresholds scaled to
+      // fixture bytes (defaults are sized for real 100 TB partitions)
+      listener.reset()
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+      val (resAqe, tAqe) = timedS("plain SMJ join+agg (AQE skew ON)") {
+        groupAgg(fact.hint("merge").join(dim, $"key" === $"dkey"))
+      }
+      val maxAqe = listener.settled()
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      spark.conf.unset(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+
+      // c. deterministic salting. Bucket count is the DEPLOYMENT dial and
+      // both ends bite (measured at 16M rows): 8 buckets over 32 reducers
+      // let two hot slices hash-collide into one task (1.35M-record max);
+      // 32 buckets fixed that (0.87M) but 4x'd the dim replication and the
+      // wall. parallelism/2 keeps the worst collision at ~hot/8 while
+      // replication stays cheap — the sizing rule: enough slices that a
+      // collision doesn't re-concentrate, no more than the replication is
+      // worth.
+      listener.reset()
+      val buckets = math.max(Skew.SaltBuckets,
+        spark.sparkContext.defaultParallelism / 2)
+      val (resSalt, tSalt) = timedS(s"salted join+agg (saltBuckets=$buckets)") {
+        groupAgg(Skew.saltedJoin(fact.hint("merge"), dim,
+          "key", "dkey", buckets, $"distr"))
+      }
+      val maxSalt = listener.settled()
+
+      println(f"[stress] max task shuffle-read records: plain=$maxPlain%,d " +
+        f"aqe-split=$maxAqe%,d salted=$maxSalt%,d (hot key=$hotRows%,d rows)")
+      println(f"[stress] wall: plain ${tPlain}%.1f s, aqe ${tAqe}%.1f s, " +
+        f"salted ${tSalt}%.1f s")
+
+      // 2. salt-spread structure on the hot key
+      val spread = fact.filter($"key" === 0L)
+        .groupBy(pmod(hash($"distr"), lit(buckets)).as("salt"))
+        .count().select($"count").as[Long].collect()
+      println(s"[stress] hot-key salt spread: ${spread.sorted.mkString(",")}")
+
+      // 4. aggregation-side parity: twoPhaseAgg == plain groupBy, exact
+      val tp = Skew.twoPhaseAgg(fact, $"key", $"distr", Skew.SaltBuckets,
+        partial = Seq(count(lit(1)).as("pn"), sum($"cents").as("ps")),
+        fin = Seq(sum($"pn").as("n"), sum($"ps").as("s")), keyName = "key")
+      val plainAgg = fact.groupBy($"key")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("s"))
+      val aggDiff = tp.exceptAll(plainAgg).count() +
+        plainAgg.exceptAll(tp).count()
+      println(s"[stress] twoPhaseAgg vs plain groupBy diff rows: $aggDiff")
+
+      val ok = resPlain == resAqe && resPlain == resSalt &&
+        resPlain.size == 64 &&
+        spread.length == buckets &&
+        spread.max <= spread.min * 11 / 10 &&
+        maxPlain >= hotRows &&
+        maxSalt <= maxPlain / 3 &&
+        aggDiff == 0
+      println(s"[stress] structure recovered: ${if (ok) "YES" else "NO"}")
+      ok
+    } finally {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
+  /** As-of join stress — the custom physical operator
+    * ([[graft.plans.AsOfJoinExec]], the §7.3 ladder's top rung) and the
+    * composed union+window form ([[graft.analytics.AsOf.asofJoin]]) run at
+    * ~10–40x the fixture's event count against a CLOSED-FORM oracle:
+    * quotes for symbol s sit on the exact grid ts = s·7 + q·1000 µs, and a
+    * trade at offset u into the grid must match the quote at
+    * floor(u/1000)·1000 — computable per row with integer arithmetic, no
+    * reference join needed, so correctness is checkable at any n. A
+    * planted 1-in-101 cohort trades BEFORE its symbol's first quote and
+    * must match NOTHING (the null path at scale, where a fixture query's
+    * nulls are incidental).
+    *
+    * Claims: (1) zero closed-form mismatches on the native-exec route;
+    * (2) the composed route produces the BIT-IDENTICAL frame (exceptAll
+    * both ways — the three-way q_asof_native gate at 0.01 SF, re-proven
+    * at stress scale); (3) row count preserved (as-of never amplifies);
+    * (4) both routes' seconds reported — the merge-scan's constant probe
+    * state vs the window's buffered carry, same exchange count.
+    */
+  def runAsOfStress(spark: SparkSession, n: Long): Boolean = {
+    import spark.implicits._
+    val syms = 1000L
+    val quotesPerSym = math.max(4L, (n / 2) / syms)
+    val spanMicros = quotesPerSym * 1000L
+    val quotes = spark.range(syms * quotesPerSym).select(
+        ($"id" % syms).as("sym"),
+        timestamp_micros(($"id" % syms) * 7 + ($"id" / syms) * 1000).as("ts"))
+      .ckptDisk()
+    val uCol = when(pmod($"id", lit(101L)) === 0, lit(-1L))
+      .otherwise(pmod(hash($"id", lit(9)), lit(spanMicros)).cast("long"))
+    val trades = spark.range(n)
+      .select($"id".as("trade_id"),
+        pmod(hash($"id", lit(5)), lit(syms)).cast("long").as("sym"),
+        uCol.as("u"))
+      .select($"trade_id", $"sym",
+        timestamp_micros($"sym" * 7 + $"u").as("ts"),
+        when($"u" >= 0,
+          timestamp_micros($"sym" * 7 + ($"u" - $"u" % 1000)))
+          .as("expected_ts"))
+      .ckptDisk()
+    val nQuotes = quotes.count(); val nTrades = trades.count()
+    println(s"[stress] trades=$nTrades quotes=$nQuotes syms=$syms " +
+      s"(no-match cohort = every 101st trade)")
+
+    def mismatches(res: DataFrame): Long =
+      res.filter(!($"asof_ts" <=> $"expected_ts")).count()
+
+    val (native, tNative) = timedS("native AsOfJoinExec (merge scan)") {
+      graft.plans.AsOfJoinPlan
+        .asofNative(trades, quotes, "sym", "ts", Seq("ts")).ckptDisk()
+    }
+    val badNative = mismatches(native)
+    val (composed, tComposed) = timedS("composed union+window as-of") {
+      graft.analytics.AsOf
+        .asofJoin(trades, quotes, "sym", "ts", Seq("ts")).ckptDisk()
+    }
+    val badComposed = mismatches(composed)
+    val diff = native.exceptAll(composed).count() +
+      composed.exceptAll(native).count()
+    val rows = native.count()
+
+    println(s"[stress] closed-form mismatches: native=$badNative " +
+      s"composed=$badComposed; route diff rows=$diff; out rows=$rows")
+    println(f"[stress] per-Mrow cost: native ${tNative / n * 1e6}%.2f s, " +
+      f"composed ${tComposed / n * 1e6}%.2f s")
+    val ok = badNative == 0 && badComposed == 0 && diff == 0 && rows == n
+    println(s"[stress] structure recovered: ${if (ok) "YES" else "NO"}")
+    ok
+  }
+
   /** Streaming LSH near-dup suppression stress — the streaming tier's
     * past-fixture-scale evidence (the batch tiers have theirs: dedup,
     * graph, retention, sketches). The SAME planted-group [[corpus]] the
@@ -733,6 +983,14 @@ object Stress {
     }
     if (scenario == "lshstream") {
       val ok = runLshStream(spark, n)
+      spark.stop(); if (!ok) sys.exit(1); return
+    }
+    if (scenario == "skew") {
+      val ok = runSkew(spark, n)
+      spark.stop(); if (!ok) sys.exit(1); return
+    }
+    if (scenario == "asof") {
+      val ok = runAsOfStress(spark, n)
       spark.stop(); if (!ok) sys.exit(1); return
     }
 
