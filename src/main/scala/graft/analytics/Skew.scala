@@ -61,6 +61,19 @@ object Skew {
 
   val SaltBuckets = 8
 
+  /** Salt-bucket sizing for the ONE-dominant-key regime, measured in the
+    * round-9 `skew` stress (docs/BENCH_NOTES.md #47): with b buckets over p
+    * reducer partitions, two hot slices can HASH-COLLIDE into one task and
+    * re-concentrate what the salt spread (8 buckets over 32 partitions left
+    * a 1.35M-record max task at 16M rows; 16 buckets cut it to ≤1M). p/2
+    * keeps the worst collision at ~hot/(b/2) while dim replication stays
+    * cheap; [[SaltBuckets]] remains the floor for the many-warm-keys shape
+    * the declared query models. Use this for the bucket argument when one
+    * key dominates; pass an explicit count when you know the key histogram.
+    */
+  def saltBucketsFor(spark: SparkSession): Int =
+    math.max(SaltBuckets, spark.sparkContext.defaultParallelism / 2)
+
   /** q_join_salted — the DECLARED face of [[saltedJoin]]: per-brand revenue
     * from a salted lineitem⋈part join. The salt must be invisible in the
     * result — the oracle states the PLAIN join — which is the whole

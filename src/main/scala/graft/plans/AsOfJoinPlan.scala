@@ -98,39 +98,79 @@ case class AsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  /** The merge columns are plain attributes appended by the wrapper, so
+    * binding always yields a bare column ordinal — which lets the hot loop
+    * read primitives (`getLong`) instead of paying a boxed `eval` per
+    * comparison. Measured (16M-trade asof stress, local[32]): the eval'd
+    * loop ran 2.5× slower than the composed union+window route purely on
+    * per-row overhead — boxing two Longs per left row, RE-evaluating the
+    * unchanged right head's key for every left row, and allocating a fresh
+    * candidate copy per consumed right row.
+    */
+  private def ordinalOf(e: Expression, attrs: Seq[Attribute]): Int =
+    BindReferences.bindReference(e, attrs) match {
+      case b: BoundReference => b.ordinal
+      case other => throw new IllegalStateException(
+        s"as-of merge column must bind to a plain ordinal, got $other")
+    }
+
   override protected def doExecute(): RDD[InternalRow] = {
-    val lk = BindReferences.bindReference(leftKey, left.output)
-    val lt = BindReferences.bindReference(leftTime, left.output)
-    val rk = BindReferences.bindReference(rightKey, right.output)
-    val rt = BindReferences.bindReference(rightTime, right.output)
+    val lkOrd = ordinalOf(leftKey, left.output)
+    val ltOrd = ordinalOf(leftTime, left.output)
+    val rkOrd = ordinalOf(rightKey, right.output)
+    val rtOrd = ordinalOf(rightTime, right.output)
     val rArity = right.output.size
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val project = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rArity)
-      val rBuf = rIter.buffered
+      // Merge head, decoded ONCE per pointer advance (the old rBuf.head
+      // shape re-evaluated the same head's key for every left row). Rows
+      // with a NULL key or time are skipped here: a NULL can never equal a
+      // left key nor win an inclusive-latest race — and under the previous
+      // eval'd decode a NULL right key unboxed to 0L and could falsely
+      // match left key 0 (the wrapper filters NULL times; NULL keys are
+      // now dropped in both layers).
+      var headRow: InternalRow = null
+      var headKey = 0L
+      var headTime = 0L
+      def advanceHead(): Unit = {
+        headRow = null
+        while (headRow == null && rIter.hasNext) {
+          val r = rIter.next()
+          if (!r.isNullAt(rkOrd) && !r.isNullAt(rtOrd)) {
+            headRow = r
+            headKey = r.getLong(rkOrd)
+            headTime = r.getLong(rtOrd)
+          }
+        }
+      }
+      advanceHead()
       // O(1) probe state: the latest right row at or before the current
-      // left time, for the current key only. Copied on capture — Spark
-      // REUSES row objects between iterator steps.
+      // left time, for the current key only. Spark REUSES row objects
+      // between iterator steps, so the candidate must be captured by copy —
+      // into ONE reusable buffer (`copyFrom` grows it as needed) instead of
+      // a fresh allocation per consumed right row.
       var cand: InternalRow = null
       var candKey = 0L
+      var candBuf: UnsafeRow = null
+      def captureCand(r: InternalRow): Unit = r match {
+        case u: UnsafeRow =>
+          if (candBuf == null) candBuf = u.copy() else candBuf.copyFrom(u)
+          cand = candBuf
+        case other => cand = other.copy()
+      }
       lIter.map { lRow =>
-        val lkAny = lk.eval(lRow)
-        val ltAny = lt.eval(lRow)
-        if (lkAny == null || ltAny == null) {
+        if (lRow.isNullAt(lkOrd) || lRow.isNullAt(ltOrd)) {
           project(joined(lRow, nullRight))
         } else {
-          val k = lkAny.asInstanceOf[Long]
-          val t = ltAny.asInstanceOf[Long]
-          var advance = true
-          while (advance && rBuf.hasNext) {
-            val head = rBuf.head
-            val hk = rk.eval(head).asInstanceOf[Long]
-            if (hk < k || (hk == k && rt.eval(head).asInstanceOf[Long] <= t)) {
-              val consumed = rBuf.next()
-              if (hk == k) { cand = consumed.copy(); candKey = k }
-            } else advance = false
+          val k = lRow.getLong(lkOrd)
+          val t = lRow.getLong(ltOrd)
+          while (headRow != null &&
+              (headKey < k || (headKey == k && headTime <= t))) {
+            if (headKey == k) { captureCand(headRow); candKey = k }
+            advanceHead()
           }
           if (cand != null && candKey == k) project(joined(lRow, cand))
           else project(joined(lRow, nullRight))
@@ -174,13 +214,14 @@ object AsOfJoinPlan {
       if (forward) org.apache.spark.sql.functions.negate(m) else m
     }
     // Left: append the primitive merge columns; Right: key + time + payload
-    // only, NULL times dropped (they can never win an inclusive-latest
-    // race), names prefixed so the concatenated output never collides.
+    // only, NULL keys and times dropped (a NULL key equals no left key; a
+    // NULL time can never win an inclusive-latest race), names prefixed so
+    // the concatenated output never collides.
     val lPrep = left
       .withColumn("__lk", col(key).cast(LongType))
       .withColumn("__lt", micros(col(tsCol)))
     val rPrep = right
-      .filter(col(tsCol).isNotNull)
+      .filter(col(tsCol).isNotNull && col(key).isNotNull)
       .select(col(key).cast(LongType).as("__rk") +: micros(col(tsCol)).as("__rt") +:
         payload.map(c => col(c).as(s"asof_$c")): _*)
     val lPlan = lPrep.queryExecution.analyzed

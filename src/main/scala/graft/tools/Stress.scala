@@ -698,8 +698,7 @@ object Stress {
       // collision doesn't re-concentrate, no more than the replication is
       // worth.
       listener.reset()
-      val buckets = math.max(Skew.SaltBuckets,
-        spark.sparkContext.defaultParallelism / 2)
+      val buckets = Skew.saltBucketsFor(spark)
       val (resSalt, tSalt) = timedS(s"salted join+agg (saltBuckets=$buckets)") {
         groupAgg(Skew.saltedJoin(fact.hint("merge"), dim,
           "key", "dkey", buckets, $"distr"))
@@ -768,7 +767,7 @@ object Stress {
     val spanMicros = quotesPerSym * 1000L
     val quotes = spark.range(syms * quotesPerSym).select(
         ($"id" % syms).as("sym"),
-        timestamp_micros(($"id" % syms) * 7 + ($"id" / syms) * 1000).as("ts"))
+        timestamp_micros(($"id" % syms) * 7 + expr(s"id DIV $syms") * 1000).as("ts"))
       .ckptDisk()
     val uCol = when(pmod($"id", lit(101L)) === 0, lit(-1L))
       .otherwise(pmod(hash($"id", lit(9)), lit(spanMicros)).cast("long"))

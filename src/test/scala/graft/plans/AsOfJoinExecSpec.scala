@@ -68,6 +68,41 @@ class AsOfJoinExecSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(viaExec.values.exists(_.isEmpty)) // tail views with no later purchase
   }
 
+  test("NULL right keys match nothing — including left key 0") {
+    // Regression: the eval'd merge loop unboxed a NULL right key to 0L, so
+    // a null-key right row (which sorts FIRST) could be captured as the
+    // candidate for left key 0. The primitive loop skips null key/time
+    // rows at the head, and the wrapper filters them — assert through the
+    // public API that key 0 only sees its real quote.
+    val lDf = Seq((1L, 0L, 50L), (2L, 0L, 5L)).toDF("lid", "k", "t")
+      .select($"lid", $"k", timestamp_micros($"t").as("ts"))
+    val rDf = Seq(
+        (Option.empty[Long], 1L, 111L), // null key, earliest time
+        (Some(0L), 10L, 222L))          // the only legitimate key-0 quote
+      .toDF("k", "t", "pay")
+      .select($"k", timestamp_micros($"t").as("ts"), $"pay")
+    val got = AsOfJoinPlan.asofNative(lDf, rDf, key = "k", tsCol = "ts",
+      payload = Seq("pay"))
+      .select($"lid", $"asof_pay").as[(Long, Option[Long])].collect().toMap
+    assert(got(1L) == Some(222L)) // t=50 >= 10: the real quote, not the null-key row
+    assert(got(2L).isEmpty)       // t=5 < 10: nothing, NOT pay=111
+  }
+
+  test("NULL left key or time rows pass through with a null match") {
+    val lDf = Seq(
+        (1L, Some(0L), Some(50L)),
+        (2L, Option.empty[Long], Some(50L)),
+        (3L, Some(0L), Option.empty[Long]))
+      .toDF("lid", "k", "t")
+      .select($"lid", $"k", timestamp_micros($"t").as("ts"))
+    val rDf = Seq((0L, 10L, 222L)).toDF("k", "t", "pay")
+      .select($"k", timestamp_micros($"t").as("ts"), $"pay")
+    val got = AsOfJoinPlan.asofNative(lDf, rDf, key = "k", tsCol = "ts",
+      payload = Seq("pay"))
+      .select($"lid", $"asof_pay").as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(1L -> Some(222L), 2L -> None, 3L -> None))
+  }
+
   test("model check on generated interleavings, including no-match and tie edges") {
     val rnd = new scala.util.Random(13)
     val lefts = (1 to 200).map(i =>
