@@ -125,7 +125,16 @@ object Scd {
       .filter($"event_type" === "purchase")
       .select($"event_id", $"user_id",
         (unix_micros($"ts".cast("timestamp")) - 1L).as("t"))
-    fact.join(dim,
+    // merge hint: the history is NOT broadcastable at scale — it grows with
+    // the user count (one row per user-run), and Spark's post-window/agg
+    // size estimate undersells it badly enough to pick broadcast anyway
+    // (measured in the round-9 `scd` stress: the broadcast plan went
+    // superlinear, 3.3 s at 1M events -> 40.9 s at 4M, where the forced
+    // shuffle join scales linearly, 21.3 s at 4M — and at 1e9 users the
+    // broadcast is a driver OOM, not a slowdown). Sort-merge on user_id
+    // reuses the exchange AND (user_id, run) sort the interval build just
+    // paid on the dim side; only the fact side ships.
+    fact.join(dim.hint("merge"),
         fact("user_id") === dim("d_user") &&
           dim("valid_from_us") <= fact("t") &&
           (dim("valid_to_us").isNull || fact("t") < dim("valid_to_us")),

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.analytics.Skew
+import graft.analytics.{Scd, Skew, Upsert}
 import graft.llm.{Cluster, Dedup, Semantic}
 import graft.util.Ckpt._
 
@@ -811,6 +811,141 @@ object Stress {
     ok
   }
 
+  /** Warehouse-tier stress — the SCD2 history build ([[Scd.historyOver]]),
+    * the point-in-time dimensional lookup ([[Scd.pitJoinOver]]), and the
+    * CDC version-keyed merge ([[Upsert.applyChanges]]) at 10–40x fixture
+    * event counts against a fully CLOSED-FORM oracle. Every user's change
+    * stream is planted: user u emits 16 events at ts = t0 + j·1000 µs in
+    * runs of runLen(u) = 1 + (u mod 4) consecutive equal types cycling
+    * (purchase, view, cart) — so every interval's type, bounds, row count,
+    * and currency flag are integer arithmetic on (user_id, run), checkable
+    * per ROW with a distributed mismatch count, no reference join.
+    *
+    * Claims pinned:
+    *  1. history row count == users/4 · (16+8+6+4) (the ceil(16/runLen)
+    *     sum over the four run-length classes), and EVERY field of every
+    *     interval — type, valid_from, valid_to (NULL on last), n_events
+    *     (incl. the partial last run), is_current — matches its closed
+    *     form exactly (zero mismatching rows);
+    *  2. the timeline tiles: per user, n_events sums to 16 and exactly
+    *     one interval is current;
+    *  3. the PIT rollup equals the driver model, exercising all three
+    *     probe paths at scale: first-ever purchase → `(none)` (every
+    *     user's j=0 is a purchase), repeat buy inside an open purchase
+    *     run → `purchase`, and cross-state probes → the PREVIOUS run's
+    *     type;
+    *  4. the merge: base of n version-1 rows + changes for every 3rd key
+    *     (version 2) + a REDELIVERED copy of every 9th key's change
+    *     (same version, higher seq — the at-least-once delivery the
+    *     tie-break column exists for) lands exactly n rows, every row's
+    *     (version, value) matching its closed form, with exactly
+    *     ceil(n/3) change-set winners — redelivery changes nothing.
+    */
+  def runScd(spark: SparkSession, n0: Long): Boolean = {
+    import spark.implicits._
+    val E = 16L
+    val n = math.max(64L, (n0 / 64L) * 64L) // users divisible by 4
+    val users = n / E
+    val classUsers = users / 4
+    val t0 = 1600000000000000L
+    val types = Seq("purchase", "view", "cart")
+    val typeArr = array(types.map(lit): _*)
+
+    val ev = spark.range(n).select(
+        $"id".as("event_id"),
+        expr(s"id DIV $E").as("user_id"),
+        ($"id" % E).as("j"))
+      .withColumn("run_len", lit(1L) + pmod($"user_id", lit(4L)))
+      .select($"event_id", $"user_id",
+        element_at(typeArr,
+          (pmod(expr("j DIV run_len"), lit(3L)) + 1L).cast("int"))
+          .as("event_type"),
+        timestamp_micros(lit(t0) + $"j" * 1000L).as("ts"))
+      .ckptDisk()
+    println(s"[stress] events=$n users=$users (run lengths 1-4, " +
+      s"${E} events/user, types cycle ${types.mkString("/")})")
+
+    val (hist, _) = timedS("SCD2 history build") {
+      Scd.historyOver(ev).ckptDisk()
+    }
+    val histRows = hist.count()
+    val expRows = classUsers * 34 // ceil(16/1)+ceil(16/2)+ceil(16/3)+ceil(16/4)
+
+    // Field-exact check: every expected value is arithmetic on (user_id, run)
+    val checked = hist
+      .withColumn("run_len", lit(1L) + pmod($"user_id", lit(4L)))
+      .withColumn("r0", $"run" - 1L)
+      .withColumn("n_runs", expr(s"($E + run_len - 1) DIV run_len"))
+    val badIntervals = checked.filter(
+      $"event_type" =!= element_at(typeArr,
+        (pmod($"r0", lit(3L)) + 1L).cast("int")) ||
+      $"valid_from_us" =!= lit(t0) + $"r0" * $"run_len" * 1000L ||
+      $"n_events" =!= least($"run_len", lit(E) - $"r0" * $"run_len") ||
+      !($"valid_to_us" <=> when($"run" === $"n_runs",
+        lit(null).cast("long"))
+        .otherwise(lit(t0) + $"run" * $"run_len" * 1000L)) ||
+      $"is_current" =!= ($"run" === $"n_runs")).count()
+    val nCurrent = hist.filter($"is_current").count()
+    val tileBad = hist.groupBy($"user_id").agg(sum($"n_events").as("s"))
+      .filter($"s" =!= E).count()
+    println(s"[stress] history rows=$histRows (expect $expRows), " +
+      s"field mismatches=$badIntervals, current=$nCurrent (expect $users), " +
+      s"tiling violations=$tileBad")
+
+    val (pitRows, _) = timedS("point-in-time join rollup") {
+      Scd.pitJoinOver(ev)
+        .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    }
+    // Driver model: 4 run-length classes x 16 positions — 64 combos decide
+    // the whole rollup because every user in a class is identical.
+    val model = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    for (m <- 0 until 4) {
+      val rl = 1 + m
+      val priors = scala.collection.mutable.Map.empty[String, Long]
+      for (j <- 0 until E.toInt if (j / rl) % 3 == 0) { // purchase blocks
+        val prior = if (j == 0) "(none)" else types(((j - 1) / rl) % 3)
+        priors(prior) = priors.getOrElse(prior, 0L) + 1L
+      }
+      priors.foreach { case (p, c) =>
+        val (np, nu) = model.getOrElse(p, (0L, 0L))
+        model(p) = (np + c * classUsers, nu + classUsers)
+      }
+    }
+    val expPit = model.toSeq.map { case (p, (np, nu)) => (p, np, nu) }
+      .sortBy(_._1)
+    val pitOk = pitRows == expPit
+    println(s"[stress] PIT rollup: got ${pitRows.mkString(", ")}")
+    println(s"[stress]   expected ${expPit.mkString(", ")}")
+
+    // CDC merge with redelivery
+    val base = spark.range(n).select($"id".as("k"),
+      ($"id" * 2 + 1).as("v"), lit(1L).as("version"), lit(0L).as("seq"))
+    val eligible = spark.range(n).filter($"id" % 3 === 0)
+    val changes = eligible.select($"id".as("k"),
+      ($"id" * 2 + 100).as("v"), lit(2L).as("version"), lit(1L).as("seq"))
+    val redelivered = eligible.filter($"id" % 9 === 0).select($"id".as("k"),
+      ($"id" * 2 + 100).as("v"), lit(2L).as("version"), lit(2L).as("seq"))
+    val (merged, _) = timedS("CDC version-keyed merge (with redelivery)") {
+      Upsert.applyChanges(base, changes.unionByName(redelivered),
+        key = "k", version = "version", tieBreak = "seq").ckptDisk()
+    }
+    val mergedRows = merged.count()
+    val mergeBad = merged.filter(
+      when($"k" % 3 === 0,
+        $"v" =!= $"k" * 2 + 100 || $"version" =!= 2L)
+        .otherwise($"v" =!= $"k" * 2 + 1 || $"version" =!= 1L)).count()
+    val updWinners = merged.filter($"version" === 2L).count()
+    val expUpd = (n + 2) / 3 // keys 0,3,6,... below n
+    println(s"[stress] merged rows=$mergedRows (expect $n), " +
+      s"bad rows=$mergeBad, change winners=$updWinners (expect $expUpd)")
+
+    val ok = histRows == expRows && badIntervals == 0 &&
+      nCurrent == users && tileBad == 0 && pitOk &&
+      mergedRows == n && mergeBad == 0 && updWinners == expUpd
+    println(s"[stress] structure recovered: ${if (ok) "YES" else "NO"}")
+    ok
+  }
+
   /** Streaming LSH near-dup suppression stress — the streaming tier's
     * past-fixture-scale evidence (the batch tiers have theirs: dedup,
     * graph, retention, sketches). The SAME planted-group [[corpus]] the
@@ -990,6 +1125,10 @@ object Stress {
     }
     if (scenario == "asof") {
       val ok = runAsOfStress(spark, n)
+      spark.stop(); if (!ok) sys.exit(1); return
+    }
+    if (scenario == "scd") {
+      val ok = runScd(spark, n)
       spark.stop(); if (!ok) sys.exit(1); return
     }
 
