@@ -125,15 +125,17 @@ object Scd {
       .filter($"event_type" === "purchase")
       .select($"event_id", $"user_id",
         (unix_micros($"ts".cast("timestamp")) - 1L).as("t"))
-    // merge hint: the history is NOT broadcastable at scale — it grows with
-    // the user count (one row per user-run), and Spark's post-window/agg
-    // size estimate undersells it badly enough to pick broadcast anyway
-    // (measured in the round-9 `scd` stress: the broadcast plan went
-    // superlinear, 3.3 s at 1M events -> 40.9 s at 4M, where the forced
-    // shuffle join scales linearly, 21.3 s at 4M — and at 1e9 users the
-    // broadcast is a driver OOM, not a slowdown). Sort-merge on user_id
-    // reuses the exchange AND (user_id, run) sort the interval build just
-    // paid on the dim side; only the fact side ships.
+    // merge hint: the history grows with the user count (one row per
+    // user-run), so whether it broadcasts should never ride on Spark's
+    // post-window/agg size estimate — which the round-9 `scd` stress
+    // measured wrong by >3x on this shape (a ~30 MB, 2.1M-row history
+    // still estimated under the 10 MB threshold and broadcast; that plan
+    // scaled superlinearly, 3.3 s at 1M events -> 40.9 s at 4M, vs linear
+    // once shuffled). The pinned sort-merge on user_id is also simply the
+    // better plan at ANY scale here: it reuses the exchange AND the
+    // (user_id, run) sort the interval build just paid on the dim side,
+    // so only the fact side ships — measured faster than the broadcast
+    // plan even at fixture scale (1.04 s vs 1.3 s, sf0.1).
     fact.join(dim.hint("merge"),
         fact("user_id") === dim("d_user") &&
           dim("valid_from_us") <= fact("t") &&
