@@ -12,8 +12,15 @@ import graft.util.Det
   * per-session stats, funnel conversion.
   *
   * Scale notes: sessionization partitions by user_id — the canonical skew
-  * hazard (bot/power users). The window shuffle is one exchange on user_id;
-  * AQE skew handling applies. All gap math is integer microseconds
+  * hazard (bot/power users). The window shuffle is one exchange on user_id,
+  * and a window partition is ATOMIC: AQE's skew machinery splits join
+  * partitions, not window partitions, so a 10⁸-event bot user is a
+  * structural single-task straggler (measured in the round-9 `sessions`
+  * stress: the max per-task shuffle-read count jumps from ~n/32 to the
+  * burst size, with correctness unaffected). The 100 TB mitigation is
+  * upstream — cap or route pathological keys before the window, or take
+  * the streaming `session_window` path whose state is per-session — not a
+  * plan toggle. All gap math is integer microseconds
   * (`unix_micros`) — exact, engine-independent, no float drift. Ties on `ts`
   * are broken by `event_id` so session assignment is fully deterministic.
   */
@@ -22,11 +29,18 @@ object Sessions {
   val GapMicros: Long = 30L * 60 * 1000000 // 30-minute session gap
 
   /** Events with a per-user gap-based `session_id` column attached. */
-  def sessionized(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  def sessionized(spark: SparkSession, dir: String): DataFrame =
+    sessionizedOver(Tables.events(spark, dir))
+
+  /** Frame-parametric core over any (event_id, user_id, ts, ...) frame —
+    * the seam the scale-stress scenario drives (same pattern as
+    * [[Scd.historyOver]]).
+    */
+  def sessionizedOver(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
     val byUser = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
     val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, dir)
+    events
       .withColumn("ts_us", unix_micros($"ts".cast("timestamp")))
       .withColumn("prev_us", lag($"ts_us", 1).over(byUser))
       .withColumn("new_sess",
@@ -55,9 +69,17 @@ object Sessions {
       |ORDER BY user_id, event_id""".stripMargin
 
   /** q_session_stats — per (user, session): size, span, value, distinct types. */
-  def sessionStats(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    sessionized(spark, dir)
+  def sessionStats(spark: SparkSession, dir: String): DataFrame =
+    sessionStatsOver(Tables.events(spark, dir))
+
+  /** Frame-parametric core of [[sessionStats]]; the groupBy reuses the
+    * window's user_id exchange (HashPartitioning(user_id) satisfies the
+    * (user_id, session_id) clustering), so the rollup is exchange-free
+    * above the sessionization.
+    */
+  def sessionStatsOver(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    sessionizedOver(events)
       .groupBy($"user_id", $"session_id")
       .agg(
         count(lit(1)).as("n_events"),

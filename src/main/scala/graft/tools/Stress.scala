@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.analytics.{Scd, Skew, Upsert}
+import graft.analytics.{Scd, Sessions, Skew, Upsert}
 import graft.llm.{Cluster, Dedup, Semantic}
 import graft.util.Ckpt._
 
@@ -946,6 +946,124 @@ object Stress {
     ok
   }
 
+  /** Sessionization stress — gap-based session assignment
+    * ([[Sessions.sessionizedOver]]) and the per-session rollup
+    * ([[Sessions.sessionStatsOver]]) at 7-27x fixture event counts against
+    * a closed-form oracle, plus a measured look at the tier's documented
+    * hazard: the single-partition BOT USER a per-user window cannot split.
+    *
+    * Planted structure: user u emits 4 sessions of 8 events — session
+    * starts 4 h apart (≫ the 30-min gap), events 60 s apart (≪ it) — so
+    * every event's session id is integer arithmetic on its event_id, and
+    * every session's size (8), span (7 min), distinct types (3, the cycle
+    * view/click/purchase), and exact value sum (5.00: two 1+2+3+4 quarter
+    * cycles) are constants checkable by a distributed mismatch count.
+    *
+    * The bot leg appends one user with n/16 events 10 µs apart (a crawler
+    * burst) and pins: (a) correctness is unaffected — the burst lands as
+    * exactly ONE extra session with exact size and span while every other
+    * user's assignment is unchanged; (b) the straggler is REAL and
+    * structural: the max per-task shuffle-read record count jumps from
+    * ~n/32 (uniform hash of users over reducers) to ≳ the burst size,
+    * because a window partition is atomic — AQE's skew machinery splits
+    * JOIN partitions, not window partitions. At 100 TB the mitigation is
+    * upstream (cap/route pathological keys, or the streaming
+    * session_window path whose state is per-session, not per-user-history)
+    * — not a plan toggle, which is why the scaladoc names the hazard
+    * instead of waving at AQE.
+    */
+  def runSessions(spark: SparkSession, n0: Long): Boolean = {
+    import spark.implicits._
+    val S = 4L; val L = 8L; val EPU = S * L
+    val n = math.max(1024L, (n0 / 1024L) * 1024L)
+    val users = n / EPU
+    val t0 = 1600000000000000L
+    val sessGap = 4L * 3600L * 1000000L
+    val types = Seq("view", "click", "purchase")
+    val typeArr = array(types.map(lit): _*)
+    val ev = spark.range(n).select(
+        $"id".as("event_id"),
+        expr(s"id DIV $EPU").as("user_id"),
+        expr(s"(id % $EPU) DIV $L").as("s"),
+        ($"id" % L).as("j"))
+      .select($"event_id", $"user_id",
+        element_at(typeArr, (pmod($"j", lit(3L)) + 1L).cast("int"))
+          .as("event_type"),
+        timestamp_micros(lit(t0) + $"s" * sessGap + $"j" * 60000000L)
+          .as("ts"),
+        ((pmod($"j", lit(4L)) + 1L).cast("double") * 0.25).as("value"))
+      .ckptDisk()
+    println(s"[stress] events=$n users=$users " +
+      s"(4 sessions x 8 events each, 60s within / 4h between)")
+
+    val (sess, _) = timedS("gap sessionization (window)") {
+      Sessions.sessionizedOver(ev)
+        .select($"event_id", $"user_id", $"session_id").ckptDisk()
+    }
+    val badSess = sess.filter(
+      $"session_id" =!= expr(s"(event_id % $EPU) DIV $L") + 1L).count()
+
+    val (stats, _) = timedS("per-session rollup") {
+      Sessions.sessionStatsOver(ev).ckptDisk()
+    }
+    val statRows = stats.count()
+    val badStats = stats.filter(
+      $"n_events" =!= L ||
+      $"span_us" =!= (L - 1) * 60000000L ||
+      $"n_event_types" =!= 3L ||
+      $"session_value" =!= 5.0).count()
+    println(s"[stress] session assignment mismatches=$badSess; " +
+      s"stats rows=$statRows (expect ${users * S}), field mismatches=$badStats")
+
+    // Bot leg: one user, n/16 events 10µs apart, well after its regular span
+    val B = n / 16
+    val bot = spark.range(B).select(
+        (lit(n) + $"id").as("event_id"),
+        lit(0L).as("user_id"),
+        lit("view").as("event_type"),
+        timestamp_micros(lit(t0) + 864000000000L + $"id" * 10L).as("ts"),
+        lit(0.25).as("value"))
+    val ev2 = ev.unionByName(bot).ckptDisk()
+    val listener = new MaxShuffleTaskListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      listener.reset()
+      val (_, tBase) = timedS("sessionize, uniform users") {
+        Sessions.sessionizedOver(ev).agg(sum($"session_id")).collect()
+      }
+      val maxBase = listener.settled()
+      listener.reset()
+      val (_, tBot) = timedS(s"sessionize, one bot user (+$B events)") {
+        Sessions.sessionizedOver(ev2).agg(sum($"session_id")).collect()
+      }
+      val maxBot = listener.settled()
+      println(f"[stress] max task shuffle-read records: uniform=$maxBase%,d " +
+        f"bot=$maxBot%,d (burst=$B%,d rows in ONE window partition); " +
+        f"wall ${tBase}%.1f -> ${tBot}%.1f s")
+
+      val botStats = Sessions.sessionStatsOver(ev2)
+        .filter($"user_id" === 0L)
+        .select($"session_id", $"n_events", $"span_us")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      val botOk = botStats.length == S.toInt + 1 &&
+        botStats.take(S.toInt).forall { case (_, ne, sp) =>
+          ne == L && sp == (L - 1) * 60000000L } &&
+        botStats.last == ((S + 1, B, (B - 1) * 10L))
+      val othersBad = Sessions.sessionizedOver(ev2)
+        .filter($"user_id" =!= 0L)
+        .filter($"session_id" =!= expr(s"(event_id % $EPU) DIV $L") + 1L)
+        .count()
+      println(s"[stress] bot user sessions: ${botStats.mkString(", ")} " +
+        s"(expect 4 regular + one ($B, ${(B - 1) * 10L})-session); " +
+        s"other-user drift=$othersBad")
+
+      val ok = badSess == 0 && statRows == users * S && badStats == 0 &&
+        botOk && othersBad == 0 && maxBot >= B
+      println(s"[stress] structure recovered: ${if (ok) "YES" else "NO"}")
+      ok
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   /** Streaming LSH near-dup suppression stress — the streaming tier's
     * past-fixture-scale evidence (the batch tiers have theirs: dedup,
     * graph, retention, sketches). The SAME planted-group [[corpus]] the
@@ -1129,6 +1247,10 @@ object Stress {
     }
     if (scenario == "scd") {
       val ok = runScd(spark, n)
+      spark.stop(); if (!ok) sys.exit(1); return
+    }
+    if (scenario == "sessions") {
+      val ok = runSessions(spark, n)
       spark.stop(); if (!ok) sys.exit(1); return
     }
 
