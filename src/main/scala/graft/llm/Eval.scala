@@ -23,9 +23,12 @@ import graft.io.Tables
   * fixture's scores, ties are measure-zero.
   *
   * AUC = (Σ ranks(pos) − nPos(nPos+1)/2) / (nPos·nNeg), emitted as exact
-  * integer ppm. Headroom: U·10⁶ fits long up to nPos·nNeg ≲ 9.2e12
-  * (≈ 3e6 balanced rows); past that, drop to DECIMAL(38,0) for the ppm
-  * product — ANSI mode keeps any breach loud.
+  * integer ppm. The ppm product goes through DECIMAL(38,0) (integral
+  * `div` on decimals still returns BIGINT, so the declared schema stays
+  * long): in pure longs U·10⁶ overflows past nPos·nNeg ≈ 9.2e12 (~3e6
+  * balanced rows) — a ceiling the round-9 `evalstress` corpus (16.8M
+  * rows, nPos·nNeg ≈ 5.3e13) sits well past; the decimal path is
+  * closed-form-verified there and hash-unchanged at fixture scale.
   */
 object Eval {
 
@@ -67,9 +70,20 @@ object Eval {
        | GROUP BY 1, 2)""".stripMargin
 
   /** x_auc — exact Mann–Whitney AUC of the declared scorer, one row. */
-  def auc(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val ranked = PrefixSum.globalRunningSum(spark, scored(spark, dir),
+  def auc(spark: SparkSession, dir: String): DataFrame =
+    aucOver(scored(spark, dir))
+
+  /** Frame-parametric core over any (vec_id, label, score) frame — the
+    * seam the scale stress drives with planted closed-form scores. The
+    * ppm arithmetic goes through DECIMAL(38,0) (integral `div` on
+    * decimals still returns BIGINT, so the declared schema is unchanged):
+    * in pure longs, U·10⁶ overflows past nPos·nNeg ≈ 9.2e12 (~3e6
+    * balanced rows), a ceiling the round-9 `evalstress` corpus (16.8M
+    * rows, U up to 3.5e13) sits an order of magnitude past.
+    */
+  def aucOver(sc: DataFrame): DataFrame = {
+    import sc.sparkSession.implicits._
+    val ranked = PrefixSum.globalRunningSum(sc.sparkSession, sc,
         struct($"score", $"vec_id"), lit(1L))
       .withColumnRenamed("running", "rnk")
     ranked.agg(
@@ -77,8 +91,10 @@ object Eval {
         sum(when($"label" =!= PosLabel, 1L).otherwise(0L)).as("n_neg"),
         sum(when($"label" === PosLabel, $"rnk").otherwise(0L)).as("r_pos_sum"))
       .select($"n_pos", $"n_neg", $"r_pos_sum",
-        expr("""(r_pos_sum - n_pos * (n_pos + 1) div 2) * 1000000
-               | div (n_pos * n_neg)""".stripMargin).as("auc_ppm"))
+        expr("""CAST(r_pos_sum - n_pos * (n_pos + 1) div 2 AS DECIMAL(38,0))
+               | * 1000000
+               | div (CAST(n_pos AS DECIMAL(38,0)) * n_neg)""".stripMargin)
+          .as("auc_ppm"))
   }
 
   val aucSql: String =
@@ -107,9 +123,13 @@ object Eval {
     * well-separating scorer concentrates positives in the top deciles —
     * the calibration/lift view a threshold decision reads).
     */
-  def calibrationBins(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val ranked = PrefixSum.globalRunningSum(spark, scored(spark, dir),
+  def calibrationBins(spark: SparkSession, dir: String): DataFrame =
+    calibrationBinsOver(scored(spark, dir))
+
+  /** Frame-parametric core of [[calibrationBins]]. */
+  def calibrationBinsOver(sc: DataFrame): DataFrame = {
+    import sc.sparkSession.implicits._
+    val ranked = PrefixSum.globalRunningSum(sc.sparkSession, sc,
         struct($"score", $"vec_id"), lit(1L))
       .withColumnRenamed("running", "rnk")
     val n = ranked.agg(count(lit(1)).as("n_total"))
@@ -150,11 +170,19 @@ object Eval {
     * separation lives — KS is the max local gap, AUC the global rank
     * integral — which is why an eval tier carries both.
     */
-  def ksStat(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val base = scored(spark, dir)
+  def ksStat(spark: SparkSession, dir: String): DataFrame =
+    ksStatOver(scored(spark, dir))
+
+  /** Frame-parametric core of [[ksStat]]; same DECIMAL(38,0) ppm headroom
+    * upgrade as [[aucOver]] (the per-row cross-multiplied gap stays pure
+    * long — it is bounded by nPos·nNeg, which fits until ~9.2e18, far
+    * past any driver-collectable frame).
+    */
+  def ksStatOver(sc: DataFrame): DataFrame = {
+    import sc.sparkSession.implicits._
+    val base = sc
       .withColumn("is_pos", when($"label" === PosLabel, 1L).otherwise(0L))
-    val withPos = PrefixSum.globalRunningSums(spark, base,
+    val withPos = PrefixSum.globalRunningSums(sc.sparkSession, base,
       struct($"score", $"vec_id"),
       Seq("rnk" -> lit(1L), "pos_cum" -> $"is_pos"))
     // counts read the pass's checkpointed frame, not a re-execution of
@@ -167,7 +195,9 @@ object Eval {
       .groupBy($"n_pos", $"n_neg")
       .agg(max($"gap").as("max_gap"))
       .select($"n_pos", $"n_neg", $"max_gap",
-        expr("max_gap * 1000000 div (n_pos * n_neg)").as("ks_ppm"))
+        expr("""CAST(max_gap AS DECIMAL(38,0)) * 1000000
+               | div (CAST(n_pos AS DECIMAL(38,0)) * n_neg)""".stripMargin)
+          .as("ks_ppm"))
   }
 
   val ksStatSql: String =

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analytics.{Scd, Sessions, Skew, Upsert}
-import graft.llm.{Cluster, Dedup, Semantic}
+import graft.llm.{Cluster, Dedup, Eval, Semantic}
 import graft.util.Ckpt._
 
 /** Scale-stress harness for the dedup pipeline: generates an N-doc corpus
@@ -1184,6 +1184,98 @@ object Stress {
     ok
   }
 
+  /** ML-eval-tier stress — exact AUC, KS, and calibration deciles
+    * ([[graft.llm.Eval]]) over a planted scored frame whose statistics
+    * have CLOSED FORMS, at ~28x the fixture vector count. Scores are a
+    * bijective shuffle of 0..n-1 (score = id·1000003 mod n, n a power of
+    * two, the multiplier odd — so the rank of score s is exactly s+1 and
+    * the range exchange actually redistributes rows). Two label patterns:
+    *
+    *  A. interleaved — positives at every 4th score. Closed forms:
+    *     Σranks(pos) = 2P(P−1)+P, KS max gap = 3P (the CDF sawtooth's
+    *     amplitude: gap(k) = P·|4⌈k/4⌉−k|), auc_ppm ≈ 500000 exactly.
+    *  B. block — positives the third score quartile [2P, 3P). U = 2P²
+    *     exactly (each positive outranks exactly the 2P low negatives),
+    *     auc_ppm = 666666; KS max gap = 2P² at the rank just BELOW the
+    *     block (all 2P low negatives counted, zero positives:
+    *     |0·3P − 2P·P|), ks_ppm = 666666; and every calibration decile's
+    *     (count, pos, permille) is an integer interval intersection.
+    *
+    * All five statistic rows must equal the BigInt driver model exactly.
+    * This is also the scale-proof of the round-9 ppm DECIMAL upgrade: at
+    * n = 2^24, U·10⁶ ≈ 3.5e19 overflows a long (max 9.2e18) — the old
+    * pure-long formula could not have produced these rows under ANSI.
+    */
+  def runEval(spark: SparkSession, n0: Long): Boolean = {
+    import spark.implicits._
+    val n = java.lang.Long.highestOneBit(math.max(1024L, n0))
+    val P = n / 4
+    val scoredBase = spark.range(n).select(
+      $"id".as("vec_id"),
+      pmod($"id" * 1000003L, lit(n)).as("score"))
+    def withLabel(c: org.apache.spark.sql.Column) =
+      scoredBase.withColumn("label", c)
+    println(s"[stress] scored frame: n=$n (bijective score shuffle), " +
+      s"P=$P positives per pattern")
+
+    val bP = BigInt(P); val bN = 3 * bP
+    val rPosA = 2 * bP * (bP - 1) + bP
+    val aucA = (rPosA - bP * (bP + 1) / 2) * 1000000 / (bP * bN)
+    val gapA = 3 * bP
+    val ksA = gapA * 1000000 / (bP * bN)
+    val rPosB = (3 * bP * (3 * bP + 1) - 2 * bP * (2 * bP + 1)) / 2
+    val aucB = (rPosB - bP * (bP + 1) / 2) * 1000000 / (bP * bN)
+    val gapB = 2 * bP * bP
+    val ksB = gapB * 1000000 / (bP * bN)
+
+    val scA = withLabel(
+      when(pmod($"score", lit(4L)) === 0, lit(0L)).otherwise(lit(1L)))
+      .ckptDisk()
+    val (aucRowA, _) = timedS("AUC (interleaved pattern)") {
+      Eval.aucOver(scA).as[(Long, Long, Long, Long)].collect().head
+    }
+    val (ksRowA, _) = timedS("KS (interleaved pattern)") {
+      Eval.ksStatOver(scA).as[(Long, Long, Long, Long)].collect().head
+    }
+    val expAucA = (P, 3 * P, rPosA.toLong, aucA.toLong)
+    val expKsA = (P, 3 * P, gapA.toLong, ksA.toLong)
+    println(s"[stress] A: auc=$aucRowA (expect $expAucA), " +
+      s"ks=$ksRowA (expect $expKsA)")
+
+    val scB = withLabel(
+      when($"score" >= 2 * P && $"score" < 3 * P, lit(0L)).otherwise(lit(1L)))
+      .ckptDisk()
+    val (aucRowB, _) = timedS("AUC (block pattern)") {
+      Eval.aucOver(scB).as[(Long, Long, Long, Long)].collect().head
+    }
+    val (ksRowB, _) = timedS("KS (block pattern)") {
+      Eval.ksStatOver(scB).as[(Long, Long, Long, Long)].collect().head
+    }
+    val (calRows, _) = timedS("calibration deciles (block pattern)") {
+      Eval.calibrationBinsOver(scB)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    }
+    val expAucB = (P, 3 * P, rPosB.toLong, aucB.toLong)
+    val expKsB = (P, 3 * P, gapB.toLong, ksB.toLong)
+    def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
+    val expCal = (1 to 10).map { d =>
+      val lo = ceilDiv((d - 1).toLong * n, 10L) + 1
+      val hi = ceilDiv(d.toLong * n, 10L)
+      val nv = hi - lo + 1
+      val np = math.max(0L, math.min(hi, 3 * P) - math.max(lo, 2 * P + 1) + 1)
+      (d.toLong, nv, np, np * 1000 / nv)
+    }
+    println(s"[stress] B: auc=$aucRowB (expect $expAucB), " +
+      s"ks=$ksRowB (expect $expKsB)")
+    println(s"[stress] B deciles: ${calRows.mkString(", ")}")
+    println(s"[stress]  expected: ${expCal.mkString(", ")}")
+
+    val ok = aucRowA == expAucA && ksRowA == expKsA &&
+      aucRowB == expAucB && ksRowB == expKsB && calRows == expCal
+    println(s"[stress] structure recovered: ${if (ok) "YES" else "NO"}")
+    ok
+  }
+
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 200000L
     val scenario = if (args.length > 1) args(1) else "dedup"
@@ -1251,6 +1343,10 @@ object Stress {
     }
     if (scenario == "sessions") {
       val ok = runSessions(spark, n)
+      spark.stop(); if (!ok) sys.exit(1); return
+    }
+    if (scenario == "evalstress") {
+      val ok = runEval(spark, n)
       spark.stop(); if (!ok) sys.exit(1); return
     }
 
