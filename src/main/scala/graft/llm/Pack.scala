@@ -467,15 +467,26 @@ object Pack {
     */
   def quotaSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val srcw = Tables.documents(spark, dir)
+    quotaSampleOver(
+      Tables.documents(spark, dir).select($"doc_id", $"source", $"n_chars"),
+      QuotaTotal)
+  }
+
+  /** Frame-parametric core of [[quotaSample]] over any
+    * (doc_id, source, n_chars) frame — the seam the scale stress drives
+    * with planted per-source weights and a driver-model apportionment.
+    */
+  def quotaSampleOver(docs: DataFrame, k: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    val srcw = docs
       .groupBy($"source")
       .agg(sum($"n_chars").as("tc"))
       .select($"source", floor(sqrt($"tc".cast("double"))).cast("long").as("w"))
     val tot = srcw.agg(sum($"w").as("bigw"))
     val alloc0 = srcw.crossJoin(broadcast(tot))
       .select($"source",
-        expr(s"($QuotaTotal * w) div bigw").as("base"),
-        expr(s"($QuotaTotal * w) % bigw").as("rem"))
+        expr(s"($k * w) div bigw").as("base"),
+        expr(s"($k * w) % bigw").as("rem"))
     val spent = alloc0.agg(sum($"base").as("spent"))
     val wRem = Window.orderBy($"rem".desc, $"source".asc)
     // the allocation frame is |sources| rows — the driver-free window over
@@ -483,11 +494,11 @@ object Pack {
     val quota = alloc0.crossJoin(broadcast(spent))
       .withColumn("rrk", row_number().over(wRem))
       .select($"source",
-        ($"base" + when($"rrk" <= lit(QuotaTotal) - $"spent", 1L).otherwise(0L))
+        ($"base" + when($"rrk" <= lit(k) - $"spent", 1L).otherwise(0L))
           .as("quota"))
     val wPick = Window.partitionBy($"source")
       .orderBy(md5(concat($"doc_id".cast("string"), lit(":quota"))), $"doc_id")
-    Tables.documents(spark, dir)
+    docs
       .select($"doc_id", $"source")
       .withColumn("pick_rank", row_number().over(wPick).cast("long"))
       .join(broadcast(quota), Seq("source"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analytics.{Scd, Sessions, Skew, Upsert}
-import graft.llm.{Cluster, Dedup, Eval, Semantic}
+import graft.llm.{Cluster, Dedup, Eval, Pack, Semantic}
 import graft.util.Ckpt._
 
 /** Scale-stress harness for the dedup pipeline: generates an N-doc corpus
@@ -1276,6 +1276,69 @@ object Stress {
     ok
   }
 
+  /** Quota-sampling stress — [[Pack.quotaSampleOver]]'s exact-count
+    * guarantee and repartition-invariance at ~28x fixture doc counts,
+    * against a driver-model apportionment. Planted corpus: 100 sources,
+    * docs of source s carry n_chars = s+1, so w_s = ⌊√(m·(s+1))⌋ with m
+    * docs per source — mirrored exactly in the driver (the same IEEE
+    * sqrt both engines floor). Claims: (1) the output holds EXACTLY K
+    * rows; (2) every source's pick count equals the largest-remainder
+    * model's quota exactly (base ⌊K·w/W⌋ plus one leftover slot by
+    * (remainder desc, source asc)); (3) the picked SET is invariant
+    * under input repartitioning (7 vs 13 input partitions → exceptAll
+    * both ways empty) — the md5-keyed pick order is data-determined, so
+    * the same corpus yields the same sample on any cluster layout, the
+    * reproducibility contract a curation pipeline ships.
+    */
+  def runQuota(spark: SparkSession, n0: Long): Boolean = {
+    import spark.implicits._
+    val S = 100L
+    val n = math.max(S * S, (n0 / S) * S)
+    val m = n / S
+    val K = 100000L
+    def docsWith(parts: Int) = spark.range(n).repartition(parts).select(
+      $"id".as("doc_id"),
+      concat(lit("src"), lpad(($"id" % S).cast("string"), 3, "0"))
+        .as("source"),
+      ($"id" % S + 1L).as("n_chars"))
+    println(s"[stress] corpus: $n docs, $S sources x $m docs, K=$K")
+
+    // Driver model (same IEEE sqrt + integer arithmetic the engine runs)
+    val ws = (0 until S.toInt).map(s =>
+      math.floor(math.sqrt((m * (s + 1)).toDouble)).toLong)
+    val bigW = ws.sum
+    val base = ws.map(w => K * w / bigW)
+    val rem = ws.map(w => (K * w) % bigW)
+    val leftover = K - base.sum
+    val order = (0 until S.toInt).sortBy(s => (-rem(s), f"src$s%03d"))
+    val bonus = order.take(leftover.toInt).toSet
+    val expQuota = (0 until S.toInt)
+      .map(s => f"src$s%03d" -> (base(s) + (if (bonus(s)) 1L else 0L)))
+      .toMap
+
+    val (picksA, _) = timedS("quota sample (7-partition input)") {
+      Pack.quotaSampleOver(docsWith(7), K).ckptDisk()
+    }
+    val total = picksA.count()
+    val gotQuota = picksA.groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    val quotaBad = expQuota.count { case (s, q) =>
+      gotQuota.getOrElse(s, 0L) != q }
+    println(s"[stress] picked rows=$total (expect $K), " +
+      s"sources with wrong count=$quotaBad, leftover slots=$leftover")
+
+    val (picksB, _) = timedS("quota sample (13-partition input)") {
+      Pack.quotaSampleOver(docsWith(13), K).ckptDisk()
+    }
+    val drift = picksA.exceptAll(picksB).count() +
+      picksB.exceptAll(picksA).count()
+    println(s"[stress] repartition drift rows=$drift (expect 0)")
+
+    val ok = total == K && quotaBad == 0 && drift == 0
+    println(s"[stress] structure recovered: ${if (ok) "YES" else "NO"}")
+    ok
+  }
+
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 200000L
     val scenario = if (args.length > 1) args(1) else "dedup"
@@ -1347,6 +1410,10 @@ object Stress {
     }
     if (scenario == "evalstress") {
       val ok = runEval(spark, n)
+      spark.stop(); if (!ok) sys.exit(1); return
+    }
+    if (scenario == "quota") {
+      val ok = runQuota(spark, n)
       spark.stop(); if (!ok) sys.exit(1); return
     }
 
