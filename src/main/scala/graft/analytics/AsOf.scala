@@ -44,8 +44,14 @@ object AsOf {
     // A null right timestamp can never satisfy `right.ts <= left.ts` (SQL
     // NULL comparison), but unfiltered it would sort FIRST in the window
     // (asc = nulls first) and be carried forward as a spurious match —
-    // drop such rows up front to keep ASOF semantics.
-    val taggedRight = right.filter(col(tsCol).isNotNull).select(
+    // drop such rows up front to keep ASOF semantics. Same for a NULL key:
+    // the join-equality reading (and [[graft.plans.AsOfJoinPlan.asofNative]],
+    // which shares this contract) says a NULL key equals no left key, but
+    // Window.partitionBy groups NULLs together — unfiltered, a NULL-key
+    // right row would match NULL-key left rows inside the NULL partition
+    // and the two routes would diverge on NULL-key data.
+    val taggedRight = right
+      .filter(col(tsCol).isNotNull && col(key).isNotNull).select(
       col(key).as("__k"), col(tsCol).as("__ts"), lit(0).as("__tag"),
       lit(null).cast(leftStruct).as("__l"),
       struct(payload.map(col): _*).as("__r"))

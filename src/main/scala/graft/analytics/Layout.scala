@@ -444,16 +444,25 @@ object Layout {
 
   private val NullPartDir = "__HIVE_DEFAULT_PARTITION__"
 
-  /** Tombstone suffix for the crash-safe partition swap: the original dir
-    * is renamed aside under this suffix BEFORE the cleaned dir takes its
+  /** Tombstone prefix for the crash-safe partition swap: the original dir
+    * is renamed aside under this name BEFORE the cleaned dir takes its
     * name, so no moment exists where the partition's clean rows live
     * nowhere. A leftover tombstone is repaired by [[recoverVacuum]].
+    *
+    * LEADING DOT is load-bearing for concurrent READERS: Spark's file
+    * index skips dot/underscore-prefixed paths, so a tombstone is
+    * invisible to `spark.read.parquet(root)` — a reader that lists the
+    * table mid-swap sees a well-formed table (partition discovery and the
+    * inferred `day` type unchanged), merely missing the one partition in
+    * flight. A `day=X.__vacbak`-style SUFFIX name would instead enter
+    * partition inference as a non-numeric `day` value and flip the
+    * column's inferred type to string for the duration of the window.
     */
-  private val BakSuffix = ".__vacbak"
+  private val BakPrefix = ".vacbak."
 
   /** Repairs a table a previous vacuum crashed mid-swap, making
     * [[retentionVacuum]] converge under retry instead of losing rows:
-    * for each `day=X.__vacbak` tombstone, if the live `day=X` dir exists
+    * for each `.vacbak.day=X` tombstone, if the live `day=X` dir exists
     * the swap had completed (drop the tombstone); if not, the crash hit
     * between rename-aside and rename-in (restore the original — its
     * erased rows reappear and THIS run re-cleans them, which is the safe
@@ -464,10 +473,10 @@ object Layout {
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Unit = {
     fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.endsWith(BakSuffix))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(BakPrefix))
       .foreach { s =>
         val live = new org.apache.hadoop.fs.Path(
-          root, s.getPath.getName.stripSuffix(BakSuffix))
+          root, s.getPath.getName.stripPrefix(BakPrefix))
         if (fs.exists(live)) fs.delete(s.getPath, true)
         else require(fs.rename(s.getPath, live),
           s"vacuum recovery: cannot restore ${s.getPath} to $live")
@@ -497,6 +506,25 @@ object Layout {
     * four cost properties plus plan/execute row-count agreement;
     * crash-window recovery and the NULL-day-only table are spec-pinned
     * there too.
+    *
+    * ISOLATION CONTRACT (spec-pinned in VacuumReaderSpec): single WRITER —
+    * concurrent vacuums of one table require external coordination (there
+    * is no lock; two interleaved runs can race the same tombstone).
+    * Concurrent READERS via `spark.read.parquet(root)` get per-partition
+    * — not snapshot — consistency: every intermediate state of a swap is
+    * a well-formed table (tombstones are dot-prefixed and the staging dir
+    * lives OUTSIDE the table root, so Spark's file index never sees
+    * either; partition discovery and the inferred `day` type are stable
+    * throughout), and a partition mid-swap is observed as either its old
+    * rows, its new rows, or — in the two-rename tombstone window —
+    * MISSING ENTIRELY. A reader needing all partitions present must
+    * therefore retry when the listing shrinks mid-scan, or read through a
+    * manifest-backed table format; that snapshot layer is deliberately
+    * out of scope here (it is what Delta/Iceberg ARE — file:line of the
+    * design note in SURVEY.md §2.4's layout row). The expired-partition
+    * drop has the same reader semantics as the swap's missing window: an
+    * expiry racing a scan is indistinguishable from the scan starting a
+    * moment later.
     */
   def retentionVacuum(spark: SparkSession, tablePath: String): RetentionStats = {
     import spark.implicits._
@@ -567,7 +595,7 @@ object Layout {
       rewriteDays.foreach { d =>
         val name = d.map(v => s"day=$v").getOrElse(s"day=$NullPartDir")
         val live = new org.apache.hadoop.fs.Path(root, name)
-        val bak = new org.apache.hadoop.fs.Path(root, name + BakSuffix)
+        val bak = new org.apache.hadoop.fs.Path(root, BakPrefix + name)
         val staged = new org.apache.hadoop.fs.Path(stage, name)
         // CRASH-SAFE swap: rename the original ASIDE (tombstone), rename
         // the cleaned dir IN, only then drop the tombstone — at no point

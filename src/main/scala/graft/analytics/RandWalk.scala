@@ -40,7 +40,22 @@ object RandWalk {
     */
   val PackBase = "10000000000000000000"
 
-  /** x_rand_walk — (start, walk) → the 3 hash-chosen hops. */
+  /** x_rand_walk — (start, walk) → the 3 hash-chosen hops.
+    *
+    * Every step executes the IDENTICAL plan shape on the IDENTICAL schema
+    * `(start, walk, path: array<bigint>, cur)`: the step ordinal is derived
+    * in-plan as `size(path) + 1` (not a per-step literal), the hops
+    * accumulate in ONE array column (not a widening n1..nk column set), and
+    * the walk's path rides through the argmin as a grouping key (arrays are
+    * valid HashAggregate grouping keys; only the BUFFER must be mutable,
+    * and the buffer stays the single DECIMAL(38,0) min). With zero
+    * step-varying expressions or schemas, the generated whole-stage code is
+    * the same source text every round, so the Janino class cache compiles
+    * each stage ONCE and steps 2..k run the already-C2-promoted classes —
+    * round 9 measured the old per-step-distinct lineage paying ~40 separate
+    * compile+interpret-then-promote cycles, a 3.6–10.8 s JVM-regime lottery
+    * on an otherwise-right plan (docs/BENCH_NOTES.md #43/#52).
+    */
   def randWalk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = PageRank.edges(spark, dir).ckptDisk()
@@ -53,15 +68,15 @@ object RandWalk {
     var f = starts
       .select($"start",
         explode(array((0 until Walks).map(lit): _*)).as("walk"))
+      .withColumn("path", array().cast("array<bigint>"))
       .withColumn("cur", $"start")
-    (1 to Steps).foreach { k =>
+    (1 to Steps).foreach { _ =>
       // broadcast(f) is load-bearing: after the first aggregate the
       // frontier has no size stats and Spark otherwise broadcasts the
       // EDGE side (2.4M rows at sf0.1) in later steps — measured 15.3 s
       // vs 5.0 s for the identical chain. The frontier is walks-per-start
       // bounded and never grows, so it is ALWAYS the broadcast side.
       val joined = broadcast(f).join(e, f("cur") === e("src")).drop("src")
-      val carried = Seq("start", "walk") ++ (1 until k).map(i => s"n$i")
       // Argmin by (h, dst) through ONE hash-aggregable primitive:
       // pick = h·10¹⁹ + dst as DECIMAL(38,0). min(struct(h, dst)) reads
       // nicer but falls back to SortAggregate (struct isn't a mutable
@@ -74,16 +89,18 @@ object RandWalk {
       f = joined
         .withColumn("h", conv(substring(md5(concat_ws(":",
           $"start".cast("string"), $"walk".cast("string"),
-          lit(k.toString), $"dst".cast("string"))), 1, 15), 16, 10)
-          .cast("long"))
+          (size($"path") + 1).cast("string"), $"dst".cast("string"))), 1, 15),
+          16, 10).cast("long"))
         .withColumn("pick", expr(
           s"CAST(h AS DECIMAL(38,0)) * $PackBase + CAST(dst AS DECIMAL(38,0))"))
-        .groupBy(carried.map(col): _*)
+        .groupBy($"start", $"walk", $"path")
         .agg(min($"pick").as("p"))
-        .withColumn(s"n$k", expr(s"CAST(p % $PackBase AS BIGINT)")).drop("p")
-        .withColumn("cur", col(s"n$k"))
+        .withColumn("nxt", expr(s"CAST(p % $PackBase AS BIGINT)"))
+        .select($"start", $"walk",
+          concat($"path", array($"nxt")).as("path"), $"nxt".as("cur"))
     }
-    f.select($"start", $"walk", $"n1", $"n2", $"n3")
+    f.select($"start", $"walk",
+        $"path"(0).as("n1"), $"path"(1).as("n2"), $"path"(2).as("n3"))
       .orderBy($"start", $"walk")
   }
 

@@ -17,10 +17,11 @@ import graft.util.Det
   * partitions, not window partitions, so a 10⁸-event bot user is a
   * structural single-task straggler (measured in the round-9 `sessions`
   * stress: the max per-task shuffle-read count jumps from ~n/32 to the
-  * burst size, with correctness unaffected). The 100 TB mitigation is
-  * upstream — cap or route pathological keys before the window, or take
-  * the streaming `session_window` path whose state is per-session — not a
-  * plan toggle. All gap math is integer microseconds
+  * burst size, with correctness unaffected). [[sessionizedCappedOver]] is
+  * the executable mitigation: a range-partitioned split-and-stitch whose
+  * max window partition is bounded by the range slice size regardless of
+  * key skew, proven bit-identical to the atomic plan (shared oracle +
+  * stress parity). All gap math is integer microseconds
   * (`unix_micros`) — exact, engine-independent, no float drift. Ties on `ts`
   * are broken by `event_id` so session assignment is fully deterministic.
   */
@@ -46,6 +47,99 @@ object Sessions {
       .withColumn("new_sess",
         when($"prev_us".isNull || ($"ts_us" - $"prev_us") > GapMicros, 1L).otherwise(0L))
       .withColumn("session_id", sum($"new_sess").over(running))
+  }
+
+  /** Gap-based sessionization WITHOUT the atomic per-user window partition —
+    * the bot-burst mitigation the object scaladoc names. Exact, not
+    * approximate: produces the SAME `session_id` for every event as
+    * [[sessionizedOver]] on any input (null timestamps included), pinned by
+    * the shared `q_sessionize` oracle and the stress-scenario parity count.
+    *
+    * Shape (the [[PrefixSum]] split-and-stitch, specialized to a keyed
+    * running sum): range-partition on (user_id, ts_us, event_id) — the
+    * range sampler splits a hot user's timeline across slices because the
+    * timestamp is part of the sort key, so every slice is ~n/slices rows
+    * REGARDLESS of key skew — then sessionize each (slice, user) chunk
+    * locally with the ordinary lag+running-sum window (max window partition
+    * = slice size, not user history), and stitch chunk boundaries with one
+    * pass over the per-(slice, user) summary frame: a chunk's first event
+    * provisionally opens a session; if the previous chunk's last event is
+    * within the gap (NULL-propagating comparison, replicating the row-level
+    * rule exactly), the stitch folds that session into it by shifting the
+    * chunk's ids down one. The summary frame is one row per (slice, user)
+    * — a user's stitch window holds at most `slices` rows, so no partition
+    * anywhere in the plan depends on a single user's event count. Cost vs
+    * the atomic plan: one range exchange + one (slice, user) hash exchange
+    * instead of one user_id exchange, plus a summary-sized join (AQE
+    * broadcasts it at any realistic user count per slice ratio) — the
+    * price of the bounded straggler.
+    */
+  def sessionizedCappedOver(events: DataFrame, slices: Int = 0): DataFrame = {
+    import events.sparkSession.implicits._
+    import graft.util.Ckpt._
+    val spark = events.sparkSession
+    val n = if (slices > 0) slices else spark.sparkContext.defaultParallelism
+    // ckpt pins the sampled range bounds: the summary pass and the final
+    // join must see the SAME slice assignment (PrefixSum's contract).
+    val sliced = events
+      .withColumn("ts_us", unix_micros($"ts".cast("timestamp")))
+      .repartitionByRange(n, $"user_id", $"ts_us".asc_nulls_first, $"event_id")
+      .withColumn("__pid", spark_partition_id())
+      .ckptDisk()
+    val wChunk = Window.partitionBy($"__pid", $"user_id")
+      .orderBy($"ts_us".asc_nulls_first, $"event_id".asc)
+    val local = sliced
+      .withColumn("prev_us", lag($"ts_us", 1).over(wChunk))
+      .withColumn("new_sess",
+        when($"prev_us".isNull || ($"ts_us" - $"prev_us") > GapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("local_sess", sum($"new_sess")
+        .over(wChunk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // Boundary summary: order-first ts is NULL iff the chunk contains any
+    // null-ts event (nulls sort first); order-last is max(ts_us) — null
+    // only when the whole chunk is null-ts. Both feed the stitch rule
+    // below, which replicates [[sessionizedOver]]'s row-level new_sess
+    // decision verbatim: `lag(ts_us).isNull` there is true when the
+    // PREVIOUS ROW's ts is null (not just at the partition head), so an
+    // event right after a null-ts event always opens a session — hence
+    // `prev_last.isNotNull` in the stitch; and a null CURRENT ts with a
+    // non-null predecessor makes the gap subtraction null, which reads
+    // "not > gap" and CONTINUES — hence the coalesce-to-false.
+    val summary = local.groupBy($"__pid", $"user_id")
+      .agg(
+        when(count($"ts_us") < count(lit(1)), lit(null).cast("long"))
+          .otherwise(min($"ts_us")).as("first_us"),
+        max($"ts_us").as("last_us"),
+        max($"local_sess").as("n_local"))
+    val wUser = Window.partitionBy($"user_id").orderBy($"__pid".asc)
+    val stitched = summary
+      .withColumn("prev_last", lag($"last_us", 1).over(wUser))
+      .withColumn("has_prev", row_number().over(wUser) > 1)
+      .withColumn("stitch",
+        when($"has_prev" && $"prev_last".isNotNull &&
+          !coalesce(($"first_us" - $"prev_last") > GapMicros, lit(false)), 1L)
+          .otherwise(0L))
+      .withColumn("sess_off",
+        coalesce(sum($"n_local" - $"stitch")
+          .over(wUser.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          - $"stitch")
+      .select($"__pid", $"user_id", $"sess_off")
+    local.join(stitched, Seq("__pid", "user_id"))
+      .withColumn("session_id", $"sess_off" + $"local_sess")
+      .drop("__pid", "local_sess", "sess_off")
+  }
+
+  /** q_sessionize_capped — the SAME assignment as `q_sessionize`, answered
+    * by [[sessionizedCappedOver]]'s bounded-partition plan and gated on the
+    * SAME oracle SQL — the parity pin that makes the mitigation's
+    * exactness a per-round hash check, not a claim (the `q_asof_native`
+    * pattern).
+    */
+  def sessionizeCapped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sessionizedCappedOver(Tables.events(spark, dir))
+      .select($"event_id", $"user_id", $"session_id")
+      .orderBy($"user_id", $"event_id")
   }
 
   /** q_sessionize — (event → session id) assignment, the lag+running-sum form. */
@@ -398,6 +492,7 @@ object Sessions {
     "q_ohlc" -> (ohlc _),
     "q_sliding_distinct" -> (slidingDistinct _),
     "q_sessionize" -> (sessionize _),
+    "q_sessionize_capped" -> (sessionizeCapped _),
     "q_session_stats" -> (sessionStats _),
     "q_funnel" -> (funnel _),
     "q_funnel_window" -> (funnelWindow _),
@@ -411,6 +506,7 @@ object Sessions {
     "q_ohlc" -> ohlcSql,
     "q_sliding_distinct" -> slidingDistinctSql,
     "q_sessionize" -> sessionizeSql,
+    "q_sessionize_capped" -> sessionizeSql,
     "q_session_stats" -> sessionStatsSql,
     "q_funnel" -> funnelSql,
     "q_funnel_window" -> funnelWindowSql,

@@ -70,9 +70,16 @@ object Skew {
     * cheap; [[SaltBuckets]] remains the floor for the many-warm-keys shape
     * the declared query models. Use this for the bucket argument when one
     * key dominates; pass an explicit count when you know the key histogram.
+    *
+    * p is the REDUCER count — `spark.sql.shuffle.partitions`, the number of
+    * post-shuffle tasks the salted key actually hashes across — not
+    * `defaultParallelism` (core count), which on a default-conf cluster
+    * (200 shuffle partitions over, say, 32 cores) would size buckets 6×
+    * too small for the collision analysis above to hold.
     */
   def saltBucketsFor(spark: SparkSession): Int =
-    math.max(SaltBuckets, spark.sparkContext.defaultParallelism / 2)
+    math.max(SaltBuckets,
+      spark.conf.get("spark.sql.shuffle.partitions").toInt / 2)
 
   /** q_join_salted — the DECLARED face of [[saltedJoin]]: per-brand revenue
     * from a salted lineitem⋈part join. The salt must be invisible in the

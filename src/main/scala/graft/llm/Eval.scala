@@ -80,6 +80,14 @@ object Eval {
     * in pure longs, U·10⁶ overflows past nPos·nNeg ≈ 9.2e12 (~3e6
     * balanced rows), a ceiling the round-9 `evalstress` corpus (16.8M
     * rows, U up to 3.5e13) sits an order of magnitude past.
+    *
+    * The tie-rank correction n_pos·(n_pos+1)/2 is computed IN decimal —
+    * one of the two factors is halved first in BIGINT (one of them is
+    * always even, so the halving is exact), then the product widens to
+    * DECIMAL(38,0) — so the multiply never touches a long. The remaining
+    * ceiling is r_pos_sum's declared-BIGINT sum of ranks, ≈ n·n_pos ≤
+    * 9.2e18 (~3e9 balanced rows): a declared-schema bound (the oracle pins
+    * r_pos_sum as BIGINT), not an arithmetic shortcut in the ppm path.
     */
   def aucOver(sc: DataFrame): DataFrame = {
     import sc.sparkSession.implicits._
@@ -91,7 +99,11 @@ object Eval {
         sum(when($"label" =!= PosLabel, 1L).otherwise(0L)).as("n_neg"),
         sum(when($"label" === PosLabel, $"rnk").otherwise(0L)).as("r_pos_sum"))
       .select($"n_pos", $"n_neg", $"r_pos_sum",
-        expr("""CAST(r_pos_sum - n_pos * (n_pos + 1) div 2 AS DECIMAL(38,0))
+        expr("""(CAST(r_pos_sum AS DECIMAL(38,0))
+               |  - CASE WHEN n_pos % 2 = 0
+               |         THEN CAST(n_pos div 2 AS DECIMAL(38,0)) * (n_pos + 1)
+               |         ELSE CAST(n_pos AS DECIMAL(38,0)) * ((n_pos + 1) div 2)
+               |    END)
                | * 1000000
                | div (CAST(n_pos AS DECIMAL(38,0)) * n_neg)""".stripMargin)
           .as("auc_ppm"))

@@ -966,11 +966,12 @@ object Stress {
     * structural: the max per-task shuffle-read record count jumps from
     * ~n/32 (uniform hash of users over reducers) to ≳ the burst size,
     * because a window partition is atomic — AQE's skew machinery splits
-    * JOIN partitions, not window partitions. At 100 TB the mitigation is
-    * upstream (cap/route pathological keys, or the streaming
-    * session_window path whose state is per-session, not per-user-history)
-    * — not a plan toggle, which is why the scaladoc names the hazard
-    * instead of waving at AQE.
+    * JOIN partitions, not window partitions; and (c) the mitigation is
+    * REAL: [[Sessions.sessionizedCappedOver]]'s range-partitioned
+    * split-and-stitch assigns the bit-identical session ids on the same
+    * bot corpus while its max task shuffle-read drops from the burst size
+    * back to range-slice scale — the straggler task is gone, measured by
+    * the same listener, with a zero-tolerance distributed drift count.
     */
   def runSessions(spark: SparkSession, n0: Long): Boolean = {
     import spark.implicits._
@@ -1057,8 +1058,59 @@ object Stress {
         s"(expect 4 regular + one ($B, ${(B - 1) * 10L})-session); " +
         s"other-user drift=$othersBad")
 
+      // Mitigation leg: the capped split-and-stitch plan on the SAME bot
+      // corpus must (a) assign every event the IDENTICAL session id the
+      // atomic plan does — a distributed null-safe mismatch count, zero
+      // tolerance — and (b) actually dissolve the straggler. The atomic
+      // plan's max task is the BURST SIZE at any reducer count (a window
+      // partition is one task, structurally); the capped plan's max task
+      // is ~total/reducers under a balanced hash of bounded chunks — it
+      // SCALES OUT. Measure at 4x the reducer width (the knob a 100 TB
+      // deployment actually turns) so the two regimes separate clearly:
+      // at equal width the balanced floor total/32 sits near the planted
+      // burst and the comparison would be a coin flip, not a mechanism.
+      // AQE's partition coalescing is disabled for the measured run: it
+      // merges the bounded (slice, user) chunks back up to its advisory
+      // BYTE target (measured: 128 reducers re-coalesced to ~19 tasks of
+      // ~222k rows at 4M events) — healthy in production (merging is
+      // byte-capped; it never rebuilds a key-shaped straggler) but it
+      // measures AQE's target, not this operator's bound. Coalescing off,
+      // the max task is the operator's own guarantee: O(total/reducers)
+      // plus chunk hash collisions, independent of the burst.
+      val parts0 = spark.conf.get("spark.sql.shuffle.partitions")
+      val coal0 = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+      val wide = 4 * spark.sparkContext.defaultParallelism
+      val total = n + B
+      val capBound = 4L * total / wide
+      spark.conf.set("spark.sql.shuffle.partitions", wide.toString)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val (maxCap, capDrift, cappedSum, tCap) =
+        try {
+          listener.reset()
+          val (s, t) = timedS("sessionize, bot corpus, CAPPED plan") {
+            Sessions.sessionizedCappedOver(ev2, wide)
+              .agg(sum($"session_id")).as[Long].collect().head
+          }
+          val mc = listener.settled()
+          val drift = Sessions.sessionizedOver(ev2)
+            .select($"event_id", $"session_id".as("want"))
+            .join(Sessions.sessionizedCappedOver(ev2, wide)
+              .select($"event_id", $"session_id".as("got")), "event_id")
+            .filter(!($"want" <=> $"got")).count()
+          (mc, drift, s, t)
+        } finally {
+          spark.conf.set("spark.sql.shuffle.partitions", parts0)
+          spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", coal0)
+        }
+      println(f"[stress] capped plan ($wide slices/reducers): " +
+        f"assignment drift=$capDrift (expect 0), " +
+        f"max task shuffle-read $maxBot%,d -> $maxCap%,d " +
+        f"(bound ${capBound}%,d = 4x total/$wide; burst was $B%,d); " +
+        f"wall ${tBot}%.1f -> ${tCap}%.1f s; checksum=$cappedSum")
+
       val ok = badSess == 0 && statRows == users * S && badStats == 0 &&
-        botOk && othersBad == 0 && maxBot >= B
+        botOk && othersBad == 0 && maxBot >= B &&
+        capDrift == 0 && maxCap <= capBound && maxCap <= B / 2
       println(s"[stress] structure recovered: ${if (ok) "YES" else "NO"}")
       ok
     } finally spark.sparkContext.removeSparkListener(listener)

@@ -151,7 +151,7 @@ class RetentionRoundTripSpec extends SparkSpec {
 
   test("a vacuum killed mid-swap is repaired by the next run, losing no clean rows") {
     // The swap is rename(live→bak); rename(staged→live); delete(bak). Both
-    // crash windows leave a `day=X.__vacbak` tombstone on disk:
+    // crash windows leave a `.vacbak.day=X` tombstone on disk:
     //  A) after rename-aside, before rename-in → live MISSING, bak = original
     //  B) after rename-in, before tombstone delete → live = cleaned, bak left
     // The next vacuum must converge both to the cleaned table with every
@@ -180,19 +180,19 @@ class RetentionRoundTripSpec extends SparkSpec {
     val a = freshTable()
     try {
       Files.move(a.resolve(s"day=$dirtyDay"),
-        a.resolve(s"day=$dirtyDay.__vacbak"))
+        a.resolve(s".vacbak.day=$dirtyDay"))
       val stats = Layout.retentionVacuum(spark, a.toString)
       assert(stats.rewrittenDays == Seq(Some(dirtyDay)),
         "recovery must restore the tombstone and THEN re-clean it")
       assert(surviving(a) == Seq(1L, 3L), "clean row 1 must survive window A")
-      assert(!Files.exists(a.resolve(s"day=$dirtyDay.__vacbak")))
+      assert(!Files.exists(a.resolve(s".vacbak.day=$dirtyDay")))
     } finally deleteRec(a.getParent)
 
     // window B: the cleaned dir landed but the tombstone was never dropped
     val b = freshTable()
     try {
       val live = b.resolve(s"day=$dirtyDay")
-      Files.move(live, b.resolve(s"day=$dirtyDay.__vacbak"))
+      Files.move(live, b.resolve(s".vacbak.day=$dirtyDay"))
       // land a "cleaned" dir the way the crashed run would have: vacuum a
       // copy of the same table and steal its rewritten partition dir
       val donor = freshTable()
@@ -204,7 +204,7 @@ class RetentionRoundTripSpec extends SparkSpec {
       assert(stats.rewrittenDays.isEmpty,
         "window B's live dir is already clean — nothing to rewrite")
       assert(surviving(b) == Seq(1L, 3L), "clean row 1 must survive window B")
-      assert(!Files.exists(b.resolve(s"day=$dirtyDay.__vacbak")))
+      assert(!Files.exists(b.resolve(s".vacbak.day=$dirtyDay")))
     } finally deleteRec(b.getParent)
   }
 }

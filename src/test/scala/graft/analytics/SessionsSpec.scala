@@ -63,6 +63,64 @@ class SessionsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
   }
 
+  private def parity(df: DataFrame, slices: Int): Long = {
+    val atomic = Sessions.sessionizedOver(df)
+      .select($"event_id", $"session_id".as("want"))
+    val capped = Sessions.sessionizedCappedOver(df, slices)
+      .select($"event_id", $"session_id".as("got"))
+    atomic.join(capped, "event_id")
+      .filter(!($"want" <=> $"got")).count()
+  }
+
+  test("capped sessionization is bit-identical to the atomic window plan") {
+    // one hot user with 40 events alternating 1-min and 40-min gaps (so
+    // sessions of 2), plus a cold user — at 8 slices the range partitioner
+    // MUST split the hot timeline mid-session somewhere, exercising both
+    // stitch outcomes (merge across a 1-min boundary, keep across 40-min).
+    val hot = (0 until 40).map { i =>
+      (i.toLong, 1L, ts((i / 2) * 41 + (i % 2)), "view", 0.0)
+    }
+    val cold = Seq((100L, 2L, ts(0), "view", 0.0), (101L, 2L, ts(10), "view", 0.0))
+    val df = (hot ++ cold).toDF("event_id", "user_id", "ts", "event_type", "value")
+    assert(parity(df, slices = 8) == 0)
+    // every event present exactly once
+    assert(Sessions.sessionizedCappedOver(df, 8).count() == df.count())
+  }
+
+  test("capped sessionization replicates NULL-timestamp semantics exactly") {
+    // the atomic plan's row rule: null ts sorts first and a null on either
+    // side of the gap subtraction reads "not > gap" (continues). Plant
+    // null-ts runs at a user's head and between non-null events and pin
+    // route parity row for row.
+    val df = Seq(
+      (1L, 1L, null.asInstanceOf[Timestamp], "view", 0.0),
+      (2L, 1L, null.asInstanceOf[Timestamp], "view", 0.0),
+      (3L, 1L, ts(0), "view", 0.0),
+      (4L, 1L, ts(10), "view", 0.0),
+      (5L, 1L, ts(120), "view", 0.0),
+      (6L, 2L, null.asInstanceOf[Timestamp], "view", 0.0),
+      (7L, 3L, ts(5), "view", 0.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    (2 to 6).foreach(s => assert(parity(df, s) == 0, s"slices=$s"))
+  }
+
+  test("capped plan bounds the window partition: no (slice, user) chunk " +
+    "exceeds the slice size even for a single-user burst") {
+    val burst = (0 until 1000).map(i => (i.toLong, 7L, ts(i), "view", 0.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    assert(parity(burst, slices = 8) == 0)
+    // chunk sizes observable from the plan's own columns: group by the
+    // stitched output's session boundaries is opaque, so re-derive the
+    // slice assignment exactly as the operator does and measure chunks.
+    val sliced = burst
+      .withColumn("ts_us", unix_micros($"ts".cast("timestamp")))
+      .repartitionByRange(8, $"user_id", $"ts_us".asc_nulls_first, $"event_id")
+      .withColumn("pid", spark_partition_id())
+    val maxChunk = sliced.groupBy($"pid", $"user_id").count()
+      .agg(max($"count")).as[Long].head()
+    assert(maxChunk < 1000, s"burst not split: maxChunk=$maxChunk")
+  }
+
   test("funnel counts users, not events, per stage") {
     val f = events.groupBy($"user_id")
       .agg(
