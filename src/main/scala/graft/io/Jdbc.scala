@@ -37,6 +37,53 @@ object Jdbc {
       .mode(mode)
       .save()
 
+  /** Does `table` exist on this connection? Probed via metadata, not a
+    * swallowed exception, so real errors stay loud. Honors a
+    * schema-qualified name: "analytics.kpis" must match
+    * (TABLE_SCHEM=analytics, TABLE_NAME=kpis) and nothing else — a
+    * bare-name match across all schemas would false-positive on a
+    * same-named table in an unrelated schema. An UNQUALIFIED name
+    * resolves against the connection's CURRENT schema (what subsequent
+    * statements will see), never against same-named tables elsewhere.
+    * Both patterns are pushed into getTables so the driver filters
+    * server-side instead of this probe enumerating the whole catalog.
+    */
+  private[graft] def tableExists(
+      conn: java.sql.Connection, table: String): Boolean = {
+    val (schemaPart, namePart) = table.lastIndexOf('.') match {
+      case -1 => (None, table)
+      case i  => (Some(table.substring(0, i)), table.substring(i + 1))
+    }
+    val md = conn.getMetaData
+    // Unquoted identifiers are case-folded by the engine before storage
+    // (Derby/Oracle/DB2 upper-case, Postgres/MySQL lower-case) — fold the
+    // probe the same way so the metadata pattern matches what the CREATE
+    // actually stored.
+    def folded(id: String): String =
+      if (md.storesUpperCaseIdentifiers) id.toUpperCase(java.util.Locale.ROOT)
+      else if (md.storesLowerCaseIdentifiers) id.toLowerCase(java.util.Locale.ROOT)
+      else id
+    // getTables' pattern args are LIKE patterns: escape the wildcards so
+    // "kpi_sink" probes for exactly that table, not any "kpi?sink".
+    val esc = Option(md.getSearchStringEscape).getOrElse("")
+    def pat(id: String): String =
+      if (esc.isEmpty) id
+      else id.replace(esc, esc + esc)
+        .replace("_", esc + "_").replace("%", esc + "%")
+    val schemaPattern = schemaPart.map(s => pat(folded(s)))
+      // pre-JDBC-4.1 drivers THROW from getSchema (SQLFeatureNotSupported,
+      // or AbstractMethodError for jars compiled against JDBC 3/4.0 —
+      // a LinkageError scala.util.Try would NOT catch) rather than
+      // returning null; any failure here means "driver can't say",
+      // which is exactly the any-schema fallback case.
+      .orElse((try Option(conn.getSchema)
+        catch { case _: Throwable => None }).map(pat))
+      .orNull // driver without getSchema support: fall back to any-schema
+    val rs = md.getTables(null, schemaPattern, pat(folded(namePart)),
+      Array("TABLE"))
+    try rs.next() finally rs.close()
+  }
+
   /** Exactly-once (in row terms) micro-batch JDBC sink — the foreachBatch
     * recipe for the reference's daily-KPIs Postgres leg. Structured
     * Streaming re-runs a failed micro-batch under the SAME batchId, so the
@@ -64,52 +111,11 @@ object Jdbc {
     try {
       // first-batch bootstrap: the sink table is created by the first
       // append below (Spark's JDBC append creates a missing table), so
-      // the keyed delete only runs once the table exists — probed via
-      // metadata, not a swallowed exception, so real errors stay loud.
-      // The probe honors a schema-qualified name: "analytics.kpis" must
-      // match (TABLE_SCHEM=analytics, TABLE_NAME=kpis) and nothing else —
-      // a bare-name match across all schemas would skip the delete for
-      // qualified sinks (replay would then DUPLICATE) and false-positive
-      // on a same-named table in an unrelated schema. An UNQUALIFIED name
-      // resolves against the connection's CURRENT schema (what the DELETE
-      // below will see), never against same-named tables elsewhere — a
-      // cross-schema hit would key the DELETE to a name the search path
-      // can't resolve yet and fail the micro-batch. Both patterns are
-      // pushed into getTables so the driver filters server-side instead
-      // of this probe enumerating the whole catalog every micro-batch.
-      val (schemaPart, namePart) = table.lastIndexOf('.') match {
-        case -1 => (None, table)
-        case i  => (Some(table.substring(0, i)), table.substring(i + 1))
-      }
-      val md = conn.getMetaData
-      // Unquoted identifiers are case-folded by the engine before storage
-      // (Derby/Oracle/DB2 upper-case, Postgres/MySQL lower-case) — fold the
-      // probe the same way so the metadata pattern matches what the CREATE
-      // actually stored.
-      def folded(id: String): String =
-        if (md.storesUpperCaseIdentifiers) id.toUpperCase(java.util.Locale.ROOT)
-        else if (md.storesLowerCaseIdentifiers) id.toLowerCase(java.util.Locale.ROOT)
-        else id
-      // getTables' pattern args are LIKE patterns: escape the wildcards so
-      // "kpi_sink" probes for exactly that table, not any "kpi?sink".
-      val esc = Option(md.getSearchStringEscape).getOrElse("")
-      def pat(id: String): String =
-        if (esc.isEmpty) id
-        else id.replace(esc, esc + esc)
-          .replace("_", esc + "_").replace("%", esc + "%")
-      val schemaPattern = schemaPart.map(s => pat(folded(s)))
-        // pre-JDBC-4.1 drivers THROW from getSchema (SQLFeatureNotSupported,
-        // or AbstractMethodError for jars compiled against JDBC 3/4.0 —
-        // a LinkageError scala.util.Try would NOT catch) rather than
-        // returning null; any failure here means "driver can't say",
-        // which is exactly the any-schema fallback case.
-        .orElse((try Option(conn.getSchema)
-          catch { case _: Throwable => None }).map(pat))
-        .orNull // driver without getSchema support: fall back to any-schema
-      val rs = md.getTables(null, schemaPattern, pat(folded(namePart)),
-        Array("TABLE"))
-      val exists = try rs.next() finally rs.close()
-      if (exists) {
+      // the keyed delete only runs once the table exists. A cross-schema
+      // false positive from the probe would skip the delete for qualified
+      // sinks (replay would then DUPLICATE) — see [[tableExists]] for how
+      // the probe pins schema and case-folding.
+      if (tableExists(conn, table)) {
         // Spark's JDBC writer quotes column identifiers on CREATE, so the
         // stored column is the case-sensitive "batch_id" — the delete must
         // quote it the same way (ANSI double quotes: Derby + Postgres)

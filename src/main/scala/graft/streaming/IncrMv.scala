@@ -25,8 +25,10 @@ import graft.util.Det
   *
   * Scale shape: the ledger holds one row per (user, batch) — the delta
   * aggregate's output, orders of magnitude smaller than the event stream
-  * — and the fold is one hash aggregate over it, prunable by batch_id
-  * watermark if the summary is itself maintained incrementally. CDC in,
+  * — and the fold is one hash aggregate over it. [[compactLedger]] bounds
+  * the ledger's growth: batches below a watermark fold into one BASE
+  * partial per user (server-side, one transaction), with [[foldBatch]]'s
+  * guard keeping even pre-watermark redeliveries convergent. CDC in,
   * idempotent partials out, provable parity with the one-shot aggregate:
   * the MV-refresh shape a warehouse runs (reference analogue: the daily
   * KPIs Postgres sink, kafka_stream.pyc @ 62-91, upgraded from
@@ -58,15 +60,139 @@ object IncrMv {
   /** The `foreachBatch` handler: aggregate the micro-batch's delta and
     * land it on the JDBC ledger exactly-once-in-row-terms. Pass directly:
     * `events.writeStream.foreachBatch(IncrMv.foldBatch(url, tbl, u, p, d) _)`.
+    *
+    * Watermark guard: a batch already folded into the compacted BASE row
+    * ([[compactLedger]]) is skipped entirely — its content lives in the
+    * base, so the keyed delete-then-append would re-introduce it as a
+    * duplicate. The guard reads the base row's encoded watermark
+    * ([[ledgerWatermark]]) and makes a
+    * pre-watermark redelivery converge to a NO-OP, extending the
+    * replay-safety contract across compaction instead of leaving a
+    * "never compact past anything replayable" footgun in the scaladoc.
+    * One indexed MIN per micro-batch is the price ([[baseBatchId]]).
     */
   def foldBatch(
       url: String,
       table: String,
       user: String,
       password: String,
-      driver: String)(batch: DataFrame, batchId: Long): Unit =
+      driver: String)(batch: DataFrame, batchId: Long): Unit = {
+    if (batchId < ledgerWatermark(url, table, user, password, driver)) return
     Jdbc.writeBatchIdempotent(deltaAgg(batch), batchId, url, table,
       user = user, password = password, driver = driver)
+  }
+
+  /** The compacted base row's batch_id is `-watermark` — real streaming
+    * batch ids are ≥ 0, so the ledger's unique negative id both MARKS the
+    * base rows and ENCODES how far compaction has folded: batches with
+    * `batchId < -min(batch_id)` are inside the base.
+    */
+  def baseBatchId(watermark: Long): Long = -watermark
+
+  /** The ledger's compaction watermark: batches below it are folded into
+    * the base rows. 0 (nothing compacted) when the table is missing or
+    * holds no base row.
+    */
+  def ledgerWatermark(
+      url: String,
+      table: String,
+      user: String,
+      password: String,
+      driver: String): Long = {
+    Class.forName(driver)
+    val conn = java.sql.DriverManager.getConnection(url, user, password)
+    try {
+      if (!Jdbc.tableExists(conn, table)) 0L
+      else {
+        val st = conn.createStatement()
+        try {
+          val rs = st.executeQuery(s"""SELECT min("batch_id") FROM $table""")
+          try {
+            if (!rs.next()) 0L
+            else {
+              val m = rs.getLong(1)
+              if (rs.wasNull() || m >= 0) 0L else -m
+            }
+          } finally rs.close()
+        } finally st.close()
+      }
+    } finally conn.close()
+  }
+
+  /** Folds every ledger row below `watermark` (plus any older base) into
+    * ONE base partial per user, stamped `batch_id = -watermark`, and
+    * deletes the folded rows — bounding ledger growth to
+    * (#users + #uncompacted batches · users-per-batch) rows, the
+    * unbounded-growth surface the ledger design otherwise leaves open.
+    *
+    * Runs ENTIRELY server-side in ONE transaction (INSERT..SELECT the
+    * GROUP BY fold, then the ranged DELETE, commit): no ledger row
+    * travels to Spark or the driver, and a crash at any point rolls back
+    * to the pre-compaction ledger — retry converges, the fold never
+    * half-applies. Idempotent: a re-run at the same watermark folds an
+    * empty eligible set (the base row excludes itself by id) and deletes
+    * nothing. The monoid is the same one [[summaryFromLedger]] folds —
+    * counts/sums add, mins/maxes compare, NULL days fall out — so
+    * fold(base + recent) ≡ fold(everything) ≡ the one-shot aggregate
+    * (IncrMvParitySpec pins the chain across a compaction, including
+    * redelivery of a pre- AND post-watermark batch).
+    *
+    * SAFE WATERMARK: with the [[foldBatch]] guard, any `watermark` ≤
+    * (highest ledger batch id + 1) is replay-safe — even a redelivered
+    * pre-watermark batch converges (to a no-op). Compacting ABOVE ids the
+    * stream has not yet delivered would wrongly suppress those future
+    * batches; the require below rejects it.
+    */
+  def compactLedger(
+      url: String,
+      table: String,
+      user: String,
+      password: String,
+      driver: String,
+      watermark: Long): Unit = {
+    require(watermark >= 1, s"watermark must be >= 1, got $watermark")
+    Class.forName(driver)
+    val conn = java.sql.DriverManager.getConnection(url, user, password)
+    try {
+      if (!Jdbc.tableExists(conn, table)) return
+      val maxSt = conn.createStatement()
+      val hi =
+        try {
+          val rs = maxSt.executeQuery(s"""SELECT max("batch_id") FROM $table""")
+          try { if (rs.next() && !rs.wasNull()) rs.getLong(1) else -1L }
+          finally rs.close()
+        } finally maxSt.close()
+      require(watermark <= hi + 1,
+        s"watermark $watermark is past the ledger's highest batch id $hi + 1" +
+          " — it would suppress batches the stream has not delivered yet")
+      val base = baseBatchId(watermark)
+      conn.setAutoCommit(false)
+      try {
+        val ins = conn.createStatement()
+        try ins.executeUpdate(
+          s"""INSERT INTO $table
+             |  ("user_id", "n_events", "sum_cents", "min_day", "max_day",
+             |   "batch_id")
+             |SELECT "user_id", SUM("n_events"), SUM("sum_cents"),
+             |  MIN("min_day"), MAX("max_day"), $base
+             |FROM $table
+             |WHERE "batch_id" < $watermark AND "batch_id" <> $base
+             |GROUP BY "user_id"""".stripMargin)
+        finally ins.close()
+        val del = conn.createStatement()
+        try del.executeUpdate(
+          s"""DELETE FROM $table
+             |WHERE "batch_id" < $watermark AND "batch_id" <> $base"""
+            .stripMargin)
+        finally del.close()
+        conn.commit()
+      } catch {
+        case t: Throwable =>
+          try conn.rollback() catch { case _: Throwable => () }
+          throw t
+      }
+    } finally conn.close()
+  }
 
   /** The summary view: the monoid fold over the partials ledger — lands on
     * the identical per-user summary as the one-shot aggregate over all

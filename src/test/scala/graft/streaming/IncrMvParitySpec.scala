@@ -90,5 +90,44 @@ class IncrMvParitySpec extends SparkSpec {
       .orderBy($"user_id")
       .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSeq
     assert(streamed == direct)
+
+    // ---- COMPACTION: fold batches 0 and 1 into the base, keep batch 2 ----
+    def fold() = IncrMv.foldBatch(u, Table, "app", "", DerbyDriver) _
+    IncrMv.compactLedger(u, Table, "app", "", DerbyDriver, watermark = 2L)
+    assert(IncrMv.ledgerWatermark(u, Table, "app", "", DerbyDriver) == 2L)
+    assert(summary() == want, "fold(base + recent) must equal the one-shot")
+    // ledger is now bounded: base rows (users of batches 0-1) + batch 2's
+    val ids = ledger().select($"batch_id").distinct()
+      .as[Long].collect().toSet
+    assert(ids == Set(-2L, 2L), s"ledger batch ids after compaction: $ids")
+
+    // pre-watermark redelivery: batch 1's payload again under id 1 — the
+    // guard must make it a no-op (its content lives in the base)
+    fold()(toEvents(rows.slice(1, 5)), 1L)
+    assert(summary() == want, "pre-watermark replay must be a no-op")
+    assert(ledger().filter($"batch_id" === 1L).count() == 0L)
+
+    // post-watermark redelivery: batch 2 under its original id converges
+    // through the ordinary keyed delete-then-append
+    fold()(toEvents(rows.drop(5)), 2L)
+    assert(summary() == want, "post-watermark replay must converge")
+
+    // idempotent re-compaction at the same watermark: nothing changes
+    IncrMv.compactLedger(u, Table, "app", "", DerbyDriver, watermark = 2L)
+    assert(summary() == want)
+
+    // advancing the watermark folds the old base + batch 2 into a new base
+    IncrMv.compactLedger(u, Table, "app", "", DerbyDriver, watermark = 3L)
+    assert(summary() == want)
+    val idsAfter = ledger().select($"batch_id").distinct()
+      .as[Long].collect().toSet
+    assert(idsAfter == Set(-3L), s"fully compacted ledger ids: $idsAfter")
+    assert(ledger().count() == 4L, "one base partial per user")
+
+    // a watermark past anything the stream delivered must be rejected —
+    // it would suppress future batches via the foldBatch guard
+    intercept[IllegalArgumentException] {
+      IncrMv.compactLedger(u, Table, "app", "", DerbyDriver, watermark = 9L)
+    }
   }
 }
