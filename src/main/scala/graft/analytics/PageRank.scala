@@ -42,10 +42,26 @@ object PageRank {
     // collect_set is safe exactly because the basket, not the table, bounds
     // it (≤7 items/order at any SF); for a graph whose adjacency is NOT
     // group-bounded, keep the self-join form instead.
-    // repartition(n, src) THEN dedup on (src, dst): HashPartitioning(src)
-    // satisfies ClusteredDistribution(src, dst) — equal pairs share a src —
+    // repartition(n, dst) THEN dedup on (src, dst): HashPartitioning(dst)
+    // satisfies ClusteredDistribution(src, dst) — equal pairs share a dst —
     // so the dedup aggregate runs partition-local with no second exchange,
-    // and the output lands already src-partitioned for the checkpoint. The
+    // and the output lands already dst-partitioned for the checkpoint.
+    // DST, not src: on the broadcast-rank path every iteration's
+    // rank ⋈ edges join streams the edge side (its partitioning is free to
+    // choose), and a dst-partitioned edge frame makes the inflow
+    // groupBy(dst) PARTITION-LOCAL — zero per-iteration exchanges, where
+    // src-partitioning paid one edge-bounded exchange per iteration (the
+    // dominant steady-state cost: x_pagerank 4.2 → 3.1 s isolated at
+    // sf0.1). The one-time deg aggregate moves to the
+    // other side of the trade: it now exchanges once, node-bounded after
+    // partial aggregation. A graph PAST the broadcast gate wants the
+    // opposite layout (src-partitioned, so the per-iteration shuffle join
+    // moves only the node-sized rank frame, and the inflow exchange is the
+    // price) — that is the caller's choice at the [[ranksOver]] seam,
+    // documented there and exercised by the stress harness's src-
+    // partitioned 2M-node graphs; THIS definition serves the declared
+    // fixture queries, whose ~200k-part graph sits on the broadcast path
+    // up to SF≈5 (part count is 200k·SF against the 1M-node gate). The
     // EXPLICIT partition count opts out of AQE coalescing (which targets
     // ~64 MB scan-shaped partitions — measured 16, idling half the cores):
     // the downstream per-iteration joins are CPU-bound, so one partition
@@ -54,7 +70,7 @@ object PageRank {
       .select(explode($"ps").as("src"), $"ps")
       .select($"src", explode($"ps").as("dst"))
       .where($"src" =!= $"dst")
-      .repartition(spark.sparkContext.defaultParallelism, $"src")
+      .repartition(spark.sparkContext.defaultParallelism, $"dst")
       .dropDuplicates(Seq("src", "dst"))
   }
 
@@ -69,13 +85,15 @@ object PageRank {
     // and pins the (small, bounded by basket-size²·orders) edge list in
     // executor storage; on a resilient cluster swap for persist(DISK_ONLY)
     // or a reliable checkpoint, as in the Jaccard pipeline.
-    // repartition(src) BEFORE the checkpoint: LogicalRDD preserves the
-    // physical outputPartitioning, so every iteration's rank ⋈ edges join
-    // sees the edge side already hash-distributed on the join key and only
-    // the (node-sized, small) rank frame moves — without it the full edge
-    // list re-shuffles once per iteration (the dominant data movement here;
-    // measured 7.7 s -> 5.6 s at sf0.1, then -> 4.9 s with the partition-
-    // local dedup in edges()).
+    // The dst-repartition in edges() lands BEFORE the checkpoint, and
+    // ckptDisk KEEPS that layout across the lineage cut (under AQE,
+    // Spark's own localCheckpoint would report UnknownPartitioning —
+    // Bridge.repairCheckpointLayout re-attaches the final plan's
+    // partitioning; DiffPageRankSpec pins the effect): every iteration's
+    // broadcast-rank join streams the edge side in place and its inflow
+    // groupBy(dst) aggregates partition-local — the steady state is ZERO
+    // exchanges per iteration (see edges() for the layout trade and
+    // ranksOver for the big-graph contract).
     // DISK_ONLY: the default (deserialized MEMORY_AND_DISK) pinned ~|E| rows
     // of java objects in the storage region, and under suite-level heap
     // pressure eviction + GC inflated this query 4-6x run-to-run (round-5
@@ -95,9 +113,17 @@ object PageRank {
   val BroadcastNodeLimit = 1000000L
 
   /** Same [[Iterations]]-step integer PageRank over any directed edge
-    * frame (src, dst) — distinct edges, ideally already src-partitioned
-    * and lineage-truncated like [[edges]] delivers. The seam the
-    * scale-stress harness drives with synthetic multi-million-edge graphs.
+    * frame (src, dst) — distinct edges, lineage-truncated, and partitioned
+    * for the path the caller's scale selects: DST-partitioned when the
+    * node set is broadcast-sized (the per-iteration inflow groupBy(dst)
+    * then runs partition-local — zero exchanges per iteration; what
+    * [[edges]] delivers), SRC-partitioned past [[BroadcastNodeLimit]]
+    * (the shuffle join then moves only the node-sized rank frame each
+    * iteration and the inflow exchange is the price; what the stress
+    * harness's multi-million-node graphs use). A mismatched layout is
+    * never wrong, only slower: the joins/aggregates insert the exchanges
+    * the layout didn't pre-pay. The seam the scale-stress harness drives
+    * with synthetic multi-million-edge graphs.
     *
     * `dstNodeBound`: an upper bound on the DISTINCT dst cardinality, used
     * with the (exactly counted, ~free) src cardinality to size the

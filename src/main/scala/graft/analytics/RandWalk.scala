@@ -23,9 +23,10 @@ import graft.util.Ckpt._
   * carries one row per walk, not the candidate fan-out. Frontier size is
   * constant across rounds (walks never fork), so cost is Steps × (join +
   * aggregate) with no blow-up; at 100 TB the edge frame is the big side —
-  * it streams map-side through every round (the [[PageRank.edges]] frame
-  * already lands src-partitioned and checkpointed), and a frontier too big
-  * to broadcast would instead co-partition on the current node.
+  * it streams map-side through every round in whatever layout
+  * [[PageRank.edges]] checkpointed (the broadcast join and the walk-keyed
+  * argmin are both indifferent to edge partitioning), and a frontier too
+  * big to broadcast would instead co-partition on the current node.
   *
   * Walk-corpus derivations (visit counts, skip-gram pairs) are projections
   * of this output; the paths themselves are the declared contract.

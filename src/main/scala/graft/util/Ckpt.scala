@@ -30,9 +30,22 @@ import org.apache.spark.storage.StorageLevel
   */
 object Ckpt {
   implicit class CkptOps[T](private val ds: Dataset[T]) extends AnyVal {
-    /** Eager localCheckpoint with serialized DISK_ONLY block storage. */
+    /** Eager localCheckpoint with serialized DISK_ONLY block storage,
+      * KEEPING the frame's physical layout metadata: under AQE, Spark's
+      * own localCheckpoint records UnknownPartitioning (the adaptive plan
+      * wrapper hides the final plan's partitioning from
+      * `LogicalRDD.fromDataset`), so every downstream join/aggregate on
+      * the checkpointed keys re-shuffled data that was already in place —
+      * the silent tax every iterative operator here paid per round until
+      * round 10 measured it (PageRank's "partition-local" inflow
+      * aggregate was shuffling the edge frame every iteration).
+      * [[org.apache.spark.sql.graft.Bridge.repairCheckpointLayout]]
+      * re-attaches the AQE-final plan's partitioning/ordering, and
+      * degrades to Spark's behavior when anything doesn't line up.
+      */
     def ckptDisk(): Dataset[T] =
-      ds.localCheckpoint(true, StorageLevel.DISK_ONLY)
+      org.apache.spark.sql.graft.Bridge.repairCheckpointLayout(
+        ds, ds.localCheckpoint(true, StorageLevel.DISK_ONLY))
   }
 
   /** Drops a [[CkptOps.ckptDisk]] frame's storage blocks NOW instead of

@@ -38,6 +38,38 @@ class DiffPageRankSpec extends SparkSpec {
     assert(full.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("broadcast-path iterations run with ZERO shuffle exchanges") {
+    // The dst-partitioned edge checkpoint is load-bearing (PageRank.edges:
+    // the broadcast-rank join streams the edge side in place, so the
+    // inflow groupBy(dst) aggregates partition-local — x_pagerank 4.2 →
+    // 3.1 s isolated at sf0.1). A lost layout still executes, just with
+    // one edge-bounded exchange per iteration, which nothing else would
+    // catch — the same silent-slowdown class RandWalkSpec pins. Every
+    // iteration is two broadcast joins (rank ⋈ edges BuildLeft, degN ⋈
+    // inflow BuildRight); the whole post-checkpoint plan holds no shuffle.
+    val df = PageRank.ranks(spark, dir)
+    // collect() executes df's OWN QueryExecution, so the inspected plan is
+    // the AQE-FINAL one — a noop write would finalize a separate QE and
+    // leave this one at the initial (pre-adaptive) plan, which still shows
+    // the ENSURE_REQUIREMENTS exchanges AQE elides at runtime.
+    df.collect()
+    val whole = df.queryExecution.executedPlan.toString
+    assert(whole.contains("isFinalPlan=true"), s"AQE did not finalize:\n$whole")
+    // the finalized AdaptiveSparkPlan prints BOTH "Final Plan" and
+    // "Initial Plan" sections — assert on the final one only
+    val plan = whole.split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("AQEShuffleRead"),
+      s"an iteration re-introduced a shuffle exchange:\n$plan")
+    val joins = plan.linesIterator
+      .filter(_.contains("BroadcastHashJoin")).toSeq
+    assert(joins.size == 2 * PageRank.Iterations,
+      s"expected ${2 * PageRank.Iterations} broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"an iteration lost its broadcast hint:\n$plan")
+  }
+
   test("x_pagerank matches a hand-rolled integer PR on a tiny basket fixture") {
     val tmp = java.nio.file.Files.createTempDirectory("pr").toString
     // baskets: {1,2,3} and {1,2} -> triangle 1-2-3 with a doubled 1-2 edge

@@ -1,0 +1,79 @@
+package graft.util
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import graft.util.Ckpt._
+
+/** Pins the contract of the round-10 checkpoint-layout repair
+  * (Bridge.repairCheckpointLayout, wired into [[Ckpt.ckptDisk]]): under
+  * AQE, Spark's own localCheckpoint records UnknownPartitioning — the
+  * adaptive plan wrapper never exposes the final plan's partitioning to
+  * LogicalRDD.fromDataset — so every downstream join/aggregate on the
+  * checkpointed keys silently re-shuffled data already in place. The
+  * repair must (a) carry a real hash layout through the lineage cut,
+  * (b) make a downstream aggregate on the layout key exchange-free,
+  * (c) keep the data itself exactly equal, and (d) degrade to Spark's
+  * behavior (not a wrong claim) when there is no layout to carry.
+  */
+class CkptLayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def finalPlanOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    val whole = df.queryExecution.executedPlan.toString
+    whole.split("== Initial Plan ==").head
+  }
+
+  test("ckptDisk carries hash partitioning across the lineage cut") {
+    val base = spark.range(0, 1000)
+      .select(($"id" % 7).as("k"), $"id".as("v"))
+      .repartition(4, $"k")
+      .ckptDisk()
+    val part = base.queryExecution.executedPlan.outputPartitioning
+    assert(part.toString.startsWith("hashpartitioning(k#"),
+      s"layout lost across the checkpoint: $part")
+    assert(part.numPartitions == 4)
+
+    // (b) downstream aggregate on k: partition-local, no shuffle exchange
+    val agg = base.groupBy($"k").agg(sum($"v").as("s"))
+    val plan = finalPlanOf(agg)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"aggregate on the checkpointed key re-shuffled:\n$plan")
+
+    // (c) values are exactly the unchecked-pointed computation's
+    val want = (0L until 1000L).groupBy(_ % 7)
+      .map { case (k, vs) => (k, vs.sum) }.toSet
+    assert(agg.as[(Long, Long)].collect().toSet == want)
+  }
+
+  test("a layout-free frame degrades to Spark's behavior, not a wrong claim") {
+    // no repartition before the checkpoint: the scan-shaped layout is no
+    // hash partitioning, so the repair must leave UnknownPartitioning and
+    // the downstream aggregate must still exchange (correctly).
+    val base = spark.range(0, 1000)
+      .select(($"id" % 7).as("k"), $"id".as("v"))
+      .ckptDisk()
+    val agg = base.groupBy($"k").agg(sum($"v").as("s"))
+    val plan = finalPlanOf(agg)
+    assert(plan.contains("Exchange hashpartitioning"),
+      s"an unpartitioned checkpoint must not claim a layout:\n$plan")
+    val want = (0L until 1000L).groupBy(_ % 7)
+      .map { case (k, vs) => (k, vs.sum) }.toSet
+    assert(agg.as[(Long, Long)].collect().toSet == want)
+  }
+
+  test("ordering survives as a valid prefix and elides the downstream sort") {
+    val base = spark.range(0, 1000)
+      .select(($"id" % 7).as("k"), $"id".as("v"))
+      .repartition(2, $"k")
+      .sortWithinPartitions($"k", $"v")
+      .ckptDisk()
+    val ordering = base.queryExecution.executedPlan.outputOrdering
+    assert(ordering.size == 2, s"ordering lost: $ordering")
+    // a per-partition sort on the carried prefix plans as a no-op
+    val resorted = base.sortWithinPartitions($"k")
+    val plan = finalPlanOf(resorted)
+    assert(!plan.contains("Sort "),
+      s"the carried ordering prefix did not elide the sort:\n$plan")
+  }
+}
