@@ -21,17 +21,20 @@ import graft.util.Ckpt._
   * Scale shape: the weighted edge list is built with ONE shuffle (the
   * basket aggregate shared with [[PageRank]]; the per-(src,dst) shared-order
   * count falls out of the same pair explosion partition-locally after the
-  * explicit src repartition), checkpointed DISK_ONLY like every iterative
+  * explicit dst repartition), checkpointed DISK_ONLY like every iterative
   * substrate in the graph tier. Each relaxation round is one broadcast join
   * of the node-bounded FRONTIER (only nodes whose distance improved last
   * round — the textbook Bellman–Ford work cut; round sizes at sf0.1:
   * 5→1132→1181→2 nodes, so round 3+ is near-free where the naive
-  * all-nodes relaxation re-scans everything) against the pre-partitioned
-  * edges, then a min-aggregate over old ∪ candidate distances. Distance
-  * frames are node-bounded; on a graph whose node set outgrows a broadcast
-  * the same joins degrade to shuffle joins on the already-partitioned key.
-  * Every per-round frame is localCheckpointed — the 2^k iterative-lineage
-  * trap (BENCH_NOTES #10).
+  * all-nodes relaxation re-scans everything) against the dst-partitioned
+  * edges, whose candidate fan-out min-aggregates PARTITION-LOCAL in that
+  * carried layout, then a node-bounded merge with the old distances.
+  * Distance frames are node-bounded; on a graph whose node set outgrows a
+  * broadcast the same joins degrade to shuffle joins on the
+  * already-partitioned key. The round's two multiply-referenced frames
+  * (edges, merged distances) are localCheckpointed — the 2^k
+  * iterative-lineage trap (BENCH_NOTES #10); the once-consumed frontier
+  * is not.
   */
 object ShortestPath {
 
@@ -46,8 +49,13 @@ object ShortestPath {
     * count of shared orders per pair replaces the dedup (each order
     * contributes its basket's pairs exactly once — `collect_set` dedups
     * within the basket — so `count(*)` per (src,dst) IS the distinct shared
-    * -order count), and runs partition-local after the src repartition for
-    * the same exchange-free reason.
+    * -order count), and runs partition-local after the repartition for the
+    * same exchange-free reason (dst ⊆ (src,dst) clusters the count keys
+    * just as src did). DST, for the same reason as [[PageRank.edges]]: the
+    * relaxation joins stream the edge side against a broadcast frontier,
+    * so the layout is free to choose, and a dst layout lands each round's
+    * candidate frame already keyed by the node it relaxes — the candidate
+    * min-aggregate runs partition-local (see [[shortestPath]]).
     */
   private[analytics] def weightedEdges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -56,7 +64,7 @@ object ShortestPath {
       .select(explode($"ps").as("src"), $"ps")
       .select($"src", explode($"ps").as("dst"))
       .where($"src" =!= $"dst")
-      .repartition(spark.sparkContext.defaultParallelism, $"src")
+      .repartition(spark.sparkContext.defaultParallelism, $"dst")
       .groupBy($"src", $"dst").agg(count(lit(1)).as("c"))
       .select($"src", $"dst",
         when($"c" >= StrongMin, 1L).otherwise(2L).as("w"))
@@ -72,19 +80,33 @@ object ShortestPath {
     var dist = seeds
     var frontier = seeds
     (1 to MaxRounds).foreach { _ =>
-      val cand = e.join(broadcast(frontier), e("src") === frontier("node"))
+      // The relaxation's fan-out frame (one row per frontier-incident edge)
+      // is min-aggregated BEFORE touching the node frame: the broadcast
+      // join streams the dst-partitioned edge side in place and the alias
+      // dst→node carries that layout (ckptDisk keeps it across e's lineage
+      // cut — Bridge.repairCheckpointLayout), so this aggregate — the only
+      // edge-fan-out-sized step of the round — runs PARTITION-LOCAL. The
+      // merge below then handles two node-bounded frames only; folding the
+      // fan-out into the union (the previous shape) re-exchanged it every
+      // round. min is associative, so min(dist ∪ cand) ≡
+      // min(dist ∪ min-per-node(cand)) — same exact longs, same hashes.
+      val candMin = e.join(broadcast(frontier), e("src") === frontier("node"))
         .select($"dst".as("node"), ($"dist" + $"w").as("dist"))
-      val merged = dist.union(cand)
+        .groupBy($"node").agg(min($"dist").as("dist"))
+      val merged = dist.union(candMin)
         .groupBy($"node").agg(min($"dist").as("dist"))
         .ckptDisk()
       // Next frontier: strictly-improved nodes only. A node absent from the
       // old frame joins with old=null (new discovery — improved by
       // definition); an unimproved node relaxes nothing new next round.
+      // No checkpoint: improved is consumed exactly once (next round's
+      // broadcast build) and both its inputs are checkpointed, so the
+      // subtree is depth-1 and executes once — the eager checkpoint was a
+      // fourth job per round writing a frame nobody reads twice.
       val improved = merged
         .join(dist.withColumnRenamed("dist", "old"), Seq("node"), "left")
         .filter($"old".isNull || $"dist" < $"old")
         .select($"node", $"dist")
-        .ckptDisk()
       dist = merged
       frontier = improved
     }
