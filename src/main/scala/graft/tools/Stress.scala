@@ -457,6 +457,78 @@ object Stress {
     ok
   }
 
+  /** Checkpoint-layout repair, A/B'd on the big-graph PageRank path
+    * (round-10 `ckptlayout` scenario; BENCH_NOTES #54): under AQE,
+    * Spark's own localCheckpoint records UnknownPartitioning — the
+    * AdaptiveSparkPlanExec wrapper hides the final plan's layout from
+    * LogicalRDD.fromDataset — so an iterative operator re-shuffles its
+    * checkpointed substrate every round.
+    * [[org.apache.spark.sql.graft.Bridge.repairCheckpointLayout]] (wired
+    * into ckptDisk) re-attaches the layout; this scenario proves, at
+    * multi-million-node scale on the FORCED-PARTITIONED path (the 100 TB
+    * regime, where nothing broadcasts):
+    *
+    *  1. rank frames are BIT-IDENTICAL across the two checkpoint forms —
+    *     the repair is pure layout metadata, zero semantic surface;
+    *  2. the repaired run's executed plan holds STRICTLY FEWER shuffle
+    *     exchanges — per iteration, the raw form re-exchanges the
+    *     edge-sized substrate that the repaired form consumes in place
+    *     (wall clock printed, structure asserted: timing is recorded,
+    *     the exchange count is the invariant);
+    *  3. the disjoint-clique corpus keeps countDistinct(rank) == 1 on
+    *     both arms — corpus-wide exactness, same as the boundary stress.
+    */
+  def runCkptLayout(spark: SparkSession, n: Long): Boolean = {
+    import spark.implicits._
+    def cliqueEdges(): DataFrame =
+      spark.range(n / 4 * 4)
+        .select($"id".as("src"), explode(expr("sequence(0, 3)")).as("j"))
+        .select($"src", (($"src" - ($"src" % 4)) + $"j").as("dst"))
+        .where($"src" =!= $"dst")
+        .repartition(spark.sparkContext.defaultParallelism, $"src")
+    val eRepaired = timed("edge build + repaired ckptDisk") {
+      cliqueEdges().ckptDisk()
+    }
+    val eRaw = timed("edge build + raw localCheckpoint") {
+      cliqueEdges().localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    }
+    val pRep = eRepaired.queryExecution.executedPlan.outputPartitioning
+    val pRaw = eRaw.queryExecution.executedPlan.outputPartitioning
+    println(s"[stress] checkpoint layout: repaired=$pRep raw=$pRaw")
+
+    def exchanges(df: DataFrame): Long = {
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    }
+    // force the partitioned path on both arms — the broadcast path hides
+    // the substrate re-shuffle behind per-iteration broadcast builds
+    val big = Some(Long.MaxValue)
+    val (rRep, tRep) = timedS(s"pagerank partitioned, repaired layout ($n nodes)") {
+      val r = graft.analytics.PageRank.ranksOver(eRepaired, dstNodeBound = big)
+      (r, r.ckptDisk()) // ckptDisk executes r's own QE -> AQE-final plan readable
+    }
+    val (rRaw, tRaw) = timedS("pagerank partitioned, raw layout (same graph)") {
+      val r = graft.analytics.PageRank.ranksOver(eRaw, dstNodeBound = big)
+      (r, r.ckptDisk())
+    }
+    val exRep = exchanges(rRep._1)
+    val exRaw = exchanges(rRaw._1)
+    val diff = rRep._2.exceptAll(rRaw._2).count() +
+      rRaw._2.exceptAll(rRep._2).count()
+    val sym = rRep._2.agg(countDistinct($"rank").cast("long")).as[Long].head()
+    println(f"[stress] shuffle exchanges in final plan: repaired=$exRep " +
+      f"raw=$exRaw; wall ${tRep}%.1f vs ${tRaw}%.1f s; " +
+      s"diff rows=$diff; distinct clique ranks=$sym")
+
+    val layoutOk = pRep.toString.startsWith("hashpartitioning(src") &&
+      pRaw.toString.startsWith("UnknownPartitioning")
+    val ok = layoutOk && exRep < exRaw && diff == 0 && sym == 1
+    println(s"[stress] structure recovered: ${if (ok) "YES" else "NO"}")
+    ok
+  }
+
   /** Retention/VACUUM economics at scale: an `n`-row events table spread
     * over [[RetDays]] day partitions (~28x the fixture's day count), with
     * the erasure cohort PLANTED into exactly three retained days so the
@@ -1410,6 +1482,10 @@ object Stress {
     }
     if (scenario == "graphboundary") {
       val ok = runGraphBoundary(spark, n)
+      spark.stop(); if (!ok) sys.exit(1); return
+    }
+    if (scenario == "ckptlayout") {
+      val ok = runCkptLayout(spark, n)
       spark.stop(); if (!ok) sys.exit(1); return
     }
     if (scenario == "retention") {
