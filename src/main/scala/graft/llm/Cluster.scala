@@ -90,9 +90,23 @@ object Cluster {
     if (pairRows.count() <= driverSolveMaxPairs)
       return driverSolve(pairRows)
     // Symmetric closure: propagate both ways along each pair.
+    // src-repartition before the checkpoint: every round joins this frame
+    // on src, and ckptDisk carries the layout across the lineage cut
+    // (Bridge.repairCheckpointLayout — BENCH_NOTES #54), so the edge side
+    // of the per-round neighbor join is consumed IN PLACE all O(log d)
+    // rounds; the labels side (node-bounded, re-keyed each round) is the
+    // only thing that moves. One edge-sized exchange up-front buys out an
+    // edge-sized exchange per round — the same trade as PageRank's
+    // partitioned path, and the round-1 labels seed (distinct over src)
+    // rides the same layout for free. Honest local caveat: at 2M nodes on
+    // local[32] the wall is FLAT (12.4-14.7 s spans both forms — loopback
+    // shuffles are cheap and the SMJ sorts dominate); the exchange count
+    // is the invariant, and it is priced in network at cluster scale
+    // (same recording discipline as the ckptlayout stress, #55).
     val edges = pairRows
       .select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(pairRows.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .repartition(spark.sparkContext.defaultParallelism, $"src")
       .ckptDisk()
     // Materialized: round 1 references labels TWICE (join side + union
     // side) — without the checkpoint the distinct aggregate runs twice.
