@@ -460,23 +460,41 @@ object Layout {
     */
   private val BakPrefix = ".vacbak."
 
+  /** The pre-round-10 tombstone form (`day=X.__vacbak` — a SUFFIX). Still
+    * recognized by [[recoverVacuum]] so a table whose vacuum crashed
+    * mid-swap under the OLD naming is repaired after an upgrade instead of
+    * stranded: the suffix form both escapes the prefix-keyed recovery and
+    * MATCHES the `day=` inventory filter, where its non-numeric remainder
+    * would abort every subsequent vacuum while the partition's clean rows
+    * stay invisible (round-10 code-review finding). Recovery-only — new
+    * tombstones are always [[BakPrefix]]-form.
+    */
+  private val LegacyBakSuffix = ".__vacbak"
+
   /** Repairs a table a previous vacuum crashed mid-swap, making
     * [[retentionVacuum]] converge under retry instead of losing rows:
-    * for each `.vacbak.day=X` tombstone, if the live `day=X` dir exists
-    * the swap had completed (drop the tombstone); if not, the crash hit
-    * between rename-aside and rename-in (restore the original — its
-    * erased rows reappear and THIS run re-cleans them, which is the safe
-    * direction). A stale `_vacstage` dir is dropped either way: its
-    * contents are recomputed from live data.
+    * for each `.vacbak.day=X` tombstone (or legacy `day=X.__vacbak`), if
+    * the live `day=X` dir exists the swap had completed (drop the
+    * tombstone); if not, the crash hit between rename-aside and rename-in
+    * (restore the original — its erased rows reappear and THIS run
+    * re-cleans them, which is the safe direction). A stale `_vacstage`
+    * dir is dropped either way: its contents are recomputed from live
+    * data.
     */
   private def recoverVacuum(
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Unit = {
     fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(BakPrefix))
+      .filter(s => s.isDirectory && {
+        val n = s.getPath.getName
+        n.startsWith(BakPrefix) || n.endsWith(LegacyBakSuffix)
+      })
       .foreach { s =>
-        val live = new org.apache.hadoop.fs.Path(
-          root, s.getPath.getName.stripPrefix(BakPrefix))
+        val n = s.getPath.getName
+        val liveName =
+          if (n.startsWith(BakPrefix)) n.stripPrefix(BakPrefix)
+          else n.stripSuffix(LegacyBakSuffix)
+        val live = new org.apache.hadoop.fs.Path(root, liveName)
         if (fs.exists(live)) fs.delete(s.getPath, true)
         else require(fs.rename(s.getPath, live),
           s"vacuum recovery: cannot restore ${s.getPath} to $live")

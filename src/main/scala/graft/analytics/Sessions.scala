@@ -88,6 +88,16 @@ object Sessions {
       .ckptDisk()
     val wChunk = Window.partitionBy($"__pid", $"user_id")
       .orderBy($"ts_us".asc_nulls_first, $"event_id".asc)
+    // ckpt: `local` is referenced TWICE (the boundary-summary branch and
+    // the final join's big side), and the chunk window above it — the one
+    // corpus-sized sort of the operator — would otherwise execute once per
+    // reference (exchange reuse shares only the shuffle, not the
+    // sort+window; round-10 code-review finding). The checkpoint also
+    // carries the window's hash(__pid, user_id) layout across the lineage
+    // cut, so the summary aggregate below runs partition-local and the
+    // final join consumes this side in place — the scaladoc's promised
+    // cost (one range + one hash exchange + a summary-sized join) now
+    // holds by plan, not by hope.
     val local = sliced
       .withColumn("prev_us", lag($"ts_us", 1).over(wChunk))
       .withColumn("new_sess",
@@ -95,6 +105,7 @@ object Sessions {
           .otherwise(0L))
       .withColumn("local_sess", sum($"new_sess")
         .over(wChunk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .ckptDisk()
     // Boundary summary: order-first ts is NULL iff the chunk contains any
     // null-ts event (nulls sort first); order-last is max(ts_us) — null
     // only when the whole chunk is null-ts. Both feed the stitch rule

@@ -57,6 +57,26 @@ object IncrMv {
         max($"day").as("max_day"))
   }
 
+  /** Process-local cache of each ledger's compaction watermark, so the
+    * foldBatch guard costs a probe ONCE per (url, table) instead of a
+    * connect + metadata probe + MIN per micro-batch. Sound under the
+    * SINGLE-WRITER contract (see [[compactLedger]]): the watermark only
+    * advances through this process's compactLedger, which updates the
+    * cache on commit. A compactor in a DIFFERENT process would make the
+    * cache stale — that deployment must not reuse batch ids across the
+    * compaction anyway (the contract), or should clear the cache via
+    * [[invalidateWatermarkCache]] after an external compaction.
+    */
+  private val wmCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+
+  /** Drops the cached watermark for a ledger (or all, with no args) — for
+    * callers that ran [[compactLedger]] from another process.
+    */
+  def invalidateWatermarkCache(url: String = null, table: String = null): Unit =
+    if (url == null || table == null) wmCache.clear()
+    else wmCache.remove((url, table))
+
   /** The `foreachBatch` handler: aggregate the micro-batch's delta and
     * land it on the JDBC ledger exactly-once-in-row-terms. Pass directly:
     * `events.writeStream.foreachBatch(IncrMv.foldBatch(url, tbl, u, p, d) _)`.
@@ -65,11 +85,18 @@ object IncrMv {
     * ([[compactLedger]]) is skipped entirely — its content lives in the
     * base, so the keyed delete-then-append would re-introduce it as a
     * duplicate. The guard reads the base row's encoded watermark
-    * ([[ledgerWatermark]]) and makes a
-    * pre-watermark redelivery converge to a NO-OP, extending the
-    * replay-safety contract across compaction instead of leaving a
-    * "never compact past anything replayable" footgun in the scaladoc.
-    * One indexed MIN per micro-batch is the price ([[baseBatchId]]).
+    * ([[ledgerWatermark]], cached per table after the first probe) and
+    * makes a pre-watermark redelivery converge to a NO-OP — the
+    * replay-safety contract extends ACROSS a completed compaction.
+    *
+    * NOT covered: a compaction running CONCURRENTLY with this handler on
+    * the same table. The guard is check-then-write and the ledger write
+    * spans several connections, so an interleaved compact could fold a
+    * batch while its redelivery re-appends it (double-count) or delete an
+    * append it never folded. Serialize the two — run [[compactLedger]]
+    * from the stream's own driver between micro-batches (a
+    * StreamingQueryListener hook or a maintenance window), never
+    * alongside an in-flight foldBatch.
     */
   def foldBatch(
       url: String,
@@ -77,7 +104,9 @@ object IncrMv {
       user: String,
       password: String,
       driver: String)(batch: DataFrame, batchId: Long): Unit = {
-    if (batchId < ledgerWatermark(url, table, user, password, driver)) return
+    val wm = wmCache.computeIfAbsent((url, table),
+      _ => ledgerWatermark(url, table, user, password, driver))
+    if (batchId < wm) return
     Jdbc.writeBatchIdempotent(deltaAgg(batch), batchId, url, table,
       user = user, password = password, driver = driver)
   }
@@ -137,11 +166,24 @@ object IncrMv {
     * (IncrMvParitySpec pins the chain across a compaction, including
     * redelivery of a pre- AND post-watermark batch).
     *
-    * SAFE WATERMARK: with the [[foldBatch]] guard, any `watermark` ≤
-    * (highest ledger batch id + 1) is replay-safe — even a redelivered
-    * pre-watermark batch converges (to a no-op). Compacting ABOVE ids the
-    * stream has not yet delivered would wrongly suppress those future
-    * batches; the require below rejects it.
+    * SAFE WATERMARK, bounded on BOTH sides. Upper: with the [[foldBatch]]
+    * guard, any `watermark` ≤ (highest LIVE batch id + 1) is replay-safe —
+    * even a redelivered pre-watermark batch converges (to a no-op);
+    * compacting ABOVE ids the stream has not yet delivered would wrongly
+    * suppress those future batches. The live maximum deliberately excludes
+    * the negative base ids: after a FULL compaction the only row is the
+    * base, and a crash-retry at the same watermark must converge as a
+    * no-op, not trip over max(batch_id) being negative. Lower: a watermark
+    * BELOW the current one would fold the old base into a lower-stamped
+    * one, silently REWINDING the foldBatch guard — batches between the two
+    * watermarks sit inside the base yet would no longer be skipped on
+    * redelivery, double-counting them. Both bounds are `require`d.
+    *
+    * SINGLE WRITER: run this from the stream's own driver BETWEEN
+    * micro-batches, never concurrently with an in-flight [[foldBatch]] on
+    * the same table — the guard is check-then-write, so an interleaved
+    * compact/append pair can double-count or drop a batch (the same
+    * isolation contract as [[graft.analytics.Layout.retentionVacuum]]).
     */
   def compactLedger(
       url: String,
@@ -155,16 +197,26 @@ object IncrMv {
     val conn = java.sql.DriverManager.getConnection(url, user, password)
     try {
       if (!Jdbc.tableExists(conn, table)) return
-      val maxSt = conn.createStatement()
-      val hi =
+      def oneLong(sql: String, empty: Long): Long = {
+        val st = conn.createStatement()
         try {
-          val rs = maxSt.executeQuery(s"""SELECT max("batch_id") FROM $table""")
-          try { if (rs.next() && !rs.wasNull()) rs.getLong(1) else -1L }
+          val rs = st.executeQuery(sql)
+          try { if (rs.next() && !rs.wasNull()) rs.getLong(1) else empty }
           finally rs.close()
-        } finally maxSt.close()
-      require(watermark <= hi + 1,
-        s"watermark $watermark is past the ledger's highest batch id $hi + 1" +
-          " — it would suppress batches the stream has not delivered yet")
+        } finally st.close()
+      }
+      val hiLive = oneLong(
+        s"""SELECT max("batch_id") FROM $table WHERE "batch_id" >= 0""", -1L)
+      val current = -oneLong(
+        s"""SELECT min("batch_id") FROM $table WHERE "batch_id" < 0""", 0L)
+      require(watermark >= current,
+        s"watermark $watermark is below the ledger's current watermark " +
+          s"$current — it would rewind the replay guard past batches the " +
+          "base already holds")
+      require(watermark <= math.max(hiLive + 1, current),
+        s"watermark $watermark is past the ledger's highest live batch id " +
+          s"$hiLive + 1 — it would suppress batches the stream has not " +
+          "delivered yet")
       val base = baseBatchId(watermark)
       conn.setAutoCommit(false)
       try {
@@ -186,6 +238,7 @@ object IncrMv {
             .stripMargin)
         finally del.close()
         conn.commit()
+        wmCache.put((url, table), watermark)
       } catch {
         case t: Throwable =>
           try conn.rollback() catch { case _: Throwable => () }

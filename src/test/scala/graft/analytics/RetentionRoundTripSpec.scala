@@ -206,5 +206,23 @@ class RetentionRoundTripSpec extends SparkSpec {
       assert(surviving(b) == Seq(1L, 3L), "clean row 1 must survive window B")
       assert(!Files.exists(b.resolve(s".vacbak.day=$dirtyDay")))
     } finally deleteRec(b.getParent)
+
+    // LEGACY window A: a vacuum built before the dot-prefix rename crashed
+    // mid-swap, leaving the OLD suffix form `day=X.__vacbak`. An upgraded
+    // vacuum must recognize it: un-recovered, it escapes the prefix-keyed
+    // repair AND matches the `day=` inventory filter, whose non-numeric
+    // remainder would abort every subsequent run while the partition's
+    // clean rows stay invisible (round-10 code-review finding).
+    val c = freshTable()
+    try {
+      Files.move(c.resolve(s"day=$dirtyDay"),
+        c.resolve(s"day=$dirtyDay.__vacbak"))
+      val stats = Layout.retentionVacuum(spark, c.toString)
+      assert(stats.rewrittenDays == Seq(Some(dirtyDay)),
+        "legacy tombstone must be restored and re-cleaned")
+      assert(surviving(c) == Seq(1L, 3L),
+        "clean row 1 must survive the legacy crash window")
+      assert(!Files.exists(c.resolve(s"day=$dirtyDay.__vacbak")))
+    } finally deleteRec(c.getParent)
   }
 }

@@ -124,6 +124,21 @@ class IncrMvParitySpec extends SparkSpec {
     assert(idsAfter == Set(-3L), s"fully compacted ledger ids: $idsAfter")
     assert(ledger().count() == 4L, "one base partial per user")
 
+    // crash-retry after a FULL compaction: the ledger now holds ONLY the
+    // base (no live batch ids), and a re-run at the same watermark must
+    // converge as a no-op — the live-maximum bound must not trip over
+    // max(batch_id) being negative (code-review round-10 finding)
+    IncrMv.compactLedger(u, Table, "app", "", DerbyDriver, watermark = 3L)
+    assert(summary() == want, "retry after full compaction must converge")
+    assert(ledger().count() == 4L)
+
+    // a watermark BELOW the current one must be rejected — folding the
+    // base into a lower-stamped row would rewind the foldBatch guard and
+    // double-count redeliveries of batches the base already holds
+    intercept[IllegalArgumentException] {
+      IncrMv.compactLedger(u, Table, "app", "", DerbyDriver, watermark = 2L)
+    }
+
     // a watermark past anything the stream delivered must be rejected —
     // it would suppress future batches via the foldBatch guard
     intercept[IllegalArgumentException] {
