@@ -21,10 +21,13 @@ import graft.util.Det
   * count/sum-of-counts distinction the merge leg must get right.
   *
   * Scale shape: each refresh round is one hash aggregate of the DELTA
-  * (the only data that is new) plus one co-partitioned merge with the
-  * key-partitioned state — at 100 TB the state is bucketed on user and
-  * the merge is exchange-free; here both sides shuffle once on the same
-  * key. State is DISK_ONLY-checkpointed per round ([[graft.util.Ckpt]])
+  * (the only data that is new) plus one co-partitioned full-outer merge
+  * with the key-partitioned state — exchange-free in THIS plan: the
+  * checkpointed state carries its hash(user_id) layout across the
+  * lineage cut and the delta lands on the same key from its own
+  * aggregate, so only the delta's one aggregate exchange moves data per
+  * round (at 100 TB, a user-bucketed state table gives the same shape).
+  * State is DISK_ONLY-checkpointed per round ([[graft.util.Ckpt]])
   * — it is read by exactly the next round, and an O(rounds) lineage
   * would otherwise re-execute the whole history per action (the 2^k
   * iterative-lineage trap). The month list is a driver-side collect
@@ -80,12 +83,27 @@ object Incremental {
           sum($"cents").as("sum_cents"),
           min($"day").as("min_day"),
           max($"day").as("max_day"))
-      val next = state.unionByName(delta)
-        .groupBy($"user_id")
-        .agg(sum($"n_events").as("n_events"),
-          sum($"sum_cents").as("sum_cents"),
-          min($"min_day").as("min_day"),
-          max($"max_day").as("max_day"))
+      // Merge as a CO-PARTITIONED full-outer join, not union+re-aggregate:
+      // the checkpointed state carries hash(user_id) across the lineage
+      // cut (Bridge.repairCheckpointLayout) and the delta lands
+      // hash(user_id) from its own aggregate, so the join plans with ZERO
+      // exchanges — the scaladoc's "the merge is exchange-free" now holds
+      // in THIS plan, not only on a bucketed 100 TB layout. Merge
+      // semantics match the former union+sum exactly: counts add with
+      // absent-side zero, sums add but stay NULL when BOTH sides are NULL
+      // (sum skips nulls — a user whose every value is NULL must not
+      // become 0), min/max via least/greatest, which skip nulls.
+      val next = state.as("s")
+        .join(delta.as("d"), Seq("user_id"), "full")
+        .select($"user_id",
+          (coalesce($"s.n_events", lit(0L)) + coalesce($"d.n_events", lit(0L)))
+            .as("n_events"),
+          when($"s.sum_cents".isNull && $"d.sum_cents".isNull,
+            lit(null).cast("long"))
+            .otherwise(coalesce($"s.sum_cents", lit(0L)) +
+              coalesce($"d.sum_cents", lit(0L))).as("sum_cents"),
+          least($"s.min_day", $"d.min_day").as("min_day"),
+          greatest($"s.max_day", $"d.max_day").as("max_day"))
         .ckptDisk()
       // the superseded state is dead the moment `next` materializes —
       // release its blocks NOW or the fold holds O(months) checkpoint

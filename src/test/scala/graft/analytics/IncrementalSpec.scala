@@ -105,6 +105,32 @@ class IncrementalSpec extends SparkSpec {
       (9L, 1L, 700L, None, None)))
   }
 
+  test("the per-round state merge plans with zero shuffle exchanges") {
+    // The co-partitioned full-outer merge is load-bearing: the
+    // checkpointed state carries hash(user_id) across the lineage cut
+    // (Bridge.repairCheckpointLayout) and the delta lands on the same key
+    // from its own aggregate, so the ONLY exchange per round is the delta
+    // aggregate's. A lost layout still executes, just re-shuffling the
+    // state every round — the silent class this pin exists for. The final
+    // fold's plan contains the last round's merge join + the last delta
+    // aggregate (everything earlier is behind checkpoints): exactly ONE
+    // exchange, no exchange between the join and either input's
+    // materialized side.
+    val events = Seq(
+      ev(1L, "2024-01-05 10:00:00", 1.0),
+      ev(2L, "2024-02-05 10:00:00", 2.0),
+      ev(1L, "2024-03-05 10:00:00", 3.0))
+      .toDF("user_id", "ts", "value")
+    val df = Incremental.incrAggOver(events)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1,
+      s"state merge re-introduced an exchange ($exchanges in plan):\n$plan")
+  }
+
   test("empty history yields an empty summary with the declared schema, not a throw") {
     val none = Seq.empty[(Long, Timestamp, Double)]
       .toDF("user_id", "ts", "value")
