@@ -125,6 +125,19 @@ object PageRank {
     * the layout didn't pre-pay. The seam the scale-stress harness drives
     * with synthetic multi-million-edge graphs.
     *
+    * Strategy–layout interaction, measured after the round-10 checkpoint
+    * layout repair (graphboundary stress, 960k nodes, src-laid-out
+    * substrate): the forced-partitioned path now runs 8.5 s where the
+    * hinted path runs 12.1 s — the repair made co-partitioned iteration
+    * joins cheap enough that per-iteration broadcast BUILDS of a ~1M-row
+    * rank frame are the bigger cost. The gate stays node-count-keyed
+    * (it is ultimately a broadcast MEMORY bound, and small graphs still
+    * broadcast cheaply), so a caller near the gate with a src-laid-out
+    * frame should force the partitioned path via
+    * `dstNodeBound = Some(Long.MaxValue)`; a dst-laid-out frame under
+    * the gate gets the zero-exchange broadcast iteration (the declared
+    * x_pagerank shape) and has no reason to flip early.
+    *
     * `dstNodeBound`: an upper bound on the DISTINCT dst cardinality, used
     * with the (exactly counted, ~free) src cardinality to size the
     * per-iteration broadcast hints. The default `None` asserts the graph

@@ -46,6 +46,26 @@ class CkptLayoutSpec extends SparkSpec {
     assert(agg.as[(Long, Long)].collect().toSet == want)
   }
 
+  test("Ckpt.release still drops the repaired frame's blocks") {
+    // release() pattern-matches the analyzed plan's LogicalRDD root and
+    // unpersists its RDD — the repair rebuilds that node, so this pins
+    // that the rebuilt frame stays releasable (the iterative folds lean
+    // on eager release to bound executor-disk growth).
+    val base = spark.range(0, 1000)
+      .select(($"id" % 7).as("k"), $"id".as("v"))
+      .repartition(4, $"k")
+      .ckptDisk()
+    base.count()
+    val rdd = base.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      case other => fail(s"repaired root is not a LogicalRDD: $other")
+    }
+    assert(rdd.getStorageLevel.useDisk, "checkpoint blocks must be on disk")
+    Ckpt.release(base)
+    assert(rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "release must unpersist the repaired frame's blocks")
+  }
+
   test("a layout-free frame degrades to Spark's behavior, not a wrong claim") {
     // no repartition before the checkpoint: the scan-shaped layout is no
     // hash partitioning, so the repair must leave UnknownPartitioning and
