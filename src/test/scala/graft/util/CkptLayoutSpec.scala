@@ -82,6 +82,25 @@ class CkptLayoutSpec extends SparkSpec {
     assert(agg.as[(Long, Long)].collect().toSet == want)
   }
 
+  test("an AQE-coalesced layout carries as a TRUE claim: downstream stays exact") {
+    // Without an explicit partition count, AQE coalesces the aggregate's
+    // exchange on tiny data; the repair then carries whatever partitioning
+    // the FINAL plan reports for those coalesced blocks. Whatever Spark
+    // claims there (coalesced hash or unknown), the carried value must
+    // describe the real block layout — pinned by the downstream aggregate
+    // on the same key staying exact whether or not its exchange is elided.
+    val base = spark.range(0, 1000)
+      .select(($"id" % 7).as("k"), $"id".as("v"))
+      .groupBy($"k").agg(sum($"v").as("s"))
+      .ckptDisk()
+    val agg = base.groupBy($"k").agg(sum($"s").as("s2"), count(lit(1)).as("c"))
+    val want = (0L until 1000L).groupBy(_ % 7)
+      .map { case (k, vs) => (k, vs.sum, 1L) }.toSet
+    assert(agg.as[(Long, Long, Long)].collect().toSet == want,
+      "coalesced-carry layout must describe the real blocks — every key " +
+        "aggregates to exactly one row")
+  }
+
   test("ordering survives as a valid prefix and elides the downstream sort") {
     val base = spark.range(0, 1000)
       .select(($"id" % 7).as("k"), $"id".as("v"))
