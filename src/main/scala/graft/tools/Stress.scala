@@ -529,6 +529,86 @@ object Stress {
     ok
   }
 
+  /** Incremental-fold stress (round-10 `incrfold` scenario): the
+    * materialized-view refresh fold — rebuilt this round as a
+    * co-partitioned full-outer state merge (zero merge exchanges,
+    * IncrementalSpec pins the plan) — proven ≡ the one-shot aggregate at
+    * 10-30x fixture scale over a 24-month replay, including the merge
+    * laws a join-based fold can silently break where union+re-aggregate
+    * could not: absent-side counts (a user missing from 22 of 24 deltas),
+    * the sum that must stay NULL when EVERY delta's sum is NULL (an
+    * all-NULL-value user — coalesce-to-0 here would manufacture a 0), and
+    * cross-slice min/max (a user whose min_day lives in month 1 and
+    * max_day in month 24, with a NULL-ts event that counts but
+    * contributes no day). The comparison is exceptAll BOTH WAYS against
+    * the direct aggregate computed in-session from the same frame — an
+    * independent single-pass plan, exact BIGINT columns — plus explicit
+    * closed-form checks on the three planted users.
+    */
+  def runIncrFold(spark: SparkSession, n: Long): Boolean = {
+    import spark.implicits._
+    val U = math.max(1000L, n / 32)
+    // bulk rows: user = id mod U, month = (id div U) mod 24 spread over
+    // 2023-2024, day-of-month from id, value an exact 2-decimal signed grid
+    val bulk = spark.range(n).select(
+      ($"id" % U).as("user_id"),
+      (($"id" % 1000L).cast("double") / 100.0 - 3.0).as("value"),
+      expr(s"""make_timestamp(
+         |2023 + (((id div $U) % 24) div 12), ((id div $U) % 12) + 1,
+         |CAST((id % 28) + 1 AS INT), 12, 0, 0)""".stripMargin).as("ts"))
+    val planted = Seq(
+      // user U: NULL ts (counts, no day) + min in month 1 + max in month 24
+      (U, Option(1.00), Option.empty[String]),
+      (U, Option(2.00), Option("2023-01-15 12:00:00")),
+      (U, Option(3.00), Option("2024-12-20 12:00:00")),
+      // user U+1: every value NULL -> sum_cents must stay NULL through
+      // all 24 merges
+      (U + 1, Option.empty[Double], Option("2023-06-10 12:00:00")),
+      (U + 1, Option.empty[Double], Option("2024-03-05 12:00:00")))
+      .toDF("user_id", "value", "ts_s")
+      .select($"user_id", $"value", $"ts_s".cast("timestamp").as("ts"))
+    val ev = bulk.unionByName(planted).ckptDisk()
+    println(s"[stress] events=${n + 5} users=${U + 2} months=24 " +
+      "(fold replays one delta per month)")
+
+    val (folded, tFold) = timedS("24-round incremental fold") {
+      graft.analytics.Incremental.incrAggOver(ev).ckptDisk()
+    }
+    val (direct, tDir) = timedS("one-shot direct aggregate") {
+      ev.select($"user_id", graft.util.Det.cents($"value").as("cents"),
+          datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+            .cast("long").as("day"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"), sum($"cents").as("sum_cents"),
+          min($"day").as("min_day"), max($"day").as("max_day"))
+        .ckptDisk()
+    }
+    val drift = folded.exceptAll(direct).count() +
+      direct.exceptAll(folded).count()
+    val rows = folded.count()
+    println(s"[stress] fold vs direct drift rows=$drift (expect 0); " +
+      s"summary rows=$rows (expect ${U + 2}); " +
+      f"wall fold ${tFold}%.1f s vs direct ${tDir}%.1f s")
+
+    def row(u: Long) = folded.filter($"user_id" === u)
+      .select($"n_events", $"sum_cents", $"min_day", $"max_day")
+      .as[(Long, Option[Long], Option[Long], Option[Long])].head()
+    val epoch = java.time.LocalDate.ofEpochDay(0)
+    def day(s: String): Long =
+      java.time.temporal.ChronoUnit.DAYS.between(
+        epoch, java.time.LocalDate.parse(s))
+    val crossOk = row(U) ==
+      ((3L, Some(600L), Some(day("2023-01-15")), Some(day("2024-12-20"))))
+    val nullSumOk = row(U + 1) ==
+      ((2L, None, Some(day("2023-06-10")), Some(day("2024-03-05"))))
+    println(s"[stress] planted cross-slice user: ${row(U)}; " +
+      s"all-NULL-value user: ${row(U + 1)}")
+
+    val ok = drift == 0 && rows == U + 2 && crossOk && nullSumOk
+    println(s"[stress] structure recovered: ${if (ok) "YES" else "NO"}")
+    ok
+  }
+
   /** Retention/VACUUM economics at scale: an `n`-row events table spread
     * over [[RetDays]] day partitions (~28x the fixture's day count), with
     * the erasure cohort PLANTED into exactly three retained days so the
@@ -1486,6 +1566,10 @@ object Stress {
     }
     if (scenario == "ckptlayout") {
       val ok = runCkptLayout(spark, n)
+      spark.stop(); if (!ok) sys.exit(1); return
+    }
+    if (scenario == "incrfold") {
+      val ok = runIncrFold(spark, n)
       spark.stop(); if (!ok) sys.exit(1); return
     }
     if (scenario == "retention") {
