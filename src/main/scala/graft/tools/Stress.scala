@@ -106,14 +106,22 @@ object Stress {
   }
 
   /** Semantic-dedup stress: `n` 64-dim vectors, 1% planted identical pairs
-    * (id, id−1), nlist = 1024 ≈ √n — the documented scale path where
-    * in-cluster pair volume stays ~n·(n/nlist). τ is set to 0.6 ≈ 4.8σ of
-    * the null cosine distribution (σ ≈ 1/√64): at the declared fixture τ
-    * (1.4σ for these crude vectors) the greedy rule chained through noise
-    * pairs and marked 99.7% of the corpus duplicate — the calibration
-    * failure mode this scenario documents. Every planted loser must appear
-    * (identical vectors always share a cluster and score sim = 1), and
-    * noise losers must stay rare.
+    * (id, id−1), nlist = 1024 and the 10× noise bound CALIBRATED AT THE
+    * 200k DESIGN POINT. The bound is a property of (corpus, τ), not the
+    * operator — round 10 measured this three ways at 400k: noise is
+    * 678/620/789 at nlist 1024/2000/632, i.e. essentially
+    * CLUSTERING-INDEPENDENT, because IVF clustering is built to keep
+    * high-cosine pairs together — what the bound counts is this synthetic
+    * hash family's genuine >τ pair mass, which grows ~n² while the
+    * planted signal grows ~n. A production corpus at larger n re-derives
+    * τ from ITS null distribution (the 4–5σ rule on
+    * [[graft.llm.Semantic]]); missed=0 at every (n, nlist) tried — the
+    * exactness invariant (identical vectors always share a cluster and
+    * score sim = 1) never depends on the calibration. τ here is 0.6 ≈
+    * 4.8σ of the null cosine distribution (σ ≈ 1/√64): at the declared
+    * fixture τ (1.4σ for these crude vectors) the greedy rule chained
+    * through noise pairs and marked 99.7% of the corpus duplicate — the
+    * calibration failure mode this scenario documents.
     */
   def runSemantic(spark: SparkSession, n: Long): Boolean = {
     import spark.implicits._
@@ -123,8 +131,9 @@ object Stress {
           (pmod(hash(base * 31 + j, lit(11)), lit(1000)).cast("double") / 1000.0)
             - 0.5).as("v"))
       .ckptDisk()
-    val losers = timed(s"semantic dedup (nlist=1024, tau=0.6) over $n vectors") {
-      Semantic.semanticDedupOver(spark, vecs, nlist = 1024, tau = 0.6)
+    val nlist = 1024
+    val losers = timed(s"semantic dedup (nlist=$nlist, tau=0.6) over $n vectors") {
+      Semantic.semanticDedupOver(spark, vecs, nlist = nlist, tau = 0.6)
         .select($"loser_id").as[Long].collect().toSet
     }
     val planted = (1L until n by 100L).toSet
