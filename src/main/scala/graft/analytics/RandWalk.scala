@@ -2,6 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.io.Tables
 import graft.util.Ckpt._
 
 /** Deterministic random walks over the co-purchase graph — the walk-corpus
@@ -43,27 +44,71 @@ object RandWalk {
 
   /** x_rand_walk — (start, walk) → the 3 hash-chosen hops.
     *
+    * The edge frame is pre-aggregated ONCE into per-src adjacency arrays
+    * (`src → array<dst>`), so each step is a broadcast equi-join of the
+    * (tiny, never-growing) frontier against the adjacency frame plus a
+    * PER-ROW argmin over the neighbor array — `array_min(transform(nbrs,
+    * d -> h(d)·10¹⁹ + d))` — with NO aggregate and NO shuffle anywhere in
+    * the loop (round 10 ran the argmin as a hash aggregate over the full
+    * candidate fan-out: one exchange per step plus per-candidate group-key
+    * hashing of the path array, ~1.5 s/step of pure aggregation machinery
+    * at sf0.1 for work the array fold does in place). The md5 count is
+    * identical — one hash per (walk, candidate) — only the machinery
+    * around it is gone. The decimal packing keeps the EXACT (h, dst)
+    * order (10¹⁹ > any BIGINT dst, so h·10¹⁹ + dst orders like the pair
+    * with zero collision ambiguity); h is the md5's first 15 hex chars as
+    * a 60-bit long ([[graft.llm.Dedup]]'s parse — order-isomorphic to the
+    * hex prefix). A walk at a sink node (no out-edges) drops out of the
+    * inner join — the same death the fan-out join gave it.
+    *
     * Every step executes the IDENTICAL plan shape on the IDENTICAL schema
     * `(start, walk, path: array<bigint>, cur)`: the step ordinal is derived
-    * in-plan as `size(path) + 1` (not a per-step literal), the hops
-    * accumulate in ONE array column (not a widening n1..nk column set), and
-    * the walk's path rides through the argmin as a grouping key (arrays are
-    * valid HashAggregate grouping keys; only the BUFFER must be mutable,
-    * and the buffer stays the single DECIMAL(38,0) min). With zero
-    * step-varying expressions or schemas, the generated whole-stage code is
-    * the same source text every round, so the Janino class cache compiles
-    * each stage ONCE and steps 2..k run the already-C2-promoted classes —
-    * round 9 measured the old per-step-distinct lineage paying ~40 separate
-    * compile+interpret-then-promote cycles, a 3.6–10.8 s JVM-regime lottery
-    * on an otherwise-right plan (docs/BENCH_NOTES.md #43/#52).
+    * in-plan as `size(path) + 1` (not a per-step literal) and hops
+    * accumulate in ONE array column, so the generated code is the same
+    * source text every round and the Janino class cache compiles each
+    * stage ONCE — the rewrite that killed the round-9 JVM-regime lottery
+    * (docs/BENCH_NOTES.md #43/#52) and stays load-bearing here.
+    *
+    * Scale shape: frontier size is constant across rounds (walks never
+    * fork), so cost is Steps × (broadcast join + array fold). At 100 TB
+    * the adjacency frame is the big side — it streams map-side through
+    * every step in whatever layout the one up-front aggregate left it in;
+    * a frontier too big to broadcast would instead co-partition on the
+    * current node, and a hub node whose neighbor array outgrows a task
+    * would split its array across salted sub-rows and min the partials
+    * (the argmin is associative) — neither regime changes the result.
     */
   def randWalk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = PageRank.edges(spark, dir).ckptDisk()
+    // Adjacency build FUSED into the basket aggregate — the same
+    // co-purchase graph as [[PageRank.edges]] (two parts adjacent iff some
+    // order contains both; SAME basket-bounded blow-up contract), but
+    // built array-shaped in one pass instead of materializing the 12×
+    // larger pair-level edge frame and re-aggregating it: one shuffle of
+    // the narrow lineitem pairs into per-order baskets, one src-keyed
+    // exchange of (src, basket) rows, then per-src dedup INSIDE the row
+    // (array_distinct over the concatenated baskets — the pair-level
+    // dropDuplicates done without a pair-level frame). The checkpoint
+    // pins node-count rows (~|V|), not |E| rows. Array order is
+    // irrelevant downstream (array_min is order-independent and the
+    // packed pick is unique per dst), so no sort pass is paid.
+    // size(nbrs) > 0 keeps sink parity with the edge-frame form: a part
+    // only ever ordered alone has NO edges there, so it neither starts
+    // nor continues a walk here either.
+    val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey")
+    val adj = li.groupBy($"l_orderkey").agg(collect_set($"l_partkey").as("ps"))
+      .select(explode($"ps").as("src"), $"ps")
+      .repartition(spark.sparkContext.defaultParallelism, $"src")
+      .groupBy($"src")
+      .agg(array_distinct(flatten(collect_list($"ps"))).as("nbrs0"))
+      .select($"src", array_remove($"nbrs0", $"src").as("nbrs"))
+      .filter(size($"nbrs") > 0)
+      .ckptDisk()
     // Deterministic ¼ start-sample (md5 hex gate) — a walk corpus is built
     // in sampled epochs, not from every node every time; the gate is the
     // same replay-stable selection the quota/stratified samplers use.
-    val starts = e.select($"src".as("start")).distinct()
+    // adj is already one row per src, so no distinct pass is needed.
+    val starts = adj.select($"src".as("start"))
       .filter(substring(md5(concat(lit("ws:"), $"start".cast("string"))), 1, 1)
         .isin("0", "1", "2", "3"))
     var f = starts
@@ -72,31 +117,20 @@ object RandWalk {
       .withColumn("path", array().cast("array<bigint>"))
       .withColumn("cur", $"start")
     (1 to Steps).foreach { _ =>
-      // broadcast(f) is load-bearing: after the first aggregate the
-      // frontier has no size stats and Spark otherwise broadcasts the
-      // EDGE side (2.4M rows at sf0.1) in later steps — measured 15.3 s
-      // vs 5.0 s for the identical chain. The frontier is walks-per-start
-      // bounded and never grows, so it is ALWAYS the broadcast side.
-      val joined = broadcast(f).join(e, f("cur") === e("src")).drop("src")
-      // Argmin by (h, dst) through ONE hash-aggregable primitive:
-      // pick = h·10¹⁹ + dst as DECIMAL(38,0). min(struct(h, dst)) reads
-      // nicer but falls back to SortAggregate (struct isn't a mutable
-      // buffer type — measured as 3 full sorts of the multi-million-row
-      // candidate set, 18 s at sf0.1); the decimal keeps the EXACT (h, dst)
-      // order (10¹⁹ > any BIGINT dst) and hash-aggregates with map-side
-      // partial mins, so the shuffle carries one row per walk, not the
-      // candidate set. h is the md5's first 15 hex chars as a 60-bit long
-      // ([[graft.llm.Dedup]]'s parse — order-isomorphic to the hex prefix).
-      f = joined
-        .withColumn("h", conv(substring(md5(concat_ws(":",
-          $"start".cast("string"), $"walk".cast("string"),
-          (size($"path") + 1).cast("string"), $"dst".cast("string"))), 1, 15),
-          16, 10).cast("long"))
+      // broadcast(f) is load-bearing: the frontier has no size stats after
+      // step 1 and Spark otherwise broadcasts the ADJACENCY side — the
+      // frontier is walks-per-start bounded and never grows, so it is
+      // ALWAYS the broadcast side. Each step's join streams adj in place;
+      // the whole loop runs as one shuffle-free plan per action.
+      f = broadcast(f).join(adj, f("cur") === adj("src")).drop("src")
         .withColumn("pick", expr(
-          s"CAST(h AS DECIMAL(38,0)) * $PackBase + CAST(dst AS DECIMAL(38,0))"))
-        .groupBy($"start", $"walk", $"path")
-        .agg(min($"pick").as("p"))
-        .withColumn("nxt", expr(s"CAST(p % $PackBase AS BIGINT)"))
+          s"""array_min(transform(nbrs, d ->
+             |  CAST(CAST(conv(substring(md5(concat_ws(':',
+             |    CAST(start AS STRING), CAST(walk AS STRING),
+             |    CAST(size(path) + 1 AS STRING), CAST(d AS STRING))),
+             |    1, 15), 16, 10) AS BIGINT) AS DECIMAL(38,0)) * $PackBase
+             |  + CAST(d AS DECIMAL(38,0))))""".stripMargin))
+        .withColumn("nxt", expr(s"CAST(pick % $PackBase AS BIGINT)"))
         .select($"start", $"walk",
           concat($"path", array($"nxt")).as("path"), $"nxt".as("cur"))
     }

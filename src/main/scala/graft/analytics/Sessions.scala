@@ -39,7 +39,15 @@ object Sessions {
     */
   def sessionizedOver(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
-    val byUser = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    // Order on the DERIVED ts_us, not raw ts — the same key
+    // [[sessionizedCappedOver]] range-partitions and windows on, so the two
+    // plans agree on event order for ANY ts column (a string ts whose
+    // lexical order disagrees with its parsed order, or values that cast to
+    // NULL, would otherwise diverge — round-10 ADVICE). For TimestampType
+    // ts, unix_micros is order-isomorphic to ts, so the declared queries'
+    // assignment (and hash) is unchanged.
+    val byUser = Window.partitionBy($"user_id")
+      .orderBy($"ts_us".asc_nulls_first, $"event_id".asc)
     val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events
       .withColumn("ts_us", unix_micros($"ts".cast("timestamp")))

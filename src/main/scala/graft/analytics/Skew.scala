@@ -76,10 +76,22 @@ object Skew {
     * `defaultParallelism` (core count), which on a default-conf cluster
     * (200 shuffle partitions over, say, 32 cores) would size buckets 6×
     * too small for the collision analysis above to hold.
+    *
+    * Conf reads are defensive: `spark.sql.shuffle.partitions` can be
+    * non-numeric on managed platforms ("auto"), and under AQE
+    * `spark.sql.adaptive.coalescePartitions.initialPartitionNum` — when
+    * set — is the width the shuffle actually starts at, so it takes
+    * precedence. Anything unparseable falls back to defaultParallelism
+    * rather than throwing (round-10 ADVICE).
     */
-  def saltBucketsFor(spark: SparkSession): Int =
-    math.max(SaltBuckets,
-      spark.conf.get("spark.sql.shuffle.partitions").toInt / 2)
+  def saltBucketsFor(spark: SparkSession): Int = {
+    def confInt(key: String): Option[Int] =
+      scala.util.Try(spark.conf.get(key).toInt).toOption.filter(_ > 0)
+    val p = confInt("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+      .orElse(confInt("spark.sql.shuffle.partitions"))
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    math.max(SaltBuckets, p / 2)
+  }
 
   /** q_join_salted — the DECLARED face of [[saltedJoin]]: per-brand revenue
     * from a salted lineitem⋈part join. The salt must be invisible in the

@@ -201,8 +201,18 @@ object IncrMv {
         val st = conn.createStatement()
         try {
           val rs = st.executeQuery(sql)
-          try { if (rs.next() && !rs.wasNull()) rs.getLong(1) else empty }
-          finally rs.close()
+          // JDBC: wasNull() is defined only AFTER a column getter has run —
+          // read first, then test. The previous next()-then-wasNull order
+          // made a NULL aggregate (max over zero live rows) read as 0 on
+          // drivers whose initial wasNull is false, which let an
+          // existing-but-empty ledger accept a too-low watermark and then
+          // silently drop that batch's future delta (round-10 ADVICE).
+          try {
+            if (rs.next()) {
+              val v = rs.getLong(1)
+              if (rs.wasNull()) empty else v
+            } else empty
+          } finally rs.close()
         } finally st.close()
       }
       val hiLive = oneLong(
