@@ -81,6 +81,37 @@ object Bench {
     def exec(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // Per-run attribution channels (round-10 verdict: a 41 s driver run-1
+    // outlier was unexplainable from wall time alone). Three signals per
+    // measured run, all recorded in the artifact: JVM GC time inside the
+    // run's window, JIT compilation time inside the window (C2 promotion
+    // storms look like query time but aren't plan cost), and the longest
+    // single task (a straggler/spill shows up here; uniform slowness
+    // doesn't). None of these are free-running averages — they are deltas
+    // across exactly the measured window.
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    def gcMs(): Long =
+      ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(b => math.max(0L, b.getCollectionTime)).sum
+    val jitBean = ManagementFactory.getCompilationMXBean
+    def jitMs(): Long =
+      if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
+        jitBean.getTotalCompilationTime else 0L
+    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskInfo != null)
+            maxTaskMs.getAndAccumulate(t.taskInfo.duration, math.max)
+      })
+
+    /** One measured execution: wall seconds plus the window's GC/JIT deltas
+      * and the longest task. secs < 0 marks a failed run.
+      */
+    case class Run(secs: Double, gcMs: Long, jitMs: Long, maxTaskMs: Long)
+
     // Warmup: shuffle + agg + parquet scan machinery, not a declared query.
     exec(spark.range(1000000).selectExpr("id % 97 AS k", "id AS v")
       .groupBy("k").sum("v"))
@@ -136,10 +167,10 @@ object Bench {
     // from the SURVIVING run count (median2/min1/...), not the intended one,
     // so a query that throws on some-but-not-all runs can never bench as a
     // healthy "median3" — partial failures surface in the "flaky" list.
-    def runPass(): Seq[(String, Double, String, Seq[Double], Int, Double)] =
+    def runPass(): Seq[(String, Double, String, Seq[Run], Int, Option[Run])] =
       selected.map { case (name, fn) =>
         val nRuns = if (NoisyQueries(name)) 3 else 2
-        def oneRun(): Option[Double] = {
+        def oneRun(): Option[Run] = {
           // Before each run (outside the measured window): drop dead
           // localCheckpoint blocks. Several queries pin lineage-truncation
           // blocks in executor storage; the ContextCleaner frees them only
@@ -150,10 +181,13 @@ object Bench {
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = true))
           System.gc()
+          val (gc0, jit0) = (gcMs(), jitMs())
+          maxTaskMs.set(0L)
           val t0 = System.nanoTime()
           try {
             exec(fn(spark, sfDir))
-            Some((System.nanoTime() - t0) / 1e9)
+            Some(Run((System.nanoTime() - t0) / 1e9,
+              gcMs() - gc0, jitMs() - jit0, maxTaskMs.get()))
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
@@ -169,8 +203,11 @@ object Bench {
         // steady-state variance). The warmup seconds are RECORDED in the
         // artifact ("warmup" field) so nothing is hidden; min-of-2 queries
         // need none because min() already discards the compile run.
-        val warm = if (warmedUp(name)) oneRun().getOrElse(-1.0) else 0.0
-        val times = (1 to nRuns).flatMap(_ => oneRun())
+        val warm =
+          if (warmedUp(name)) Some(oneRun().getOrElse(Run(-1.0, 0, 0, 0)))
+          else None
+        val runs = (1 to nRuns).flatMap(_ => oneRun())
+        val times = runs.map(_.secs)
         val stat =
           if (times.isEmpty) "none"
           else if (NoisyQueries(name)) s"median${times.size}"
@@ -179,7 +216,7 @@ object Bench {
           if (times.isEmpty) -1.0
           else if (NoisyQueries(name)) times.sorted.apply(times.size / 2)
           else times.min
-        (name, secs, stat, times, nRuns, warm)
+        (name, secs, stat, runs, nRuns, warm)
       }
 
     val passes = (1 to repeat).map(_ => runPass())
@@ -187,21 +224,30 @@ object Bench {
     // single-pass (driver) invocation, so numbers stay comparable.
     val results = passes.head.map { case (n, s, st, t, _, w) => (n, s, st, t, w) }
     val flakyNames = passes.head.collect {
-      case (n, _, _, t, nRuns, w) if (t.nonEmpty && t.size < nRuns) || w < 0 => n
+      case (n, _, _, t, nRuns, w)
+        if (t.nonEmpty && t.size < nRuns) || w.exists(_.secs < 0) => n
     }
 
     def fmt(d: Double): String = BigDecimal(d)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
-    // Full-fidelity per-query artifact: chosen stat, every raw run, the
-    // spread, and (noisy queries) the untimed warmup run's seconds, so a
-    // reader can audit whether a chosen number is stable and what the
-    // excluded compile run cost.
+    // Full-fidelity per-query artifact: chosen stat, every raw run with its
+    // GC/JIT/longest-task attribution, the spread, and (warmed queries) the
+    // untimed warmup run — so a reader can audit whether a chosen number is
+    // stable, what the excluded compile run cost, and WHERE an outlier
+    // run's time went (GC pause vs JIT storm vs one straggler task vs
+    // genuinely slow plan).
     val perQuery = results.map { case (name, secs, stat, runs, warm) =>
-      val spread = if (runs.size >= 2) runs.max - runs.min else 0.0
-      val warmField = if (warmedUp(name)) s""","warmup":${fmt(warm)}""" else ""
+      val times = runs.map(_.secs)
+      val spread = if (times.size >= 2) times.max - times.min else 0.0
+      val warmField = warm.map(w =>
+        s""","warmup":${fmt(w.secs)},"warmup_gc_ms":${w.gcMs},""" +
+          s""""warmup_jit_ms":${w.jitMs}""").getOrElse("")
       s"""  "$name": {"secs":${fmt(secs)},"stat":"$stat",""" +
-        s""""runs":[${runs.map(fmt).mkString(",")}],"spread":${fmt(spread)}$warmField}"""
+        s""""runs":[${times.map(fmt).mkString(",")}],"spread":${fmt(spread)},""" +
+        s""""gc_ms":[${runs.map(_.gcMs).mkString(",")}],""" +
+        s""""jit_ms":[${runs.map(_.jitMs).mkString(",")}],""" +
+        s""""max_task_ms":[${runs.map(_.maxTaskMs).mkString(",")}]$warmField}"""
     }.mkString("{\n", ",\n", "\n}")
     val failedNames = results.collect { case (n, s, _, _, _) if s < 0 => n }
     // A failed query must POISON the headline number: excluding it would
