@@ -51,7 +51,107 @@ object Scd {
           lag($"event_type", 1).over(byUser) =!= $"event_type", 1L).otherwise(0L))
       .withColumn("run", sum($"chg").over(running))
       .groupBy($"user_id", $"run")
-      .agg(first($"event_type").as("event_type"),
+      // min_by on the event order, not first(): a run is opened by its
+      // first event and possibly continued by NULL-typed events (the chg
+      // rule's three-valued <> reads a null current type as "continues"),
+      // so first() could nondeterministically surface a continuation NULL
+      // where the opener's type is the contract. min_by's struct ordering
+      // is null-field-first — exactly the window's asc_nulls_first order.
+      .agg(min_by($"event_type", struct($"tus", $"event_id")).as("event_type"),
+        min($"tus").as("valid_from_us"), count(lit(1)).as("n_events"))
+      .withColumn("valid_to_us", lead($"valid_from_us", 1).over(byRun))
+      .withColumn("is_current", $"valid_to_us".isNull)
+      .select($"user_id", $"run", $"event_type", $"valid_from_us",
+        $"valid_to_us", $"n_events", $"is_current")
+  }
+
+  /** Type-2 history WITHOUT the atomic per-user window partition — the
+    * bot-burst mitigation [[graft.analytics.Sessions.sessionizedCappedOver]]
+    * proved for sessionization, applied to run detection (the round-10
+    * verdict named this family's remaining atomic windows). Exact, not
+    * approximate: same rows as [[historyOver]] on any input, pinned by the
+    * shared `x_scd2_build` oracle and the parity spec (NULL event types and
+    * NULL timestamps included).
+    *
+    * Shape: range-partition on (user_id, tus, event_id) — a hot user's
+    * timeline splits across slices because the timestamp is in the sort
+    * key, so every slice is ~n/slices rows REGARDLESS of key skew — then
+    * number runs per (slice, user) chunk with the ordinary lag+running-sum
+    * window (max window partition = slice size, not user history), and
+    * stitch chunk boundaries over the per-(slice, user) summary frame: a
+    * chunk's first event provisionally opens a run; if the previous chunk's
+    * LAST event type equals it under the row rule's three-valued compare
+    * (`prev IS NULL OR prev <> cur` opens; anything else — including a
+    * NULL current type — continues), the stitch folds it in by shifting
+    * the chunk's run ids down one. A user's stitch window holds at most
+    * `slices` rows. The run rollup then aggregates on (user_id, run) —
+    * hash-partitioned on BOTH keys, so a bot user's events spread across
+    * reducers by run — and only the interval-closing lead() runs on a
+    * per-user partition, over the RUNS frame (one row per state change,
+    * ≪ events; a window partition there grows with how often a user's
+    * state changes, not with event volume).
+    */
+  def historyCappedOver(events: DataFrame, slices: Int = 0): DataFrame = {
+    import events.sparkSession.implicits._
+    import graft.util.Ckpt._
+    val spark = events.sparkSession
+    val n = if (slices > 0) slices else spark.sparkContext.defaultParallelism
+    // ckpt pins the sampled range bounds: the summary pass and the final
+    // join must see the SAME slice assignment (the PrefixSum contract).
+    val sliced = events
+      .select($"event_id", $"user_id", $"event_type",
+        unix_micros($"ts".cast("timestamp")).as("tus"))
+      .repartitionByRange(n, $"user_id", $"tus".asc_nulls_first, $"event_id")
+      .withColumn("__pid", spark_partition_id())
+      .ckptDisk()
+    val wChunk = Window.partitionBy($"__pid", $"user_id")
+      .orderBy($"tus".asc_nulls_first, $"event_id".asc)
+    // ckpt: `local` feeds both the boundary-summary branch and the final
+    // join's big side; without it the chunk sort+window — the operator's
+    // one corpus-sized step — would execute once per consumer (exchange
+    // reuse shares the shuffle, not the sort; the round-10 Sessions
+    // finding). The checkpoint also carries the hash(__pid, user_id)
+    // window layout across the lineage cut.
+    val local = sliced
+      .withColumn("prev_type", lag($"event_type", 1).over(wChunk))
+      .withColumn("chg",
+        when($"prev_type".isNull || $"prev_type" =!= $"event_type", 1L)
+          .otherwise(0L))
+      .withColumn("local_run", sum($"chg")
+        .over(wChunk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(wChunk))
+      .ckptDisk()
+    // Boundary summary: the chunk's FIRST and LAST event types (min_by/
+    // max_by on the never-null row number — a NULL value is a real "that
+    // event's type was NULL", never an ambiguity) and its local run count.
+    val summary = local.groupBy($"__pid", $"user_id")
+      .agg(
+        min_by($"event_type", $"rn").as("first_type"),
+        max_by($"event_type", $"rn").as("last_type"),
+        max($"local_run").as("n_local"))
+    val wUser = Window.partitionBy($"user_id").orderBy($"__pid".asc)
+    val stitched = summary
+      .withColumn("prev_last", lag($"last_type", 1).over(wUser))
+      .withColumn("has_prev", row_number().over(wUser) > 1)
+      // The row-level chg rule evaluated at the chunk head with prev = the
+      // previous chunk's last event: fold (stitch=1) iff chg would be 0.
+      // prev NULL-the-type opens (isNull true); a NULL first_type with a
+      // non-null prev makes <> read NULL, which coalesces to "continues".
+      .withColumn("stitch",
+        when($"has_prev" &&
+          !coalesce($"prev_last".isNull || ($"prev_last" =!= $"first_type"),
+            lit(false)), 1L)
+          .otherwise(0L))
+      .withColumn("run_off",
+        coalesce(sum($"n_local" - $"stitch")
+          .over(wUser.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          - $"stitch")
+      .select($"__pid", $"user_id", $"run_off")
+    val byRun = Window.partitionBy($"user_id").orderBy($"run".asc)
+    local.join(stitched, Seq("__pid", "user_id"))
+      .withColumn("run", $"run_off" + $"local_run")
+      .groupBy($"user_id", $"run")
+      .agg(min_by($"event_type", struct($"tus", $"event_id")).as("event_type"),
         min($"tus").as("valid_from_us"), count(lit(1)).as("n_events"))
       .withColumn("valid_to_us", lead($"valid_from_us", 1).over(byRun))
       .withColumn("is_current", $"valid_to_us".isNull)
@@ -63,6 +163,16 @@ object Scd {
   def scd2Build(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     history(spark, dir).orderBy($"user_id", $"run")
+  }
+
+  /** x_scd2_capped — the SAME history as `x_scd2_build`, answered by
+    * [[historyCappedOver]]'s bounded-partition plan and gated on the SAME
+    * oracle SQL — the parity pin that makes the mitigation's exactness a
+    * per-round hash check (the `q_sessionize_capped` pattern).
+    */
+  def scd2BuildCapped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    historyCappedOver(Tables.events(spark, dir)).orderBy($"user_id", $"run")
   }
 
   val scd2BuildSql: String =
@@ -180,9 +290,11 @@ object Scd {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_scd2_build" -> (scd2Build _),
+    "x_scd2_capped" -> (scd2BuildCapped _),
     "x_pit_join" -> (pitJoin _))
 
   val oracles: Map[String, String] = Map(
     "x_scd2_build" -> scd2BuildSql,
+    "x_scd2_capped" -> scd2BuildSql,
     "x_pit_join" -> pitJoinSql)
 }

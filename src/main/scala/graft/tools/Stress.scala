@@ -1100,9 +1100,71 @@ object Stress {
     println(s"[stress] merged rows=$mergedRows (expect $n), " +
       s"bad rows=$mergeBad, change winners=$updWinners (expect $expUpd)")
 
+    // Bot leg + mitigation (the sessions-stress pattern applied to SCD):
+    // one user with n/16 events 10 µs apart, type flipping every 50 events
+    // (so the run structure is non-trivial: B/50 runs). The atomic plan's
+    // event-level window puts the whole burst in ONE task (a window
+    // partition is atomic — AQE splits join partitions, not window
+    // partitions); [[Scd.historyCappedOver]] must produce the IDENTICAL
+    // history (full-outer null-safe compare, zero tolerance) while its max
+    // task shuffle-read drops to range-slice scale. Coalescing off for the
+    // measured run and 4x-wide reducers, for the reasons documented at the
+    // sessions scenario's capped leg.
+    val B = n / 16
+    val bot = spark.range(B).select(
+        (lit(n) + $"id").as("event_id"),
+        lit(0L).as("user_id"),
+        when(expr("id DIV 50") % 2 === 0, "view").otherwise("cart")
+          .as("event_type"),
+        timestamp_micros(lit(t0) + 864000000000L + $"id" * 10L).as("ts"))
+    val ev2 = ev.select($"event_id", $"user_id", $"event_type", $"ts")
+      .unionByName(bot).ckptDisk()
+    val listener = new MaxShuffleTaskListener
+    spark.sparkContext.addSparkListener(listener)
+    val (maxBot, maxCap, capDrift) = try {
+      listener.reset()
+      val (_, tBot) = timedS(s"SCD2 history, one bot user (+$B events), atomic") {
+        Scd.historyOver(ev2).agg(sum($"n_events")).collect()
+      }
+      val mBot = listener.settled()
+      val parts0 = spark.conf.get("spark.sql.shuffle.partitions")
+      val coal0 = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+      val wide = 4 * spark.sparkContext.defaultParallelism
+      spark.conf.set("spark.sql.shuffle.partitions", wide.toString)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      try {
+        listener.reset()
+        val (_, tCap) = timedS("SCD2 history, bot corpus, CAPPED plan") {
+          Scd.historyCappedOver(ev2, wide).agg(sum($"n_events")).collect()
+        }
+        val mCap = listener.settled()
+        val cols = Seq("event_type", "valid_from_us", "valid_to_us",
+          "n_events", "is_current")
+        val drift = Scd.historyOver(ev2)
+          .join(Scd.historyCappedOver(ev2, wide)
+            .withColumnsRenamed(cols.map(x => x -> s"c_$x").toMap),
+            Seq("user_id", "run"), "full")
+          .filter(!cols.map(x => col(x) <=> col(s"c_$x")).reduce(_ && _))
+          .count()
+        val capBound = 4L * (n + B) / wide
+        println(f"[stress] capped SCD2 ($wide slices/reducers): " +
+          f"history drift=$drift (expect 0), " +
+          f"max task shuffle-read $mBot%,d -> $mCap%,d " +
+          f"(bound $capBound%,d = 4x total/$wide; burst was $B%,d); " +
+          f"wall $tBot%.1f -> $tCap%.1f s")
+        (mBot, mCap, drift)
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", parts0)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", coal0)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+
     val ok = histRows == expRows && badIntervals == 0 &&
       nCurrent == users && tileBad == 0 && pitOk &&
-      mergedRows == n && mergeBad == 0 && updWinners == expUpd
+      mergedRows == n && mergeBad == 0 && updWinners == expUpd &&
+      maxBot >= B && capDrift == 0 &&
+      maxCap <= 4L * (n + B) / (4 * spark.sparkContext.defaultParallelism) &&
+      maxCap <= B / 2
     println(s"[stress] structure recovered: ${if (ok) "YES" else "NO"}")
     ok
   }
