@@ -47,19 +47,20 @@ object RandWalk {
     * The edge frame is pre-aggregated ONCE into per-src adjacency arrays
     * (`src → array<dst>`), so each step is a broadcast equi-join of the
     * (tiny, never-growing) frontier against the adjacency frame plus a
-    * PER-ROW argmin over the neighbor array — `array_min(transform(nbrs,
-    * d -> h(d)·10¹⁹ + d))` — with NO aggregate and NO shuffle anywhere in
-    * the loop (round 10 ran the argmin as a hash aggregate over the full
-    * candidate fan-out: one exchange per step plus per-candidate group-key
-    * hashing of the path array, ~1.5 s/step of pure aggregation machinery
-    * at sf0.1 for work the array fold does in place). The md5 count is
-    * identical — one hash per (walk, candidate) — only the machinery
-    * around it is gone. The decimal packing keeps the EXACT (h, dst)
-    * order (10¹⁹ > any BIGINT dst, so h·10¹⁹ + dst orders like the pair
-    * with zero collision ambiguity); h is the md5's first 15 hex chars as
-    * a 60-bit long ([[graft.llm.Dedup]]'s parse — order-isomorphic to the
-    * hex prefix). A walk at a sink node (no out-edges) drops out of the
-    * inner join — the same death the fan-out join gave it.
+    * PER-ROW argmin over the neighbor array — the native codegen'd
+    * [[graft.functions.WalkPick]] — with NO aggregate and NO shuffle
+    * anywhere in the loop (round 10 ran the argmin as a hash aggregate
+    * over the full candidate fan-out: one exchange per step plus
+    * per-candidate group-key hashing of the path array — pure machinery
+    * around the md5s, which are the only essential work; and the HOF form
+    * `array_min(transform(nbrs, d -> h(d)·10¹⁹ + d))` tried first runs
+    * the per-element md5 interpreted — a measured 30+ s JIT storm on the
+    * suite's first execution, BENCH_NOTES #60/#64). The pick minimizes
+    * the exact (h, dst) pair; h is the md5's first 15 hex chars as a
+    * 60-bit long ([[graft.llm.Dedup]]'s parse — order-isomorphic to the
+    * hex prefix), identical to the oracle's HUGEINT h·10¹⁹ + dst packing.
+    * A walk at a sink node (no out-edges) drops out of the inner join —
+    * the same death the fan-out join gave it.
     *
     * Every step executes the IDENTICAL plan shape on the IDENTICAL schema
     * `(start, walk, path: array<bigint>, cur)`: the step ordinal is derived
@@ -116,21 +117,20 @@ object RandWalk {
         explode(array((0 until Walks).map(lit): _*)).as("walk"))
       .withColumn("path", array().cast("array<bigint>"))
       .withColumn("cur", $"start")
+    graft.functions.GraftFunctions.register(spark)
     (1 to Steps).foreach { _ =>
       // broadcast(f) is load-bearing: the frontier has no size stats after
       // step 1 and Spark otherwise broadcasts the ADJACENCY side — the
       // frontier is walks-per-start bounded and never grows, so it is
       // ALWAYS the broadcast side. Each step's join streams adj in place;
       // the whole loop runs as one shuffle-free plan per action.
+      // walk_pick is the native codegen'd argmin ([[graft.functions
+      // .WalkPick]]); the declarative array_min(transform(md5 ...)) form
+      // it replaces is bit-identical but runs the per-element md5 as an
+      // interpreted HOF — measured as a 30+ s JIT warm-up storm on the
+      // suite's first execution (BENCH_NOTES #64).
       f = broadcast(f).join(adj, f("cur") === adj("src")).drop("src")
-        .withColumn("pick", expr(
-          s"""array_min(transform(nbrs, d ->
-             |  CAST(CAST(conv(substring(md5(concat_ws(':',
-             |    CAST(start AS STRING), CAST(walk AS STRING),
-             |    CAST(size(path) + 1 AS STRING), CAST(d AS STRING))),
-             |    1, 15), 16, 10) AS BIGINT) AS DECIMAL(38,0)) * $PackBase
-             |  + CAST(d AS DECIMAL(38,0))))""".stripMargin))
-        .withColumn("nxt", expr(s"CAST(pick % $PackBase AS BIGINT)"))
+        .withColumn("nxt", expr("walk_pick(start, walk, size(path) + 1, nbrs)"))
         .select($"start", $"walk",
           concat($"path", array($"nxt")).as("path"), $"nxt".as("cur"))
     }

@@ -148,6 +148,13 @@ object GraftFunctions {
         TopKRows(Cast(children.head, LongType), Cast(children(1), LongType),
           children(2)).toAggregateExpression()
       }),
+    (new FunctionIdentifier("walk_pick"),
+      new ExpressionInfo(classOf[WalkPick].getName, "walk_pick"),
+      (children: Seq[Expression]) => {
+        arity("walk_pick", "(start long, walk long, step long, nbrs array<long>)", 4)(children)
+        WalkPick(Cast(children.head, LongType), Cast(children(1), LongType),
+          Cast(children(2), LongType), children(3))
+      }),
     (new FunctionIdentifier("sorted_intersect"),
       new ExpressionInfo(classOf[SortedIntersect].getName, "sorted_intersect"),
       (children: Seq[Expression]) => {
