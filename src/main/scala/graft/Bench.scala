@@ -106,6 +106,19 @@ object Bench {
           if (t.taskInfo != null)
             maxTaskMs.getAndAccumulate(t.taskInfo.duration, math.max)
       })
+    // The listener bus is asynchronous: the straggler task this channel
+    // exists to catch is often the LAST event delivered, after the action
+    // has already returned — read-once would miss it or leak it into the
+    // next run's window. Poll until the value stops moving (the
+    // tools.Stress MaxShuffleTaskListener discipline), OUTSIDE the
+    // measured window.
+    def settledMaxTaskMs(): Long = {
+      var prev = -1L; var cur = maxTaskMs.get(); var i = 0
+      while (cur != prev && i < 20) {
+        Thread.sleep(50); prev = cur; cur = maxTaskMs.get(); i += 1
+      }
+      cur
+    }
 
     /** One measured execution: wall seconds plus the window's GC/JIT deltas
       * and the longest task. secs < 0 marks a failed run.
@@ -186,8 +199,8 @@ object Bench {
           val t0 = System.nanoTime()
           try {
             exec(fn(spark, sfDir))
-            Some(Run((System.nanoTime() - t0) / 1e9,
-              gcMs() - gc0, jitMs() - jit0, maxTaskMs.get()))
+            val wall = (System.nanoTime() - t0) / 1e9
+            Some(Run(wall, gcMs() - gc0, jitMs() - jit0, settledMaxTaskMs()))
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")

@@ -42,21 +42,32 @@ object Scd {
     import events.sparkSession.implicits._
     val byUser = Window.partitionBy($"user_id").orderBy($"tus".asc, $"event_id".asc)
     val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val byRun = Window.partitionBy($"user_id").orderBy($"run".asc)
-    events
+    val runLabeled = events
       .select($"event_id", $"user_id", $"event_type",
         unix_micros($"ts".cast("timestamp")).as("tus"))
       .withColumn("chg",
         when(lag($"event_type", 1).over(byUser).isNull ||
           lag($"event_type", 1).over(byUser) =!= $"event_type", 1L).otherwise(0L))
       .withColumn("run", sum($"chg").over(running))
+    runRollup(runLabeled)
+  }
+
+  /** The shared rollup tail: run-labeled events → the 7-column interval
+    * contract. ONE definition, so the atomic and capped plans can never
+    * drift on the output shape their shared oracle pins.
+    *
+    * min_by on the event order, not first(): a run is opened by its first
+    * event and possibly continued by NULL-typed events (the chg rule's
+    * three-valued <> reads a null current type as "continues"), so first()
+    * could nondeterministically surface a continuation NULL where the
+    * opener's type is the contract. min_by's struct ordering is
+    * null-field-first — exactly the window's asc_nulls_first order.
+    */
+  private def runRollup(runLabeled: DataFrame): DataFrame = {
+    import runLabeled.sparkSession.implicits._
+    val byRun = Window.partitionBy($"user_id").orderBy($"run".asc)
+    runLabeled
       .groupBy($"user_id", $"run")
-      // min_by on the event order, not first(): a run is opened by its
-      // first event and possibly continued by NULL-typed events (the chg
-      // rule's three-valued <> reads a null current type as "continues"),
-      // so first() could nondeterministically surface a continuation NULL
-      // where the opener's type is the contract. min_by's struct ordering
-      // is null-field-first — exactly the window's asc_nulls_first order.
       .agg(min_by($"event_type", struct($"tus", $"event_id")).as("event_type"),
         min($"tus").as("valid_from_us"), count(lit(1)).as("n_events"))
       .withColumn("valid_to_us", lead($"valid_from_us", 1).over(byRun))
@@ -96,22 +107,23 @@ object Scd {
     import graft.util.Ckpt._
     val spark = events.sparkSession
     val n = if (slices > 0) slices else spark.sparkContext.defaultParallelism
-    // ckpt pins the sampled range bounds: the summary pass and the final
-    // join must see the SAME slice assignment (the PrefixSum contract).
     val sliced = events
       .select($"event_id", $"user_id", $"event_type",
         unix_micros($"ts".cast("timestamp")).as("tus"))
       .repartitionByRange(n, $"user_id", $"tus".asc_nulls_first, $"event_id")
       .withColumn("__pid", spark_partition_id())
-      .ckptDisk()
     val wChunk = Window.partitionBy($"__pid", $"user_id")
       .orderBy($"tus".asc_nulls_first, $"event_id".asc)
-    // ckpt: `local` feeds both the boundary-summary branch and the final
-    // join's big side; without it the chunk sort+window — the operator's
-    // one corpus-sized step — would execute once per consumer (exchange
-    // reuse shares the shuffle, not the sort; the round-10 Sessions
-    // finding). The checkpoint also carries the hash(__pid, user_id)
-    // window layout across the lineage cut.
+    // The ONE corpus-sized checkpoint, and it is load-bearing three ways:
+    // `local` feeds both the boundary-summary branch and the final join's
+    // big side, so without it the chunk sort+window — the operator's one
+    // corpus-sized step — would execute once per consumer (exchange reuse
+    // shares the shuffle, not the sort; the round-10 Sessions finding);
+    // the single eager materialization is also what pins the sampled
+    // range bounds and the spark_partition_id slice assignment both
+    // consumers must agree on; and it carries the hash(__pid, user_id)
+    // window layout across the lineage cut. (A second checkpoint on
+    // `sliced` would pin nothing more — round-11 self-review.)
     val local = sliced
       .withColumn("prev_type", lag($"event_type", 1).over(wChunk))
       .withColumn("chg",

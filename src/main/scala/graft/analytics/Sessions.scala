@@ -87,25 +87,27 @@ object Sessions {
     import graft.util.Ckpt._
     val spark = events.sparkSession
     val n = if (slices > 0) slices else spark.sparkContext.defaultParallelism
-    // ckpt pins the sampled range bounds: the summary pass and the final
-    // join must see the SAME slice assignment (PrefixSum's contract).
     val sliced = events
       .withColumn("ts_us", unix_micros($"ts".cast("timestamp")))
       .repartitionByRange(n, $"user_id", $"ts_us".asc_nulls_first, $"event_id")
       .withColumn("__pid", spark_partition_id())
-      .ckptDisk()
     val wChunk = Window.partitionBy($"__pid", $"user_id")
       .orderBy($"ts_us".asc_nulls_first, $"event_id".asc)
-    // ckpt: `local` is referenced TWICE (the boundary-summary branch and
-    // the final join's big side), and the chunk window above it — the one
-    // corpus-sized sort of the operator — would otherwise execute once per
-    // reference (exchange reuse shares only the shuffle, not the
-    // sort+window; round-10 code-review finding). The checkpoint also
-    // carries the window's hash(__pid, user_id) layout across the lineage
-    // cut, so the summary aggregate below runs partition-local and the
-    // final join consumes this side in place — the scaladoc's promised
-    // cost (one range + one hash exchange + a summary-sized join) now
-    // holds by plan, not by hope.
+    // The ONE corpus-sized checkpoint, load-bearing three ways: `local` is
+    // referenced TWICE (the boundary-summary branch and the final join's
+    // big side), and the chunk window above it — the one corpus-sized sort
+    // of the operator — would otherwise execute once per reference
+    // (exchange reuse shares only the shuffle, not the sort+window;
+    // round-10 code-review finding); the single eager materialization is
+    // also what pins the sampled range bounds and the spark_partition_id
+    // slice assignment both consumers must agree on (PrefixSum's
+    // contract); and it carries the window's hash(__pid, user_id) layout
+    // across the lineage cut, so the summary aggregate below runs
+    // partition-local and the final join consumes this side in place —
+    // one range + one hash exchange + a summary-sized join, by plan. (A
+    // second checkpoint on `sliced` pinned nothing more and cost a full
+    // corpus write+read per execution — removed in the round-11
+    // self-review.)
     val local = sliced
       .withColumn("prev_us", lag($"ts_us", 1).over(wChunk))
       .withColumn("new_sess",

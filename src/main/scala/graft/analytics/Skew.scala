@@ -87,7 +87,19 @@ object Skew {
   def saltBucketsFor(spark: SparkSession): Int = {
     def confInt(key: String): Option[Int] =
       scala.util.Try(spark.conf.get(key).toInt).toOption.filter(_ > 0)
-    val p = confInt("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+    def confOn(key: String): Boolean =
+      scala.util.Try(spark.conf.get(key).toBoolean).getOrElse(false)
+    // initialPartitionNum is only the real shuffle width when Spark will
+    // actually honor it — AQE AND partition coalescing both on; a stale
+    // platform-level value with AQE off would otherwise size the buckets
+    // (and the salted join's dim replication) against a width the shuffle
+    // never runs at.
+    val aqeWidth =
+      if (confOn("spark.sql.adaptive.enabled") &&
+          confOn("spark.sql.adaptive.coalescePartitions.enabled"))
+        confInt("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+      else None
+    val p = aqeWidth
       .orElse(confInt("spark.sql.shuffle.partitions"))
       .getOrElse(spark.sparkContext.defaultParallelism)
     math.max(SaltBuckets, p / 2)

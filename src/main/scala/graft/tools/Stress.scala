@@ -1119,6 +1119,11 @@ object Stress {
         timestamp_micros(lit(t0) + 864000000000L + $"id" * 10L).as("ts"))
     val ev2 = ev.select($"event_id", $"user_id", $"event_type", $"ts")
       .unionByName(bot).ckptDisk()
+    // wide/capBound computed ONCE, outside the measurement block: the
+    // printed bound and the pass/fail gate below must be the same value
+    // by construction, not by parallel derivation (round-11 self-review).
+    val wide = 4 * spark.sparkContext.defaultParallelism
+    val capBound = 4L * (n + B) / wide
     val listener = new MaxShuffleTaskListener
     spark.sparkContext.addSparkListener(listener)
     val (maxBot, maxCap, capDrift) = try {
@@ -1129,7 +1134,6 @@ object Stress {
       val mBot = listener.settled()
       val parts0 = spark.conf.get("spark.sql.shuffle.partitions")
       val coal0 = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
-      val wide = 4 * spark.sparkContext.defaultParallelism
       spark.conf.set("spark.sql.shuffle.partitions", wide.toString)
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
       try {
@@ -1146,7 +1150,6 @@ object Stress {
             Seq("user_id", "run"), "full")
           .filter(!cols.map(x => col(x) <=> col(s"c_$x")).reduce(_ && _))
           .count()
-        val capBound = 4L * (n + B) / wide
         println(f"[stress] capped SCD2 ($wide slices/reducers): " +
           f"history drift=$drift (expect 0), " +
           f"max task shuffle-read $mBot%,d -> $mCap%,d " +
@@ -1163,8 +1166,7 @@ object Stress {
       nCurrent == users && tileBad == 0 && pitOk &&
       mergedRows == n && mergeBad == 0 && updWinners == expUpd &&
       maxBot >= B && capDrift == 0 &&
-      maxCap <= 4L * (n + B) / (4 * spark.sparkContext.defaultParallelism) &&
-      maxCap <= B / 2
+      maxCap <= capBound && maxCap <= B / 2
     println(s"[stress] structure recovered: ${if (ok) "YES" else "NO"}")
     ok
   }
