@@ -324,13 +324,79 @@ object Sessions {
     */
   def windowRunning(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    windowRunningOverFor(Tables.events(spark, dir))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Frame-parametric core of [[windowRunning]] — ordered on derived
+    * `ts_us` (nulls first) + event_id, the same key
+    * [[windowRunningCappedOver]] range-partitions on, so the two plans
+    * agree on event order for any ts column type (the
+    * [[sessionizedOver]] parity rule).
+    */
+  def windowRunningOverFor(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts_us".asc_nulls_first, $"event_id".asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, dir)
+    events
+      .withColumn("ts_us", unix_micros($"ts".cast("timestamp")))
       .select($"event_id", $"user_id",
         count(lit(1)).over(w).as("n_so_far"),
         (sum(Det.cents($"value")).over(w).cast("double") / 100.0).as("value_so_far"))
-      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Per-user running count + exact running cents WITHOUT the atomic
+    * per-user window partition — [[sessionizedCappedOver]]'s bounded-slice
+    * pattern applied to the cumulative-frame family (the third member,
+    * after sessions and SCD runs, of the per-user windows the round-10
+    * verdict named). Simpler than both: a running sum needs no
+    * conditional stitch — a chunk's offset is just the cumulative
+    * (count, cents) of the user's PRECEDING chunks, one summary row per
+    * (slice, user). Exact parity with [[windowRunning]]'s window plan on
+    * any input (null ts/value included: the running count counts every
+    * row; `Det.cents` of a null value contributes null, which a running
+    * SUM skips — the chunk summary must therefore total cents with sum()
+    * too, inheriting identical null-skipping). Returns the same
+    * (event_id, user_id, n_so_far, value_so_far) contract.
+    */
+  def windowRunningCappedOver(events: DataFrame, slices: Int = 0): DataFrame = {
+    import events.sparkSession.implicits._
+    import graft.util.Ckpt._
+    val spark = events.sparkSession
+    val n = if (slices > 0) slices else spark.sparkContext.defaultParallelism
+    val sliced = events
+      .withColumn("ts_us", unix_micros($"ts".cast("timestamp")))
+      .withColumn("cents", Det.cents($"value"))
+      .repartitionByRange(n, $"user_id", $"ts_us".asc_nulls_first, $"event_id")
+      .withColumn("__pid", spark_partition_id())
+    val wChunk = Window.partitionBy($"__pid", $"user_id")
+      .orderBy($"ts_us".asc_nulls_first, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // The one corpus-sized checkpoint: pins the slice assignment both
+    // consumers read and cuts the chunk window out of the final join's
+    // lineage (the sessionizedCappedOver discipline).
+    val local = sliced
+      .withColumn("n_local", count(lit(1)).over(wChunk))
+      .withColumn("c_local", sum($"cents").over(wChunk))
+      .ckptDisk()
+    val wUser = Window.partitionBy($"user_id").orderBy($"__pid".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy($"__pid", $"user_id")
+      .agg(count(lit(1)).as("n_chunk"), sum($"cents").as("c_chunk"))
+      .select($"__pid", $"user_id",
+        coalesce(sum($"n_chunk").over(wUser), lit(0L)).as("n_off"),
+        sum($"c_chunk").over(wUser).as("c_off"))
+    local.join(offsets, Seq("__pid", "user_id"))
+      .select($"event_id", $"user_id",
+        ($"n_off" + $"n_local").as("n_so_far"),
+        // null-safe add: c_off is NULL when no prior chunk carries a
+        // non-null cent (matching the running sum's null-skipping), and
+        // c_local is NULL until the chunk sees its first non-null value.
+        (when($"c_off".isNull, $"c_local")
+          .when($"c_local".isNull, $"c_off")
+          .otherwise($"c_off" + $"c_local").cast("double") / 100.0)
+          .as("value_so_far"))
   }
 
   val windowRunningSql: String =
