@@ -26,6 +26,16 @@ object Journey {
     * the streak's start day, length in days, and events in it. The island
     * key is the row_number trick: day_number − row_number is constant
     * exactly within a consecutive run.
+    *
+    * Bot-burst note (the per-user-window hazard
+    * [[Sessions.sessionizedCappedOver]] / [[Scd.historyCappedOver]]
+    * mitigate): this operator is burst-safe BY CONSTRUCTION — the window
+    * runs over the per-(user, day) aggregate, so its partition size is
+    * the user's DISTINCT ACTIVE DAYS (calendar-bounded; a 10⁸-event
+    * crawler burst on 30 days is 30 window rows), and the event volume is
+    * absorbed by the preceding hash aggregate, whose map-side partials
+    * spread the burst across input partitions before the shuffle. No
+    * capped variant is needed.
     */
   def islands(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
