@@ -105,10 +105,25 @@ object RandWalk {
       .select($"src", array_remove($"nbrs0", $"src").as("nbrs"))
       .filter(size($"nbrs") > 0)
       .ckptDisk()
+    walksOver(adj).orderBy($"start", $"walk")
+  }
+
+  /** The walk loop over ANY adjacency frame `(src: long, nbrs:
+    * array<long>)` with non-empty neighbor arrays — the seam the
+    * scale-stress scenario drives with synthetic multi-million-node
+    * graphs (layout-independence of the corpus is ITS claim to check,
+    * so the caller controls the substrate's partitioning/checkpointing).
+    * Unordered output (start, walk, n1..n3); the declared query adds its
+    * canonical ORDER BY.
+    */
+  private[graft] def walksOver(adj: DataFrame): DataFrame = {
+    val spark = adj.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     // Deterministic ¼ start-sample (md5 hex gate) — a walk corpus is built
     // in sampled epochs, not from every node every time; the gate is the
     // same replay-stable selection the quota/stratified samplers use.
-    // adj is already one row per src, so no distinct pass is needed.
+    // adj is one row per src, so no distinct pass is needed.
     val starts = adj.select($"src".as("start"))
       .filter(substring(md5(concat(lit("ws:"), $"start".cast("string"))), 1, 1)
         .isin("0", "1", "2", "3"))
@@ -117,7 +132,6 @@ object RandWalk {
         explode(array((0 until Walks).map(lit): _*)).as("walk"))
       .withColumn("path", array().cast("array<bigint>"))
       .withColumn("cur", $"start")
-    graft.functions.GraftFunctions.register(spark)
     (1 to Steps).foreach { _ =>
       // broadcast(f) is load-bearing: the frontier has no size stats after
       // step 1 and Spark otherwise broadcasts the ADJACENCY side — the
@@ -135,8 +149,7 @@ object RandWalk {
           concat($"path", array($"nxt")).as("path"), $"nxt".as("cur"))
     }
     f.select($"start", $"walk",
-        $"path"(0).as("n1"), $"path"(1).as("n2"), $"path"(2).as("n3"))
-      .orderBy($"start", $"walk")
+      $"path"(0).as("n1"), $"path"(1).as("n2"), $"path"(2).as("n3"))
   }
 
   val randWalkSql: String = {

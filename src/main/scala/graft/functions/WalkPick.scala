@@ -30,12 +30,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * reused buffer and reusing a thread-local MessageDigest. Whole-stage
   * codegen calls it directly.
   *
-  * Null semantics: NULL if any scalar input or the array is NULL, and NULL
-  * on an empty array (a sink node; matches array_min over an empty
-  * transform). Array ELEMENTS must be non-null longs — the walk graph's
-  * adjacency arrays are built from non-null keys (`containsNull = false`
-  * after collect_list of a non-null column); a null element fails loudly
-  * at type check rather than silently hashing the string "null".
+  * Null semantics, replicating the declarative model exactly: NULL if any
+  * scalar input or the array is NULL; NULL on an empty array (a sink
+  * node; matches array_min over an empty transform); and null ELEMENTS
+  * are IGNORED — in the model, `CAST(d AS DECIMAL)` makes the packed pick
+  * NULL and `array_min` skips NULLs — so an all-null array is also NULL.
   */
 case class WalkPick(
     first: Expression, second: Expression, third: Expression,
@@ -46,13 +45,13 @@ case class WalkPick(
     val scalarsOk =
       Seq(first, second, third).forall(_.dataType == LongType)
     val arrOk = fourth.dataType match {
-      case ArrayType(LongType, containsNull) => !containsNull
+      case ArrayType(LongType, _) => true
       case _ => false
     }
     if (scalarsOk && arrOk) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       "walk_pick expects (start bigint, walk bigint, step bigint, " +
-        "nbrs array<bigint> with non-null elements), got (" +
+        "nbrs array<bigint>), got (" +
         Seq(first, second, third, fourth)
           .map(_.dataType.simpleString).mkString(", ") + ")")
   }
@@ -69,54 +68,59 @@ case class WalkPick(
     }
 
   /** The whole argmin loop in one compiled, monomorphic method; both eval
-    * and the generated code call it. Caller guarantees nbrs non-empty.
+    * and the generated code call it. Returns null when no non-null
+    * candidate exists (empty or all-null array).
     */
-  def pick(start: Long, walk: Long, step: Long, nbrs: ArrayData): Long = {
+  def pick(start: Long, walk: Long, step: Long, nbrs: ArrayData): java.lang.Long = {
     val md = md5Local.get()
     val prefix = new java.lang.StringBuilder(48)
       .append(start).append(':').append(walk).append(':')
       .append(step).append(':').toString
     val sb = new java.lang.StringBuilder(prefix.length + 20)
     val n = nbrs.numElements()
+    var found = false
     var bestH = Long.MaxValue
     var bestD = Long.MaxValue
     var i = 0
     while (i < n) {
-      val d = nbrs.getLong(i)
-      sb.setLength(0)
-      sb.append(prefix).append(d)
-      md.reset()
-      val dig = md.digest(
-        sb.toString.getBytes(StandardCharsets.UTF_8))
-      // first 15 hex chars = bytes 0..6 plus the high nibble of byte 7,
-      // as an unsigned 60-bit value — conv(substring(hex, 1, 15), 16, 10)
-      var h = 0L
-      var j = 0
-      while (j < 7) { h = (h << 8) | (dig(j) & 0xffL); j += 1 }
-      h = (h << 4) | ((dig(7) & 0xffL) >>> 4)
-      if (h < bestH || (h == bestH && d < bestD)) { bestH = h; bestD = d }
+      if (!nbrs.isNullAt(i)) {
+        val d = nbrs.getLong(i)
+        sb.setLength(0)
+        sb.append(prefix).append(d)
+        md.reset()
+        val dig = md.digest(
+          sb.toString.getBytes(StandardCharsets.UTF_8))
+        // first 15 hex chars = bytes 0..6 plus the high nibble of byte 7,
+        // as an unsigned 60-bit value — conv(substring(hex, 1, 15), 16, 10)
+        var h = 0L
+        var j = 0
+        while (j < 7) { h = (h << 8) | (dig(j) & 0xffL); j += 1 }
+        h = (h << 4) | ((dig(7) & 0xffL) >>> 4)
+        if (!found || h < bestH || (h == bestH && d < bestD)) {
+          found = true; bestH = h; bestD = d
+        }
+      }
       i += 1
     }
-    bestD
+    if (found) java.lang.Long.valueOf(bestD) else null
   }
 
   override protected def nullSafeEval(
-      s: Any, w: Any, st: Any, arr: Any): Any = {
-    val nbrs = arr.asInstanceOf[ArrayData]
-    if (nbrs.numElements() == 0) null
-    else pick(s.asInstanceOf[Long], w.asInstanceOf[Long],
-      st.asInstanceOf[Long], nbrs)
-  }
+      s: Any, w: Any, st: Any, arr: Any): Any =
+    pick(s.asInstanceOf[Long], w.asInstanceOf[Long],
+      st.asInstanceOf[Long], arr.asInstanceOf[ArrayData])
 
   override protected def doGenCode(
       ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (s, w, st, arr) => {
       val ref = ctx.addReferenceObj("walkPick", this, classOf[WalkPick].getName)
+      val r = ctx.freshName("picked")
       s"""
-         |if ($arr.numElements() == 0) {
+         |java.lang.Long $r = $ref.pick($s, $w, $st, $arr);
+         |if ($r == null) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = $ref.pick($s, $w, $st, $arr);
+         |  ${ev.value} = $r.longValue();
          |}
        """.stripMargin
     })

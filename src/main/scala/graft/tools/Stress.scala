@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.analytics.{Scd, Sessions, Skew, Upsert}
+import graft.analytics.{RandWalk, Scd, Sessions, Skew, Upsert}
 import graft.llm.{Cluster, Dedup, Eval, Pack, Semantic}
 import graft.util.Ckpt._
 
@@ -329,6 +329,83 @@ object Stress {
     */
   val GraphHubs = 10
   val GraphLeaves = 5000L
+
+  /** Random-walk stress — [[RandWalk.walksOver]] at 10× the fixture's
+    * edge count on a synthetic sink-free regular digraph (node i → the
+    * `deg` strided successors (i + j·7919) mod V, self-loops displaced),
+    * pinning the operator's three CLAIMS at scale:
+    *
+    *  1. REPRODUCIBILITY under substrate layout: the identical corpus
+    *     (order-independent xxhash64 checksum over full rows) from a
+    *     src-hash-partitioned adjacency and from an adversarial
+    *     round-robin layout at a different partition count — the property
+    *     that makes the corpus replayable across engine re-runs and
+    *     repartitions (the scaladoc's core promise).
+    *  2. VALIDITY/closure: exactly gated-starts × Walks rows, no NULL
+    *     hop anywhere (the graph has no sinks), and every consecutive
+    *     (cur → nxt) transition is a real edge — checked distributed via
+    *     a left-anti join of all hop pairs against the exploded
+    *     adjacency, zero tolerance.
+    *  3. Scale shape: the whole corpus is Steps broadcast joins + per-row
+    *     native argmin — wall printed; the frontier (≈V/2 walks) is the
+    *     broadcast side at ~50× the fixture's frontier.
+    */
+  def runRandWalk(spark: SparkSession, n0: Long): Boolean = {
+    import spark.implicits._
+    val deg = 12
+    val v = math.max(1024L, n0 / deg)
+    val nEdges = v * deg
+    val adjBase = spark.range(v).select($"id".as("src"))
+      .withColumn("nbrs", expr(
+        s"""transform(sequence(1, $deg), j ->
+           |  CASE WHEN (src + j * 7919L) % $v = src
+           |       THEN (src + j * 7919L + 1) % $v
+           |       ELSE (src + j * 7919L) % $v END)""".stripMargin))
+    val adjA = adjBase
+      .repartition(spark.sparkContext.defaultParallelism, $"src").ckptDisk()
+    // adversarial layout: different partition count, row-order scrambled,
+    // no useful partitioning
+    val adjB = adjBase.repartition(57).ckptDisk()
+    println(s"[stress] graph: $v nodes x $deg out-edges = $nEdges edges, " +
+      "sink-free (every walk must complete all steps)")
+
+    val (wA, tA) = timedS("walk corpus, src-partitioned substrate (A)") {
+      RandWalk.walksOver(adjA).ckptDisk()
+    }
+    val rows = wA.count()
+    val startsExp = adjA.filter(
+      substring(md5(concat(lit("ws:"), $"src".cast("string"))), 1, 1)
+        .isin("0", "1", "2", "3")).count()
+    // order-independent corpus fingerprint; DECIMAL sum because a BIGINT
+    // sum of ~1M 64-bit hashes overflows under ANSI
+    def checksum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.select(sum(xxhash64($"start", $"walk", $"n1", $"n2", $"n3")
+        .cast("decimal(38,0)")).as("c"))
+        .head().getDecimal(0)
+    val cA = checksum(wA)
+    val (cB, tB) = timedS("same corpus, adversarial substrate layout (B)") {
+      checksum(RandWalk.walksOver(adjB))
+    }
+    val nullHops = wA.filter(
+      $"n1".isNull || $"n2".isNull || $"n3".isNull).count()
+    val edges = adjA.select($"src", explode($"nbrs").as("dst"))
+    val hops = wA.select($"start".as("a"), $"n1".as("b"))
+      .unionByName(wA.select($"n1".as("a"), $"n2".as("b")))
+      .unionByName(wA.select($"n2".as("a"), $"n3".as("b")))
+    val badHops = hops.join(edges,
+      hops("a") === edges("src") && hops("b") === edges("dst"), "left_anti")
+      .count()
+    println(f"[stress] corpus rows=$rows%,d (expect ${startsExp * RandWalk.Walks}%,d = " +
+      f"$startsExp%,d gated starts x ${RandWalk.Walks}); null hops=$nullHops; " +
+      f"invalid transitions=$badHops (of ${rows * RandWalk.Steps}%,d)")
+    println(f"[stress] layout-independence: checksum A=$cA B=$cB " +
+      f"(${if (cA.compareTo(cB) == 0) "IDENTICAL" else "DRIFTED"}); " +
+      f"wall A $tA%.1f s, B $tB%.1f s")
+    val ok = rows == startsExp * RandWalk.Walks && nullHops == 0 &&
+      badHops == 0 && cA.compareTo(cB) == 0
+    println(s"[stress] structure recovered: ${if (ok) "YES" else "NO"}")
+    ok
+  }
 
   def runGraph(spark: SparkSession, n: Long): Boolean = {
     import spark.implicits._
@@ -1631,6 +1708,10 @@ object Stress {
 
     if (scenario == "graph") {
       val ok = runGraph(spark, n)
+      spark.stop(); if (!ok) sys.exit(1); return
+    }
+    if (scenario == "randwalk") {
+      val ok = runRandWalk(spark, n)
       spark.stop(); if (!ok) sys.exit(1); return
     }
     if (scenario == "graphboundary") {
