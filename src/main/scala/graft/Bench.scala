@@ -109,16 +109,11 @@ object Bench {
     // The listener bus is asynchronous: the straggler task this channel
     // exists to catch is often the LAST event delivered, after the action
     // has already returned — read-once would miss it or leak it into the
-    // next run's window. Poll until the value stops moving (the
-    // tools.Stress MaxShuffleTaskListener discipline), OUTSIDE the
-    // measured window.
-    def settledMaxTaskMs(): Long = {
-      var prev = -1L; var cur = maxTaskMs.get(); var i = 0
-      while (cur != prev && i < 20) {
-        Thread.sleep(50); prev = cur; cur = maxTaskMs.get(); i += 1
-      }
-      cur
-    }
+    // next run's window. Settle-poll (graft.util.Poll, shared with the
+    // stress harness's listener), OUTSIDE the measured window; short
+    // cadence because this runs once per measured run.
+    def settledMaxTaskMs(): Long =
+      graft.util.Poll.settled(() => maxTaskMs.get(), 20, 50)
 
     /** One measured execution: wall seconds plus the window's GC/JIT deltas
       * and the longest task. secs < 0 marks a failed run.

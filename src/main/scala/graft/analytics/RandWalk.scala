@@ -108,6 +108,18 @@ object RandWalk {
     walksOver(adj).orderBy($"start", $"walk")
   }
 
+  /** The deterministic ¼ start-sample (md5 hex gate) — a walk corpus is
+    * built in sampled epochs, not from every node every time; the gate is
+    * the same replay-stable selection the quota/stratified samplers use.
+    * Exposed as ONE predicate so the stress harness derives its expected
+    * start count from the SAME definition the operator runs (a drifted
+    * parallel derivation would fail the scenario with a misleading
+    * verdict — round-11 review).
+    */
+  private[graft] def startGate(node: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    substring(md5(concat(lit("ws:"), node.cast("string"))), 1, 1)
+      .isin("0", "1", "2", "3")
+
   /** The walk loop over ANY adjacency frame `(src: long, nbrs:
     * array<long>)` with non-empty neighbor arrays — the seam the
     * scale-stress scenario drives with synthetic multi-million-node
@@ -120,13 +132,7 @@ object RandWalk {
     val spark = adj.sparkSession
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
-    // Deterministic ¼ start-sample (md5 hex gate) — a walk corpus is built
-    // in sampled epochs, not from every node every time; the gate is the
-    // same replay-stable selection the quota/stratified samplers use.
-    // adj is one row per src, so no distinct pass is needed.
-    val starts = adj.select($"src".as("start"))
-      .filter(substring(md5(concat(lit("ws:"), $"start".cast("string"))), 1, 1)
-        .isin("0", "1", "2", "3"))
+    val starts = adj.select($"src".as("start")).filter(startGate($"start"))
     var f = starts
       .select($"start",
         explode(array((0 until Walks).map(lit): _*)).as("walk"))

@@ -159,16 +159,8 @@ object Scd {
           .over(wUser.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
           - $"stitch")
       .select($"__pid", $"user_id", $"run_off")
-    val byRun = Window.partitionBy($"user_id").orderBy($"run".asc)
-    local.join(stitched, Seq("__pid", "user_id"))
-      .withColumn("run", $"run_off" + $"local_run")
-      .groupBy($"user_id", $"run")
-      .agg(min_by($"event_type", struct($"tus", $"event_id")).as("event_type"),
-        min($"tus").as("valid_from_us"), count(lit(1)).as("n_events"))
-      .withColumn("valid_to_us", lead($"valid_from_us", 1).over(byRun))
-      .withColumn("is_current", $"valid_to_us".isNull)
-      .select($"user_id", $"run", $"event_type", $"valid_from_us",
-        $"valid_to_us", $"n_events", $"is_current")
+    runRollup(local.join(stitched, Seq("__pid", "user_id"))
+      .withColumn("run", $"run_off" + $"local_run"))
   }
 
   /** x_scd2_build — per-user type-2 history rows. */

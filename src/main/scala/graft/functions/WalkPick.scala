@@ -30,11 +30,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * reused buffer and reusing a thread-local MessageDigest. Whole-stage
   * codegen calls it directly.
   *
-  * Null semantics, replicating the declarative model exactly: NULL if any
-  * scalar input or the array is NULL; NULL on an empty array (a sink
-  * node; matches array_min over an empty transform); and null ELEMENTS
-  * are IGNORED — in the model, `CAST(d AS DECIMAL)` makes the packed pick
+  * Null semantics: NULL on a NULL array or empty array (a sink node;
+  * matches array_min over an empty transform), and null ELEMENTS are
+  * IGNORED — in the model, `CAST(d AS DECIMAL)` makes the packed pick
   * NULL and `array_min` skips NULLs — so an all-null array is also NULL.
+  * A NULL SCALAR input (start/walk/step) yields NULL by design
+  * (nullIntolerant): a walk row never has null identity, and this
+  * deliberately DIFFERS from the declarative form, whose `concat_ws`
+  * would silently DROP the null field and hash a shorter key — a
+  * plausible-but-wrong pick is worse than a loud null.
   */
 case class WalkPick(
     first: Expression, second: Expression, third: Expression,

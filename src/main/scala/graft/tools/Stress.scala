@@ -373,9 +373,7 @@ object Stress {
       RandWalk.walksOver(adjA).ckptDisk()
     }
     val rows = wA.count()
-    val startsExp = adjA.filter(
-      substring(md5(concat(lit("ws:"), $"src".cast("string"))), 1, 1)
-        .isin("0", "1", "2", "3")).count()
+    val startsExp = adjA.filter(RandWalk.startGate($"src")).count()
     // order-independent corpus fingerprint; DECIMAL sum because a BIGINT
     // sum of ~1M 64-bit hashes overflows under ANSI
     def checksum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
@@ -812,13 +810,7 @@ object Stress {
       extends org.apache.spark.scheduler.SparkListener {
     private val max = new java.util.concurrent.atomic.AtomicLong(0L)
     def reset(): Unit = max.set(0L)
-    def settled(): Long = {
-      var prev = -1L; var cur = max.get; var i = 0
-      while (cur != prev && i < 50) {
-        Thread.sleep(100); prev = cur; cur = max.get; i += 1
-      }
-      cur
-    }
+    def settled(): Long = graft.util.Poll.settled(() => max.get, 50, 100)
     override def onTaskEnd(
         te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics

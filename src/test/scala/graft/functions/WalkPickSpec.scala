@@ -89,13 +89,34 @@ class WalkPickSpec extends SparkSpec {
       expr("sequence(id + 1, id + 9)").as("nbrs"))
     val viaCodegen = df.selectExpr("walk_pick(start, walk, step, nbrs)")
       .as[Long].collect().toSeq
-    // Force the interpreted path through the expression's eval directly.
+    // The genuinely interpreted path: Expression.eval on a literal-child
+    // instance (exercises nullSafeEval + the boxed-return dispatch the
+    // generated code wraps — NOT a direct pick() call, which would
+    // compare the method against itself).
     val viaEval = (0L until 500L).map { id =>
-      val wp = WalkPick(Literal(1L), Literal(0L), Literal(1L), Literal(null))
-      val nbrs = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
-        (id + 1 to id + 9).toArray)
-      wp.pick(id, 0L, 1L, nbrs)
+      val wp = WalkPick(Literal(id), Literal(0L), Literal(1L),
+        Literal.create((id + 1 to id + 9).toSeq,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)))
+      wp.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        .asInstanceOf[Long]
     }
     assert(viaCodegen == viaEval)
+    // and the interpreted null routes: null scalar, null array, all-null
+    // elements — each must eval to null through the same path
+    val nullArr = WalkPick(Literal(1L), Literal(0L), Literal(1L),
+      Literal.create(null, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType)))
+    assert(nullArr.eval(org.apache.spark.sql.catalyst.InternalRow.empty) == null)
+    val nullStart = WalkPick(
+      Literal.create(null, org.apache.spark.sql.types.LongType),
+      Literal(0L), Literal(1L),
+      Literal.create(Seq(7L), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType)))
+    assert(nullStart.eval(org.apache.spark.sql.catalyst.InternalRow.empty) == null)
+    val allNullElems = WalkPick(Literal(1L), Literal(0L), Literal(1L),
+      Literal.create(Seq[Any](null, null), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType)))
+    assert(allNullElems.eval(org.apache.spark.sql.catalyst.InternalRow.empty) == null)
   }
 }
