@@ -94,12 +94,19 @@ object Hll {
     */
   def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val regs = Tables.lineitem(spark, dir)
+    // Widen the key projection before the md5 chain: the fixture scan is
+    // one task, so the whole per-row hash derivation serialized on one
+    // core (measured 1.9 s of the 2.1 s wall). Both the register build
+    // and the exact count consume the SAME widened frame — ReuseExchange
+    // collapses them to one scan + one narrow exchange.
+    val keys = graft.util.Widen(
+      Tables.lineitem(spark, dir).select($"l_orderkey"), $"l_orderkey")
+    val regs = keys
       .select(md5($"l_orderkey".cast("string")).as("h"))
       .select(jRho("h"): _*)
       .groupBy($"j").agg(max($"rho").as("r"))
     val z = zScaled(regs)
-    val exact = Tables.lineitem(spark, dir)
+    val exact = keys
       .agg(countDistinct($"l_orderkey").as("n_exact"))
     z.crossJoin(exact)
       .select(

@@ -56,7 +56,9 @@ object CorpusFilter {
     // and one materialized token array — they are map-only derivations of the
     // same row, so joining separate per-signal frames would re-scan the
     // corpus three times for nothing.
-    val base = Tables.documents(spark, dir)
+    val base = graft.util.Widen(
+      Tables.documents(spark, dir).select($"doc_id", $"lang", $"text"),
+      $"doc_id")
       .select($"doc_id", $"lang", split($"text", " ").as("toks"))
     LangId.addPredLang(base, $"toks")
       .withColumn("n_tokens", size($"toks").cast("long"))
@@ -152,8 +154,17 @@ object CorpusFilter {
     // than materializing it (3.6 s checkpointed to disk vs 2.1 s
     // recomputed at sf0.1; the vocab aggregate shuffles only the
     // hash-aggregated gram counts either way).
-    def grams = Tables.documents(spark, dir)
-      .filter(length($"text") >= 3)
+    // Widened before the char-array explosion: the one-task fixture scan
+    // otherwise runs the whole corpus's trigram derivation on one core
+    // (max_task ≈ wall in the bench attribution). Both gram consumers
+    // (vocab cut, scoring join) read the SAME widened frame, so
+    // ReuseExchange gives one scan + one narrow exchange for the two
+    // passes the scaladoc above describes.
+    val docs = graft.util.Widen(
+      Tables.documents(spark, dir)
+        .filter(length($"text") >= 3)
+        .select($"doc_id", $"text"), $"doc_id")
+    def grams = docs
       .select($"doc_id", split($"text", "").as("cs"))
       .select($"doc_id", explode(expr(
         "transform(sequence(0, size(cs) - 3), i -> concat(cs[i], cs[i+1], cs[i+2]))"))

@@ -75,7 +75,13 @@ object Dedup {
   val SliceMask: Long = (1L << SliceBits) - 1
 
   def signatures(spark: SparkSession, dir: String): DataFrame =
-    signaturesOver(Tables.documents(spark, dir))
+    // Widened at the scan (not inside the Over seam — stress harnesses feed
+    // that seam frames with upstream shuffles, where partition inspection
+    // would execute them): the one-task fixture scan otherwise serializes
+    // the whole shingle+md5 signature derivation on one core.
+    signaturesOver(graft.util.Widen(
+      Tables.documents(spark, dir).select("doc_id", "text"),
+      org.apache.spark.sql.functions.col("doc_id")))
 
   /** Same pipeline over any (doc_id, text) frame — the seam stress/scale
     * harnesses feed synthetic corpora through.
@@ -102,7 +108,10 @@ object Dedup {
 
   /** LSH band rows: (doc_id, band, band_hash), band_hash = md5(sig_{2b}_sig_{2b+1}). */
   def bands(spark: SparkSession, dir: String): DataFrame =
-    bandsOver(Tables.documents(spark, dir))
+    // Same scan-site widen as [[signatures]].
+    bandsOver(graft.util.Widen(
+      Tables.documents(spark, dir).select("doc_id", "text"),
+      org.apache.spark.sql.functions.col("doc_id")))
 
   def bandsOver(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
@@ -234,7 +243,11 @@ object Dedup {
     // NOTE localCheckpoint pins blocks to executor storage and is NOT
     // lost-executor resilient — on a real cluster swap for
     // persist(StorageLevel.DISK_ONLY) or a reliable checkpoint dir.
-    val docs = Tables.documents(spark, dir)
+    // Widened once at the scan; both the band pipeline and the Jaccard
+    // verify consume the same widened frame (see [[graft.util.Widen]]).
+    val docs = graft.util.Widen(
+      Tables.documents(spark, dir).select("doc_id", "text"),
+      org.apache.spark.sql.functions.col("doc_id"))
     jaccardOver(docs, dedupMinhashOver(bandsOver(docs)).ckptDisk())
   }
 

@@ -35,7 +35,11 @@ object SpanDedup {
     */
   def spanDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sp = Tables.documents(spark, dir)
+    // Widened before tokenization+span explosion — the one-task fixture
+    // scan otherwise serializes the whole corpus's span derivation on one
+    // core (graft.util.Widen: conditional, no-op on a wide production scan).
+    val sp = graft.util.Widen(
+      Tables.documents(spark, dir).select($"doc_id", $"text"), $"doc_id")
       .select($"doc_id", split(lower($"text"), " ").as("toks"))
       .filter(size($"toks") >= SpanK)
       .select($"doc_id", explode(expr(
@@ -81,7 +85,9 @@ object SpanDedup {
     */
   def novelty(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sp = Tables.documents(spark, dir)
+    // Same widen as [[spanDedup]] — see the note there.
+    val sp = graft.util.Widen(
+      Tables.documents(spark, dir).select($"doc_id", $"text"), $"doc_id")
       .select($"doc_id", split(lower($"text"), " ").as("toks"))
       .filter(size($"toks") >= SpanK)
       .select($"doc_id", explode(expr(

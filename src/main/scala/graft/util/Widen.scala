@@ -1,0 +1,48 @@
+package graft.util
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Conditional scan widening — spread a CPU-heavy per-row derivation
+  * across all cores when its input scan planned FEWER partitions than the
+  * cluster has slots.
+  *
+  * Why this exists: Spark parallelizes a parquet scan by byte-range
+  * splits, but a split only yields rows if a row-group STARTS inside it —
+  * a single-row-group file is one task no matter what
+  * `maxPartitionBytes` says. Per-row derivations fused into the scan
+  * stage (md5 chains, shingle/trigram explosion, tokenization) then
+  * serialize on one core while the other 31 idle: x_hll_distinct spent
+  * 1.9 s of its 2.1 s wall in the single scan task's md5+conv chain, and
+  * the whole document-shingling tier showed the same straggler shape
+  * (max_task ≈ wall in the bench attribution channels).
+  *
+  * Why it is a no-op at 100 TB: the widen is CONDITIONAL on the input's
+  * planned partition count. A production table (thousands of files /
+  * row groups) already arrives wider than the core count, so the frame
+  * is returned untouched and no shuffle is ever added at scale. At
+  * fixture scale the added exchange carries only the columns the caller
+  * projected (project BEFORE widening — a few MB), which buys full-width
+  * execution of the expensive derivation downstream. Two consumers of
+  * the SAME widened frame compile to one scan + one exchange via
+  * Spark's ReuseExchange, so substrates used twice (oovRate's gram
+  * frame, spanDedup's span frame) also stop double-scanning.
+  *
+  * Contract: call this on scan/projection frames only (no upstream
+  * shuffle) — partition-count inspection finalizes the physical plan,
+  * which under AQE would EXECUTE any upstream exchange stages. Keyed
+  * form gives deterministic hash partitioning; keyless falls back to
+  * Spark's retry-deterministic round-robin. Callers downstream are
+  * aggregates/joins — order-insensitive — so result sets are identical
+  * with or without the widen (the hash gate re-proves this per query).
+  */
+object Widen {
+  def apply(df: DataFrame, keys: Column*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    // Planned partition count from the file listing — no job runs for a
+    // shuffle-free plan (see the contract above).
+    val have = df.queryExecution.toRdd.getNumPartitions
+    if (have >= target) df
+    else if (keys.nonEmpty) df.repartition(target, keys: _*)
+    else df.repartition(target)
+  }
+}
