@@ -37,7 +37,11 @@ object Sketch {
     */
   def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val li = Tables.lineitem(spark, dir)
+    // Widened key projection (see [[graft.util.Widen]]): both the sketch
+    // and the exact count consume one widened frame — ReuseExchange gives
+    // one scan + one narrow exchange, and the per-key md5 runs full-width.
+    val li = graft.util.Widen(
+      Tables.lineitem(spark, dir).select($"l_orderkey"), $"l_orderkey")
     val kth = li
       .select(substring(md5($"l_orderkey".cast("string")), 1, 13).as("h13"))
       .distinct()
@@ -275,7 +279,10 @@ object Sketch {
     */
   def cmsFreq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tok = Tables.documents(spark, dir)
+    // Widened before the token explode (see [[graft.util.Widen]]); both
+    // the sketch build and the exact top-k consume the same widened frame.
+    val tok = graft.util.Widen(
+      Tables.documents(spark, dir).select($"doc_id", $"text"), $"doc_id")
       .select(explode(split(lower($"text"), " ")).as("token"))
     def bucket(row: Int, t: org.apache.spark.sql.Column) =
       pmod(conv(substring(md5(concat(lit(s"cms$row:"), t)), 1, 13), 16, 10)

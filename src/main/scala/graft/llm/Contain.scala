@@ -61,7 +61,14 @@ object Contain {
     * mutual near-copies inside the band.
     */
   def containmentJoin(spark: SparkSession, dir: String): DataFrame =
-    containmentJoinOver(Tables.documents(spark, dir))
+    // Widened at the scan (see [[graft.util.Widen]]): the shingle-set
+    // derivation otherwise runs in the fixture's single scan task.
+    containmentJoinOver(graft.util.Widen(
+      Tables.documents(spark, dir)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("lang"),
+          org.apache.spark.sql.functions.col("text")),
+      org.apache.spark.sql.functions.col("doc_id")))
 
   /** Same pipeline over any (doc_id, lang, text) frame — the seam the
     * planted-snippet spec drives through.

@@ -52,7 +52,10 @@ object SimHash {
         .bitwiseAND((1L << GroupBits) - 1)
       when(lit(2) * vote > col("n_toks"), lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
-    Tables.documents(spark, dir)
+    // Widened before the token explode + per-token md5 (see
+    // [[graft.util.Widen]] — no-op on a production-wide scan).
+    graft.util.Widen(
+      Tables.documents(spark, dir).select($"doc_id", $"text"), $"doc_id")
       .select($"doc_id", explode(split($"text", " ")).as("t"))
       .select($"doc_id", conv(substring(md5($"t"), 1, 15), 16, 10).cast("long").as("h"))
       .groupBy($"doc_id")

@@ -56,6 +56,14 @@ object SimJoin {
     * pruning power).
     */
   def jaccardJoin(spark: SparkSession, dir: String): DataFrame =
+    // Deliberately NOT widened (graft.util.Widen): unlike the rest of the
+    // shingling tier, the widened form here measured sporadic 2-6x run
+    // spikes (6-17 s vs a rock-stable 2.6-3.0 s baseline, maxtask 0.5 ->
+    // up to 14.8 s) with no median win — this pipeline's wall is dominated
+    // by its post-checkpoint prefix/verify joins, not the one-task shingle
+    // stage, and the extra exchange ahead of two eager DISK_ONLY
+    // checkpoints only destabilized it. Measured both ways, twice, in
+    // fresh JVMs (round 11).
     jaccardJoinOver(Tables.documents(spark, dir))
 
   /** Same pipeline over any (doc_id, lang, text) frame — the seam the
