@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Scratch inspector: run a declared query N times and print the AQE-FINAL
+  * executed plan + per-run wall, to chase runtime plan shapes Explain's
+  * compile-time view can't show.
+  *
+  * Usage: runMain graft.tools.DebugPlan <queryName> [sfDir] [runs]
+  */
+object DebugPlan {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val runs = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskInfo != null)
+            maxTaskMs.getAndAccumulate(t.taskInfo.duration, math.max)
+      })
+    val fn = SparkEntry.queries(name)
+    (1 to runs).foreach { i =>
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      maxTaskMs.set(0L)
+      val df = fn(spark, sfDir)
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      println(f"run $i: $wall%.3f s  maxtask=${maxTaskMs.get()} ms")
+      if (i == 1 || i == runs) {
+        println(df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head)
+      }
+    }
+    spark.stop()
+  }
+}
