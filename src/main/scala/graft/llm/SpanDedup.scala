@@ -35,11 +35,17 @@ object SpanDedup {
     */
   def spanDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // Widened before tokenization+span explosion — the one-task fixture
-    // scan otherwise serializes the whole corpus's span derivation on one
-    // core (graft.util.Widen: conditional, no-op on a wide production scan).
-    val sp = graft.util.Widen(
-      Tables.documents(spark, dir).select($"doc_id", $"text"), $"doc_id")
+    // Deliberately NOT widened (graft.util.Widen): measured per-stage in
+    // DebugPlan, the widened form's doc_id layout makes the span DISTINCT
+    // partition-local, which fuses [exchange-read -> explode -> distinct
+    // -> join probe -> rollup] into one giant codegen stage whose FIRST
+    // execution burns ~30 s of interpreted/pre-C2 task time across its 32
+    // tasks (suite pass-1 1.5 -> 3.5-5.9 s; min-of-2 cannot absorb it
+    // because run 2 still lags C2) for a steady-state win of only ~0.2 s.
+    // The un-widened shape splits derivation at the (doc_id, span)
+    // exchange into two smaller stages that warm up 4x cheaper (round 11,
+    // BENCH_NOTES #68).
+    val sp = Tables.documents(spark, dir)
       .select($"doc_id", split(lower($"text"), " ").as("toks"))
       .filter(size($"toks") >= SpanK)
       .select($"doc_id", explode(expr(
@@ -85,9 +91,9 @@ object SpanDedup {
     */
   def novelty(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // Same widen as [[spanDedup]] — see the note there.
-    val sp = graft.util.Widen(
-      Tables.documents(spark, dir).select($"doc_id", $"text"), $"doc_id")
+    // Deliberately NOT widened — same first-execution-cost measurement as
+    // [[spanDedup]]; see the note there.
+    val sp = Tables.documents(spark, dir)
       .select($"doc_id", split(lower($"text"), " ").as("toks"))
       .filter(size($"toks") >= SpanK)
       .select($"doc_id", explode(expr(

@@ -24,24 +24,35 @@ object DebugPlan {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    // Per-stage max-task + task-count + total-task-time, so a straggler is
+    // attributable to a STAGE (and through numTasks to a plan region).
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int, Long)]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          if (t.taskInfo != null)
+          if (t.taskInfo != null) {
             maxTaskMs.getAndAccumulate(t.taskInfo.duration, math.max)
+            stages.merge(t.stageId, (t.taskInfo.duration, 1, t.taskInfo.duration),
+              (a, b) => (math.max(a._1, b._1), a._2 + b._2, a._3 + b._3))
+          }
       })
     val fn = SparkEntry.queries(name)
     (1 to runs).foreach { i =>
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       maxTaskMs.set(0L)
+      stages.clear()
       val df = fn(spark, sfDir)
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300)
       println(f"run $i: $wall%.3f s  maxtask=${maxTaskMs.get()} ms")
+      import scala.jdk.CollectionConverters._
+      stages.asScala.toSeq.sortBy(_._1).foreach { case (sid, (mx, n, tot)) =>
+        println(f"  stage $sid%3d: tasks=$n%3d maxtask=$mx%6d ms total=$tot%7d ms")
+      }
       if (i == 1 || i == runs) {
         println(df.queryExecution.executedPlan.toString
           .split("== Initial Plan ==").head)
