@@ -154,17 +154,18 @@ object CorpusFilter {
     // than materializing it (3.6 s checkpointed to disk vs 2.1 s
     // recomputed at sf0.1; the vocab aggregate shuffles only the
     // hash-aggregated gram counts either way).
-    // Widened before the char-array explosion: the one-task fixture scan
-    // otherwise runs the whole corpus's trigram derivation on one core
-    // (max_task ≈ wall in the bench attribution). Both gram consumers
-    // (vocab cut, scoring join) read the SAME widened frame, so
-    // ReuseExchange gives one scan + one narrow exchange for the two
-    // passes the scaladoc above describes.
-    val docs = graft.util.Widen(
-      Tables.documents(spark, dir)
-        .filter(length($"text") >= 3)
-        .select($"doc_id", $"text"), $"doc_id")
-    def grams = docs
+    // Deliberately NOT widened (graft.util.Widen): this is the corpus's
+    // heaviest per-row derivation (one gram row per CHARACTER), and
+    // widening it measured GREAT in steady state (1.5-2.0 s vs 2.7) but
+    // pathological on first execution — 32 tasks all running the big
+    // un-JIT-ed generated stage concurrently burn 54 s of total task
+    // time (DebugPlan per-stage, keyed and keyless forms alike; suite
+    // run 1 went 3.4 -> 7.0 s and even run 2 lags C2). The widen
+    // amplifies first-execution compile/warm cost by the core count; on
+    // a derivation this large the cold-measured stat loses what the
+    // steady state gains (BENCH_NOTES #68).
+    def grams = Tables.documents(spark, dir)
+      .filter(length($"text") >= 3)
       .select($"doc_id", split($"text", "").as("cs"))
       .select($"doc_id", explode(expr(
         "transform(sequence(0, size(cs) - 3), i -> concat(cs[i], cs[i+1], cs[i+2]))"))
