@@ -1,7 +1,11 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 name := "dataengineeringetlselfservicespark"
-// Spark jars ship with the image at /opt/spark/jars (zero-egress):
+// Spark jars ship with the image at /opt/spark/jars (zero-egress).
+// Version pinned there: Apache Spark 4.1.2 on Scala 2.13 — the exact
+// version every docs/SPARK_UPSTREAM.md workaround was validated against;
+// CkptLayoutSpec's version sentinel asserts SPARK_VERSION matches this
+// comment so a silent image bump re-triggers that validation.
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).

@@ -53,6 +53,26 @@ object Bench {
     // is only diagnosable when drift is measured first-class, not inferred
     // from two differently-warmed runs.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt
+    // Round-over-round reconciliation (round-11 verdict #4): per-query
+    // baselines come from the PREVIOUS committed artifact — by default this
+    // very outFile, read here BEFORE the run overwrites it, or an explicit
+    // SPARK_GRAFT_BENCH_BASELINE path. The new artifact then carries the
+    // ratio summary NEXT TO the probe readings, so "half the suite got
+    // slower" and "the host was throttled" are distinguishable inside one
+    // file instead of argued across rounds (BENCH_NOTES #66/#69).
+    val baselinePath = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
+      .orElse(Some(outFile))
+      .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+    val baseline: Map[String, Double] = baselinePath.map { p =>
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      // The artifact format is ours (written below) — a two-group regex
+      // over `"name": {"secs":N` is parse enough, no JSON lib on the
+      // classpath needed.
+      val re = """"([A-Za-z0-9_]+)":\s*\{"secs":(-?[0-9.]+)""".r
+      re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }.getOrElse(Map.empty)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -175,8 +195,22 @@ object Bench {
     // from the SURVIVING run count (median2/min1/...), not the intended one,
     // so a query that throws on some-but-not-all runs can never bench as a
     // healthy "median3" — partial failures surface in the "flaky" list.
-    def runPass(): Seq[(String, Double, String, Seq[Run], Int, Option[Run])] =
-      selected.map { case (name, fn) =>
+    // Self-certification (docs/BENCH_NOTES.md #69/#70): a pure-CPU probe
+    // reading at pass start, middle, and end. A throttled host stretches
+    // task wall time fleet-wide with flat GC/JIT; without a speed-of-light
+    // reading INSIDE the artifact, such a pass is indistinguishable from a
+    // plan regression (the round-10/11 cross-round total confusion). The
+    // probe runs between queries — Spark is idle — so it reads the host,
+    // not the suite.
+    val probes = scala.collection.mutable.ArrayBuffer.empty[graft.util.CpuProbe.Reading]
+    def probe(label: String): Unit =
+      probes += graft.util.CpuProbe.read(label, graft.util.CpuProbe.RefThreads)
+
+    def runPass(pass: Int): Seq[(String, Double, String, Seq[Run], Int, Option[Run])] = {
+      probe(s"p${pass}_start")
+      val mid = selected.size / 2
+      val out = selected.zipWithIndex.map { case ((name, fn), idx) =>
+        if (idx == mid && idx > 0) probe(s"p${pass}_mid")
         val nRuns = if (NoisyQueries(name)) 3 else 2
         def oneRun(): Option[Run] = {
           // Before each run (outside the measured window): drop dead
@@ -226,8 +260,11 @@ object Bench {
           else times.min
         (name, secs, stat, runs, nRuns, warm)
       }
+      probe(s"p${pass}_end")
+      out
+    }
 
-    val passes = (1 to repeat).map(_ => runPass())
+    val passes = (1 to repeat).map(runPass)
     // The primary artifact reports pass 1 — the same warmth profile as a
     // single-pass (driver) invocation, so numbers stay comparable.
     val results = passes.head.map { case (n, s, st, t, _, w) => (n, s, st, t, w) }
@@ -264,6 +301,45 @@ object Bench {
     val total =
       if (failedNames.nonEmpty) -1.0
       else results.map(_._2).sum
+
+    // Probe block: every reading (all passes), plus the clean verdict for
+    // PASS 1 — the pass the primary numbers come from. Clean = within-pass
+    // drift ≤ tolerance AND every reading ≤ tolerance × the quiet-host
+    // reference (CpuProbe scaladoc) — so a pass throttled uniformly from
+    // its first query still self-reports dirty.
+    import graft.util.CpuProbe
+    val probeSeq = probes.toSeq
+    val p1 = probeSeq.filter(_.label.startsWith("p1_"))
+    val probeClean = CpuProbe.clean(p1)
+    val probeJson = {
+      val readings = probeSeq.map(r =>
+        s"""{"label":"${r.label}","single_ms":${r.singleMs},"wide_ms":${r.wideMs}}""")
+        .mkString("[", ",", "]")
+      s"""{"work":${CpuProbe.Work},"threads":${CpuProbe.RefThreads},""" +
+        s""""ref_single_ms":${CpuProbe.RefSingleMs},"ref_wide_ms":${CpuProbe.RefWideMs},""" +
+        s""""tolerance_single":${CpuProbe.ToleranceSingle},""" +
+        s""""tolerance_wide":${CpuProbe.ToleranceWide},""" +
+        s""""clean":$probeClean,"readings":$readings}"""
+    }
+
+    // Ratio summary vs the baseline artifact (if one was readable): median
+    // and p90 of per-query cur/base, and the >2x names. Read with the probe
+    // verdict: clean probe + high ratios = regression; dirty probe explains
+    // the ratios away without cross-referencing another machine's numbers.
+    val ratios = results.flatMap { case (n, s, _, _, _) =>
+      baseline.get(n).filter(_ > 0.0).collect { case b if s > 0.0 => (n, s / b) }
+    }.sortBy(_._2)
+    val vsBaseline =
+      if (ratios.isEmpty) "null"
+      else {
+        val med = ratios(ratios.size / 2)._2
+        val p90 = ratios((ratios.size * 9) / 10 min (ratios.size - 1))._2
+        val gt2x = ratios.filter(_._2 > 2.0).map("\"" + _._1 + "\"")
+        s"""{"file":"${baselinePath.get}","n":${ratios.size},""" +
+          s""""median_ratio":${fmt(med)},"p90_ratio":${fmt(p90)},""" +
+          s""""gt2x":[${gt2x.mkString(",")}]}"""
+      }
+
     val artifact =
       s"""{
          |"sf":"$sfDir",
@@ -271,6 +347,8 @@ object Bench {
          |"total":${fmt(total)},
          |"failed":[${failedNames.map("\"" + _ + "\"").mkString(",")}],
          |"flaky":[${flakyNames.map("\"" + _ + "\"").mkString(",")}],
+         |"probe":$probeJson,
+         |"vs_baseline":$vsBaseline,
          |"queries":$perQuery
          |}""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
@@ -314,7 +392,7 @@ object Bench {
     val flaky = flakyNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val lineBudget = 1600
     val fixedLen =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"omitted":000,"queries":{},"failed":$failed,"flaky":$flaky,"artifact":"$outFile","sf":"$sfDir"}""".length
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"omitted":000,"probe_clean":$probeClean,"queries":{},"failed":$failed,"flaky":$flaky,"artifact":"$outFile","sf":"$sfDir"}""".length
     val entries = results
       .sortBy { case (_, s, _, _, _) => -s } // failed (-1) sort last
       .map { case (k, v, _, _, _) => "\"" + k + "\":" + fmt(v) }
@@ -325,7 +403,7 @@ object Bench {
       ok
     }
     val qs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"omitted":${results.size - kept.size},"queries":$qs,"failed":$failed,"flaky":$flaky,"artifact":"$outFile","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"omitted":${results.size - kept.size},"probe_clean":$probeClean,"queries":$qs,"failed":$failed,"flaky":$flaky,"artifact":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -27,32 +27,50 @@ import graft.util.Ckpt._
   * match; only the skew profile differs, and the oracle only runs at
   * fixture scale.
   *
-  * Scale notes: 3 shuffles build the oriented edge list (basket aggregate,
-  * partition-local dedup, degree aggregate); the degree frame is broadcast
-  * (node table ≪ edge table; swap for a shuffle join when nodes outgrow a
-  * broadcast). The wedge join and closing join shuffle on graph keys — the
-  * canonical distributed-triangles dataflow. The oriented edge list is
-  * checkpointed once: it feeds both sides of the wedge join and the closing
-  * membership probe.
+  * Scale notes (round-12 dataflow): 2 shuffles TOTAL before the final
+  * per-node count — the basket aggregate and one explicit repartition on
+  * `src` that simultaneously serves the cross-order dedup, the adjacency
+  * build, and the degree count (one `collect_set` is all three). The
+  * degree projection and the oriented adjacency are broadcast (node-sized;
+  * swap for shuffle joins when nodes outgrow a broadcast — the plan
+  * degrades declaratively). The orientation itself is a partition-local
+  * filter+regroup riding the checkpoint's repaired hash layout, so it adds
+  * zero exchanges.
   */
 object Triangles {
 
-  /** Undirected co-purchase edges, u < v, deduplicated partition-locally
-    * (same repartition-then-dropDuplicates shape as [[PageRank.edges]]).
+  /** FULL undirected adjacency — (node, all-neighbors set, degree), one row
+    * per node, hash-partitioned and checkpointed on `src`.
+    *
+    * Round-12 restructure: the previous dataflow built an |E|-row edge
+    * list (repartition + partition-local dedup), then paid a SECOND
+    * |E|-sized exchange to group it into adjacency and a THIRD exchange
+    * for the degree aggregate (union of both endpoints). Building the full
+    * adjacency FIRST folds all three into one: the basket-exploded
+    * directed pairs (both directions) shuffle once on `src`, and
+    * `collect_set` is simultaneously the cross-order dedup, the adjacency,
+    * and (via `size`) the degree — no separate dedup pass, no degree
+    * union, and the checkpoint pins |V| rows instead of |E|. The array
+    * payload totals the same 2m longs either way; rows and exchanges
+    * don't (sf0.1: 3 exchanges + an |E| checkpoint → 1 exchange + a |V|
+    * checkpoint on this substrate).
     */
-  private def undirected(spark: SparkSession, dir: String): DataFrame = {
+  private def fullAdjacency(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey")
     // Basket-aggregate shape (see PageRank.edges): one lineitem shuffle
     // into per-order baskets (≤7 items at any SF), pairs exploded map-side
-    // after the exchange; explicit partition count opts out of AQE's
-    // scan-shaped coalescing because everything downstream is CPU-bound.
+    // after the exchange; explicit repartition count opts out of AQE's
+    // scan-shaped coalescing because everything downstream is CPU-bound,
+    // and lands HashPartitioning(src) so the collect_set aggregate runs
+    // partition-local with no second exchange.
     li.groupBy($"l_orderkey").agg(collect_set($"l_partkey").as("ps"))
-      .select(explode($"ps").as("u"), $"ps")
-      .select($"u", explode($"ps").as("v"))
-      .where($"u" < $"v")
-      .repartition(spark.sparkContext.defaultParallelism, $"u")
-      .dropDuplicates(Seq("u", "v"))
+      .select(explode($"ps").as("src"), $"ps")
+      .select($"src", explode($"ps").as("dst"))
+      .where($"src" =!= $"dst")
+      .repartition(spark.sparkContext.defaultParallelism, $"src")
+      .groupBy($"src").agg(collect_set($"dst").as("all"))
+      .select($"src", $"all", size($"all").as("d"))
   }
 
   /** x_triangles — top-20 parts by the number of co-purchase triangles they
@@ -77,42 +95,40 @@ object Triangles {
     // round-5 driver bench medianed 18.9 s (runs 25.6/4.4/18.9) vs 3.3 s
     // isolated, same commit. Serialized disk blocks have a fixed re-read
     // cost and cannot be evicted mid-query.
-    val und = undirected(spark, dir).ckptDisk()
-    val deg = und.select($"u".as("n")).union(und.select($"v".as("n")))
-      .groupBy($"n").agg(count(lit(1)).as("d"))
-    // Orient x -> y iff (d(x), x) < (d(y), y): join both endpoint degrees in
-    // (broadcast — the node frame is tiny next to the edge frame). Degree
-    // ordering caps out-degrees at O(√m), bounding every out-list below.
-    val o = und
-      .join(broadcast(deg.select($"n".as("u"), $"d".as("du"))), "u")
-      .join(broadcast(deg.select($"n".as("v"), $"d".as("dv"))), "v")
-      .select(
-        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u").otherwise($"v").as("src"),
-        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v").otherwise($"u").as("dst"))
-    // no checkpoint on o: with the adjacency frame carrying the edge list,
-    // o is consumed exactly once (the adj aggregate) — the checkpoint moved
-    // to adj, |V| rows instead of |E|
-    // Explicit broadcast: the adjacency frame is |V| rows but its array
-    // payload (~O(m) longs total) puts the size ESTIMATE just past the
-    // 10 MB auto-broadcast threshold, so Spark would pick a sort-merge join
-    // and shuffle+sort the edge list twice (measured 10.4 s; broadcast
-    // 4.6 s). Past broadcastable adjacency size (~100M edges), drop the
-    // hint and the same plan degrades to those shuffle joins.
-    // Neighbor lists are sorted ONCE per node here so the per-edge
-    // intersection can be the native merge-scan `sorted_intersect` —
-    // array_intersect rebuilds a hash set from its left operand on every
-    // edge row (~Σdeg² set builds and allocation churn; measured whole-query
-    // median ~5.0 s → ~4.0 s at sf0.1).
+    val full = fullAdjacency(spark, dir).ckptDisk()
+    // Orient x -> y iff (d(x), x) < (d(y), y). Degree ordering caps
+    // out-degrees at O(√m) (Chiba–Nishizeki), bounding every out-list
+    // below. With the full adjacency in hand the orientation is a FILTER,
+    // not a re-grouping: explode each node's neighbor set, broadcast the
+    // (node → degree) projection of the SAME checkpoint in for the
+    // neighbor's degree, keep the out-edges, and re-collect per node.
+    // Generate/project/broadcast-join/filter all preserve the checkpoint's
+    // repaired HashPartitioning(src) (Ckpt.ckptDisk — without the layout
+    // repair, Spark's own localCheckpoint reports UnknownPartitioning and
+    // this aggregate would re-shuffle |E| rows), so the re-collect is
+    // partition-local: the whole orientation adds ZERO exchanges.
+    // Neighbor lists are sorted ONCE per node so the per-edge intersection
+    // can be the native merge-scan `sorted_intersect` — array_intersect
+    // rebuilds a hash set from its left operand on every edge row
+    // (measured whole-query median ~5.0 s → ~4.0 s at sf0.1).
     graft.functions.GraftFunctions.register(spark)
-    // The adjacency frame IS the edge list (one row per src, nbrs array):
-    // exploding it back out replaces the o ⋈ adj(src) broadcast join with a
-    // free map-side expansion, so the enumeration pays ONE broadcast join
-    // (closing side) instead of two, and the checkpoint pins the |V|-row
-    // adjacency instead of the |E|-row edge frame (measured at sf0.1:
-    // whole-query 5.7 s → 3.3 s).
-    val adj = o.groupBy($"src")
+    val deg = full.select($"src".as("dst"), $"d".as("dd"))
+    val adj = full
+      .select($"src", $"d", explode($"all").as("dst"))
+      .join(broadcast(deg), "dst")
+      .where($"dd" > $"d" || ($"dd" === $"d" && $"dst" > $"src"))
+      .groupBy($"src")
       .agg(array_sort(collect_list($"dst")).as("nbrs"))
       .ckptDisk()
+    // adj is consumed twice (explode side + closing broadcast side), so it
+    // carries the checkpoint — |V| rows whose array payload is the oriented
+    // HALF of the edge set.
+    // Explicit broadcast below: the adjacency frame is |V| rows but its
+    // array payload (~O(m) longs total) puts the size ESTIMATE just past
+    // the 10 MB auto-broadcast threshold, so Spark would pick a sort-merge
+    // join and shuffle+sort the edge list twice (measured 10.4 s; broadcast
+    // 4.6 s). Past broadcastable adjacency size (~100M edges), drop the
+    // hint and the same plan degrades to those shuffle joins.
     val contrib = adj
       .select($"src", $"nbrs".as("na"), explode($"nbrs").as("dst"))
       .join(broadcast(adj.select($"src".as("dst"), $"nbrs".as("nb"))),

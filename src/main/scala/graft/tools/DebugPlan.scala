@@ -12,6 +12,14 @@ import graft.SparkEntry
   */
 object DebugPlan {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty || !SparkEntry.queries.contains(args(0)) ||
+        args.drop(2).headOption.exists(r => scala.util.Try(r.toInt).isFailure)) {
+      System.err.println(
+        "usage: runMain graft.tools.DebugPlan <queryName> [sfDir] [runs]\n" +
+          s"  queryName: one of ${SparkEntry.queries.size} declared queries " +
+          "(e.g. x_triangles); runs: an integer (default 3)")
+      sys.exit(2)
+    }
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val runs = if (args.length > 2) args(2).toInt else 3

@@ -1,0 +1,141 @@
+package graft.util
+
+/** Pure-CPU calibration probe — the bench artifact's self-certification
+  * channel (docs/BENCH_NOTES.md #69/#70).
+  *
+  * This host throttles task wall time fleet-wide after sustained load
+  * (measured: same-commit suite passes 206.8 vs 306.0 s with untouched
+  * trivial queries co-moving and 22–31 s single tasks, while a CPU probe
+  * run after idle showed full speed). A throttled pass is indistinguishable
+  * INSIDE a bench artifact from a plan regression unless the artifact
+  * carries its own speed-of-light reading — so `graft.Bench` runs this
+  * probe at suite start, middle, and end and records the readings.
+  *
+  * The probe is a fixed-work md5 loop (the same probe shape #69 used as a
+  * diagnostic), measured two ways: one thread (detects per-task wall-time
+  * stretch — the throttle's task-granular signature) and all-cores-wide
+  * (detects lost parallelism / steal). It deliberately uses no Spark: the
+  * throttle is a host property, and a pure-JVM loop can't be confounded by
+  * plan shape, GC, or listener state. The md5 instance is warmed once per
+  * reading before the measured window so the probe's own JIT never counts.
+  */
+object CpuProbe {
+
+  /** md5 digests per measured reading — sized so one reading is ~750 ms on
+    * this host at full speed (calibrated; see RefSingleMs). Long enough a
+    * window that scheduler jitter averages out (at 1.5M digests the wide
+    * reading swung 1.25× run-to-run on a QUIET host; the throttle this
+    * probe detects is a 3–10× signal, but the clean gate wants headroom).
+    */
+  val Work = 3000000
+
+  private def burn(iters: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = new Array[Byte](64)
+    var i = 0
+    var acc = 0L
+    while (i < iters) {
+      buf(0) = (i & 0xff).toByte
+      val d = md.digest(buf)
+      acc += d(0)
+      i += 1
+    }
+    acc
+  }
+
+  @volatile private var sink = 0L
+
+  /** One single-threaded reading: min-of-2 wall ms for [[Work]] digests.
+    * Min-of-2: a throttled host stays slow through BOTH windows; one-off
+    * scheduling/GC-thread interference does not — the min discards the
+    * same noise class the bench's own min-of-2 discards.
+    */
+  def singleMs(): Long = {
+    sink += burn(Work / 8) // per-reading warm: JIT + cache, outside the window
+    (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      sink += burn(Work)
+      (System.nanoTime() - t0) / 1000000
+    }.min
+  }
+
+  /** One wide reading: `threads` concurrent copies of the same fixed work,
+    * min-of-2 wall ms for all to finish. At full speed and perfect scaling
+    * this matches [[singleMs]]; steal/throttle shows as a multiple. Inside
+    * a Spark-hosting JVM this channel is intrinsically noisier than the
+    * single one (the 32-way barrier exposes every background thread and
+    * turbo-state dip), hence its own reference and looser tolerance below.
+    */
+  def wideMs(threads: Int): Long = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      import scala.jdk.CollectionConverters._
+      val warm = (1 to threads).map(_ =>
+        (() => burn(Work / 8)): java.util.concurrent.Callable[Long])
+      pool.invokeAll(warm.asJava).asScala.foreach(f => sink += f.get())
+      (1 to 2).map { _ =>
+        val jobs = (1 to threads).map(_ =>
+          (() => burn(Work)): java.util.concurrent.Callable[Long])
+        val t0 = System.nanoTime()
+        pool.invokeAll(jobs.asJava).asScala.foreach(f => sink += f.get())
+        (System.nanoTime() - t0) / 1000000
+      }.min
+    } finally pool.shutdown()
+  }
+
+  /** One labeled probe reading (single + wide). */
+  case class Reading(label: String, singleMs: Long, wideMs: Long)
+
+  def read(label: String, threads: Int): Reading =
+    Reading(label, singleMs(), wideMs(threads))
+
+  /** Quiet-host, IN-SITU reference readings for THIS container's CPU —
+    * measured inside a Spark-hosting Bench JVM, the exact condition the
+    * probe runs in (round-12 calibration: bare JVM single 696–789 /
+    * wide 873–945; inside the Bench JVM single 760–832 / wide 1102–1574
+    * across a full 254-query sf0.01 pass — the single channel shifts ~6%,
+    * the wide channel inflates 1.2–1.7× and swings, because the 32-way
+    * barrier exposes Spark's background threads and post-load turbo dips).
+    *
+    * `clean` flags a pass as certified only when every reading is within
+    * its channel tolerance of these refs AND the pass's own max/min drift
+    * is within the same tolerance — a pass throttled uniformly from its
+    * first query (low drift, high absolute) still self-reports. Channel
+    * roles: the SINGLE channel is the precise gate (the documented
+    * throttle stretches individual task wall time 3–10×, BENCH_NOTES #69 —
+    * a 1.5× ceiling separates that from the ≤1.13× natural drift with
+    * headroom on both sides); the WIDE channel is the coarse
+    * steal-detector (tolerance 2.0 accommodates its in-situ noise while
+    * still catching a host that has lost real cores).
+    */
+  val RefSingleMs = 795L
+  val RefWideMs = 1200L
+  val ToleranceSingle = 1.5
+  val ToleranceWide = 2.0
+
+  /** Thread count the wide reference was calibrated at — the probe always
+    * runs this wide regardless of Spark's parallelism setting: it measures
+    * the HOST (this container is fixed at 32 vCPUs), not the session.
+    */
+  val RefThreads = 32
+
+  def clean(rs: Seq[Reading]): Boolean = rs.nonEmpty && {
+    val s = rs.map(_.singleMs.toDouble)
+    val w = rs.map(_.wideMs.toDouble)
+    s.max / s.min <= ToleranceSingle && w.max / w.min <= ToleranceWide &&
+      s.max <= RefSingleMs * ToleranceSingle &&
+      w.max <= RefWideMs * ToleranceWide
+  }
+
+  /** Calibration scratch: print a few readings to (re)derive the Ref
+    * constants on a quiet host. Not part of any declared surface.
+    */
+  def main(args: Array[String]): Unit = {
+    val threads = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val n = args.headOption.map(_.toInt).getOrElse(3)
+    (1 to n).foreach { i =>
+      val r = read(s"cal$i", threads)
+      println(s"reading $i: single=${r.singleMs} ms wide=${r.wideMs} ms")
+    }
+  }
+}

@@ -27,8 +27,18 @@ import org.apache.spark.sql.{Column, DataFrame}
   * Spark's ReuseExchange, so substrates used twice (oovRate's gram
   * frame, spanDedup's span frame) also stop double-scanning.
   *
-  * Contract: call this on scan/projection frames only (no upstream
-  * shuffle) — partition-count inspection finalizes the physical plan,
+  * Known limitation (accepted): the gate reads the PLANNED split count,
+  * and a split only yields rows if a row group starts inside it — so one
+  * large single-row-group file can plan >= target byte-range splits where
+  * only one task ever yields rows, and Widen skips exactly the straggler
+  * it exists to fix. None of the fixtures or any plausible production
+  * writer produce multi-hundred-MB single-row-group files (writers roll
+  * row groups at 128 MB); if that shape ever becomes real, gate on
+  * per-file row-group counts from the parquet footers instead.
+  *
+  * Contract (ENFORCED below, not just documented): call this on
+  * scan/projection frames only (no upstream shuffle) — partition-count
+  * inspection finalizes the physical plan,
   * which under AQE would EXECUTE any upstream exchange stages. Keyed
   * form gives deterministic hash partitioning; keyless falls back to
   * Spark's retry-deterministic round-robin. Callers downstream are
@@ -37,9 +47,21 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Widen {
   def apply(df: DataFrame, keys: Column*): DataFrame = {
+    // Enforce the scan-only contract instead of trusting the comment:
+    // `toRdd` below finalizes the plan, and under AQE that would EXECUTE
+    // any upstream exchange stages as a side-effect job at plan-building
+    // time. `sparkPlan` is the compile-time physical view — inspecting it
+    // runs nothing — so a caller handing us a shuffled frame fails loudly
+    // here rather than silently benching its exchanges off the books.
+    val shuffled = df.queryExecution.sparkPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
+    }
+    require(shuffled.isEmpty,
+      s"Widen is for scan/projection frames only; this plan contains " +
+        s"${shuffled.get.nodeName} upstream — widen the scan, not the result")
     val target = df.sparkSession.sparkContext.defaultParallelism
     // Planned partition count from the file listing — no job runs for a
-    // shuffle-free plan (see the contract above).
+    // shuffle-free plan (enforced above).
     val have = df.queryExecution.toRdd.getNumPartitions
     if (have >= target) df
     else if (keys.nonEmpty) df.repartition(target, keys: _*)

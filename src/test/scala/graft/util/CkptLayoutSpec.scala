@@ -101,6 +101,20 @@ class CkptLayoutSpec extends SparkSpec {
         "aggregates to exactly one row")
   }
 
+  test("VERSION SENTINEL: this Spark is the exact version the workarounds " +
+    "were validated against") {
+    // Every docs/SPARK_UPSTREAM.md workaround (the checkpoint layout
+    // repair and its ordering sibling) was validated on the version the
+    // build.sbt comment pins. A silently-bumped image must fail HERE
+    // first, with instructions, rather than wherever behavior drifts:
+    // on a new version, re-run this suite's behavior sentinels, update
+    // docs/SPARK_UPSTREAM.md "Affects" lines, then bump this string and
+    // the build.sbt comment together.
+    assert(org.apache.spark.SPARK_VERSION == "4.1.2",
+      s"Spark is now ${org.apache.spark.SPARK_VERSION}; re-validate the " +
+        "SPARK_UPSTREAM.md workarounds against it (see this test's comment)")
+  }
+
   test("VERSION SENTINEL: Spark's own localCheckpoint still loses the layout " +
     "under AQE — the repair is still needed on this Spark version") {
     // The repair works around LogicalRDD.fromDataset capturing
@@ -147,6 +161,30 @@ class CkptLayoutSpec extends SparkSpec {
     assert(rdd2 eq rdd1, "double repair must reuse the SAME checkpointed blocks")
     assert(twice.as[(Long, Long)].collect().sorted.toSeq ==
       once.as[(Long, Long)].collect().sorted.toSeq)
+  }
+
+  test("VERSION SENTINEL: Spark's own localCheckpoint also loses the " +
+    "OUTPUT ORDERING under AQE — the repair's ordering leg is still needed") {
+    // Same root cause as the partitioning sentinel, second symptom
+    // (docs/SPARK_UPSTREAM.md #2): `LogicalRDD.fromDataset` reads
+    // `executedPlan.outputOrdering`, and the AdaptiveSparkPlanExec wrapper
+    // inherits the default Nil. A future Spark that fixes fromDataset for
+    // ordering fails here loudly; the "ordering survives" test below pins
+    // that the repair already restores exactly what this sentinel shows
+    // Spark losing.
+    val raw = spark.range(0, 1000)
+      .select(($"id" % 7).as("k"), $"id".as("v"))
+      .repartition(4, $"k")
+      .sortWithinPartitions($"k", $"v")
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    raw.queryExecution.optimizedPlan match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        assert(lr.outputOrdering.isEmpty,
+          s"Spark now records ordering '${lr.outputOrdering}' for an AQE " +
+            "localCheckpoint — the ordering leg of the upstream gap appears " +
+            "FIXED on this version; re-validate and retire that leg")
+      case other => fail(s"checkpoint root is not a LogicalRDD: $other")
+    }
   }
 
   test("ordering survives as a valid prefix and elides the downstream sort") {

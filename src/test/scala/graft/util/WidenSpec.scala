@@ -45,11 +45,32 @@ class WidenSpec extends SparkSpec {
       .select(($"id" % 7).as("k"), $"id".as("v"))
     val agg = Widen(narrow, $"k").groupBy($"k").agg(sum($"v"))
     agg.collect()
-    val plan = agg.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==").head
-    // Exactly the ONE widen exchange; the aggregate itself adds none.
-    assert(plan.sliding("Exchange".length).count(_ == "Exchange") == 1,
-      s"expected one exchange (the widen), got:\n$plan")
+    // Exactly the ONE widen shuffle; the aggregate itself adds none.
+    // Count actual shuffle nodes in the executed plan, not 'Exchange'
+    // substrings — a BroadcastExchange/ReusedExchange appearing in a
+    // future version of this plan must not be miscounted as a shuffle.
+    def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val self = p match {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => 1
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          return shuffles(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          return shuffles(q.plan)
+        case _ => 0
+      }
+      self + p.children.map(shuffles).sum
+    }
+    val n = shuffles(agg.queryExecution.executedPlan)
+    assert(n == 1, s"expected one shuffle (the widen), got $n:\n" +
+      agg.queryExecution.executedPlan.toString)
+  }
+
+  test("a frame with an upstream shuffle is rejected, not executed") {
+    val shuffled = spark.range(0, 100)
+      .select(($"id" % 7).as("k"), $"id".as("v"))
+      .repartition(4, $"k")
+    val e = intercept[IllegalArgumentException](Widen(shuffled, $"k"))
+    assert(e.getMessage.contains("scan/projection frames only"))
   }
 
   test("keyless widen falls back to round-robin and still widens") {
