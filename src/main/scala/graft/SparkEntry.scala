@@ -92,7 +92,8 @@ object SparkEntry {
       Stats.queries ++
       CardEst.queries ++
       Experiment.queries ++
-      Multimodal.queries
+      Multimodal.queries ++
+      graft.streaming.IncrMv.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -167,5 +168,6 @@ object SparkEntry {
       Stats.oracles ++
       CardEst.oracles ++
       Experiment.oracles ++
-      Multimodal.oracles
+      Multimodal.oracles ++
+      graft.streaming.IncrMv.oracles
 }
