@@ -92,8 +92,10 @@ object Pg {
     // Startup: protocol 3.0, user + database, then drain to ReadyForQuery.
     // Trust auth answers AuthenticationOk (code 0) immediately; any other
     // auth request is refused loudly — silently mis-answering SCRAM would
-    // be worse than not supporting it.
-    locally {
+    // be worse than not supporting it. A startup failure must not leak the
+    // socket: the constructor is the one place close() can't be the
+    // caller's job.
+    try {
       val body = new ByteArrayOutputStream()
       val d = new DataOutputStream(body)
       d.writeInt(196608) // 3 << 16 | 0
@@ -116,6 +118,10 @@ object Pg {
         case _ => () // ParameterStatus, BackendKeyData, NoticeResponse
       }
       err.foreach(e => throw new java.io.IOException(s"startup failed: $e"))
+    } catch {
+      case t: Throwable =>
+        try sock.close() catch { case _: java.io.IOException => () }
+        throw t
     }
 
     /** Simple-query cycle: send, collect DataRows (as text, None = NULL),
