@@ -60,7 +60,15 @@ object Bench {
     // ratio summary NEXT TO the probe readings, so "half the suite got
     // slower" and "the host was throttled" are distinguishable inside one
     // file instead of argued across rounds (BENCH_NOTES #66/#69).
-    val baselinePath = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
+    val explicitBaseline = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
+    explicitBaseline.filterNot(p =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(p))).foreach(p =>
+      // an EXPLICITLY requested baseline that doesn't exist must say so —
+      // silently recording vs_baseline:null would hide a typo'd path from
+      // the operator who asked for the comparison
+      System.err.println(s"[bench] WARNING: baseline '$p' not found; " +
+        "vs_baseline will be null"))
+    val baselinePath = explicitBaseline
       .orElse(Some(outFile))
       .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
     val baseline: Map[String, Double] = baselinePath.map { p =>

@@ -5,7 +5,7 @@ import java.net.Socket
 import java.nio.charset.StandardCharsets.UTF_8
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, timestamp_micros, unhex}
 import org.apache.spark.sql.types._
 
 /** PostgreSQL sink/source over the v3 WIRE PROTOCOL — the reference's
@@ -79,11 +79,15 @@ object Pg {
     private def errorText(body: Array[Byte]): String = {
       val fields = scala.collection.mutable.Map.empty[Char, String]
       var i = 0
-      while (i < body.length && body(i) != 0) {
+      while (i >= 0 && i < body.length && body(i) != 0) {
         val code = body(i).toChar
         val end = body.indexOf(0.toByte, i + 1)
-        fields(code) = new String(body, i + 1, end - (i + 1), UTF_8)
-        i = end + 1
+        // a truncated/malformed field (no terminating NUL) must not turn
+        // the REAL server error into a StringIndexOutOfBounds — take the
+        // remainder and stop
+        fields(code) = new String(body, i + 1,
+          (if (end < 0) body.length else end) - (i + 1), UTF_8)
+        i = if (end < 0) -1 else end + 1
       }
       s"${fields.getOrElse('S', "ERROR")}: ${fields.getOrElse('M', "?")} " +
         s"(SQLSTATE ${fields.getOrElse('C', "?????")})"
@@ -370,12 +374,23 @@ object Pg {
 
   // ---------------------------------------------------------------- source
 
-  /** Bound-partitioned parallel read: numParts half-open ranges on a
-    * numeric column, one connection + one range predicate per Spark
-    * partition (the [[Jdbc]] read discipline — an unbounded read is a
-    * single-task bottleneck at any cluster size). Values arrive in the
-    * protocol's text format and are cast to `schema` engine-side, so the
-    * parse is Spark codegen, not per-field client code.
+  /** Bound-partitioned parallel read: numParts ranges on a numeric column,
+    * one connection + one range predicate per Spark partition (the [[Jdbc]]
+    * read discipline — an unbounded read is a single-task bottleneck at any
+    * cluster size). Spark-JDBC bound SEMANTICS, exactly: lower/upper only
+    * SHAPE the partitions — the first partition is unbounded below and
+    * catches NULL partition keys, the last is unbounded above — so every
+    * table row appears in the result no matter how inexact the bounds
+    * (inexact bounds cost skew, never rows). Interior bound arithmetic is
+    * BigInt so extreme lower/upper can't overflow into wrong predicates.
+    *
+    * Values arrive in the protocol's text format and are cast to `schema`
+    * engine-side (Spark codegen, not per-field client code); the two types
+    * whose text form a plain cast would mangle are rendered server-side
+    * instead: timestamps as exact epoch microseconds (zoneless `timestamp`
+    * is extracted as UTC wall on the server, matching [[renderField]]'s
+    * UTC render — the round trip is session-timezone-independent end to
+    * end) and bytea as bare hex decoded by `unhex`.
     */
   def readPartitioned(
       spark: SparkSession,
@@ -387,27 +402,55 @@ object Pg {
       upper: Long,
       numParts: Int): DataFrame = {
     require(numParts > 0 && upper >= lower, "need upper >= lower, parts > 0")
-    val span = upper - lower + 1
-    val bounds = (0 until numParts).map { i =>
-      val lo = lower + span * i / numParts
-      val hi = if (i == numParts - 1) upper + 1 else lower + span * (i + 1) / numParts
-      (lo, hi)
-    }.filter { case (lo, hi) => hi > lo }
-    val cols = schema.fieldNames.map(ident).mkString(", ")
     val pc = ident(partCol)
+    // Interior cut points in BigInt; predicates per Spark-JDBC semantics.
+    val span = BigInt(upper) - BigInt(lower) + 1
+    val cuts = (1 until numParts)
+      .map(i => BigInt(lower) + span * i / numParts).distinct
+    val preds: Seq[String] =
+      if (cuts.isEmpty) Seq("TRUE")
+      else {
+        val first = s"$pc < ${cuts.head} OR $pc IS NULL"
+        val mids = cuts.sliding(2).collect {
+          case Seq(lo, hi) => s"$pc >= $lo AND $pc < $hi"
+        }.toSeq
+        val last = s"$pc >= ${cuts.last}"
+        (first +: mids) :+ last
+      }
+    // Server-side render for types whose text form a Spark cast mangles:
+    // timestamp -> exact epoch micros (numeric-exact, then
+    // timestamp_micros engine-side — no session-timezone reinterpretation
+    // of a wall-time string), bytea -> bare hex for unhex.
+    val cols = schema.fields.map { f =>
+      val c = ident(f.name)
+      f.dataType match {
+        // TimestampType only: NTZ is a wall time, and a wall-time string
+        // casts to NTZ with no zone math — it needs no server-side help
+        case TimestampType =>
+          s"(extract(epoch from $c) * 1000000)::bigint AS ${ident(f.name)}"
+        case BinaryType => s"encode($c, 'hex') AS ${ident(f.name)}"
+        case _ => c
+      }
+    }.mkString(", ")
     val tbl = ident(table)
     val rows = spark.sparkContext
-      .parallelize(bounds, bounds.size)
-      .flatMap { case (lo, hi) =>
+      .parallelize(preds, preds.size)
+      .flatMap { pred =>
         val conn = target.connect()
-        try conn.query(
-          s"SELECT $cols FROM $tbl WHERE $pc >= $lo AND $pc < $hi")
+        try conn.query(s"SELECT $cols FROM $tbl WHERE $pred")
           .map(vals => Row.fromSeq(vals.map(_.orNull)))
         finally conn.close()
       }
     val asText = StructType(
       schema.fields.map(f => StructField(f.name, StringType, nullable = true)))
     spark.createDataFrame(rows, asText)
-      .select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+      .select(schema.fields.map { f =>
+        val c = col(f.name)
+        (f.dataType match {
+          case TimestampType => timestamp_micros(c.cast(LongType))
+          case BinaryType => unhex(c)
+          case dt => c.cast(dt)
+        }).as(f.name)
+      }.toSeq: _*)
   }
 }

@@ -50,15 +50,18 @@ object Widen {
     // Enforce the scan-only contract instead of trusting the comment:
     // `toRdd` below finalizes the plan, and under AQE that would EXECUTE
     // any upstream exchange stages as a side-effect job at plan-building
-    // time. `sparkPlan` is the compile-time physical view — inspecting it
-    // runs nothing — so a caller handing us a shuffled frame fails loudly
-    // here rather than silently benching its exchanges off the books.
-    val shuffled = df.queryExecution.sparkPlan.collectFirst {
-      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
+    // time — BROADCAST exchanges included (materializing one collects the
+    // relation), so the guard matches the Exchange base class, not just
+    // shuffles. `sparkPlan` is the compile-time physical view — inspecting
+    // it runs nothing — so a caller handing us an exchange-bearing frame
+    // fails loudly here rather than silently benching its stages off the
+    // books.
+    val exchange = df.queryExecution.sparkPlan.collectFirst {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
     }
-    require(shuffled.isEmpty,
+    require(exchange.isEmpty,
       s"Widen is for scan/projection frames only; this plan contains " +
-        s"${shuffled.get.nodeName} upstream — widen the scan, not the result")
+        s"${exchange.get.nodeName} upstream — widen the scan, not the result")
     val target = df.sparkSession.sparkContext.defaultParallelism
     // Planned partition count from the file listing — no job runs for a
     // shuffle-free plan (enforced above).

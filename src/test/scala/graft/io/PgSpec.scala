@@ -24,6 +24,13 @@ class PgSpec extends SparkSpec {
     f(tgt.get)
   }
 
+  // every verification connection is closed — a bare t.connect().query(...)
+  // leaks a socket AND a dedicated postgres backend until JVM exit
+  private def queryOnce(t: Pg.Target, sql: String) = {
+    val conn = t.connect()
+    try conn.query(sql) finally conn.close()
+  }
+
   private def kpis = Seq(
     (1L, "2025-07-01", 120.5, 17L),
     (2L, "2025-07-02", 98.25, 11L),
@@ -62,7 +69,7 @@ class PgSpec extends SparkSpec {
         == kpis.as[(Long, String, Double, Long)].collect().sortBy(_._1).toSeq)
       // overwrite truncates rather than appending
       Pg.writePartitioned(kpis, t, "daily_kpis", overwrite = true)
-      assert(t.connect().query("SELECT count(*) FROM daily_kpis")
+      assert(queryOnce(t, "SELECT count(*) FROM daily_kpis")
         .head.head.contains("6"))
     }
   }
@@ -78,8 +85,7 @@ class PgSpec extends SparkSpec {
         (6L, None: Option[String]))
         .toDF("id", "s")
       Pg.writePartitioned(nasty, t, "nasty", overwrite = true)
-      val got = t.connect()
-        .query("SELECT id, s FROM nasty ORDER BY id")
+      val got = queryOnce(t, "SELECT id, s FROM nasty ORDER BY id")
         .map { r => (r(0).get.toLong, r(1)) }
       assert(got == Vector(
         (1L, Some("plain")), (2L, Some("tab\there")), (3L, Some("line\nbreak")),
@@ -102,18 +108,22 @@ class PgSpec extends SparkSpec {
         // 18 digits of trailing zeros
         .withColumn("amount", $"amount".cast("decimal(10,2)"))
       Pg.writePartitioned(df, t, "typed", overwrite = true)
-      val got = t.connect().query(
+      val got = queryOnce(t,
         "SELECT id, ts, d, amount, flag, encode(payload,'hex') FROM typed ORDER BY id")
       assert(got(0) == Vector(Some("1"), Some("2025-07-01 12:34:56.789"),
         Some("2025-07-01"), Some("12345.67"), Some("t"), Some("00017f80")))
       assert(got(1) == Vector(Some("2"), Some("1999-12-31 23:59:59.000001"),
         Some("1999-12-31"), Some("-0.01"), Some("f"), Some("")))
-      // and back through the engine-side cast path
+      // and back through the engine-side cast path — BinaryType included
+      // (bytea is hex-rendered server-side and unhex'd engine-side; a
+      // plain string->binary cast would return the UTF-8 bytes of the
+      // hex TEXT, silent corruption)
       val schema = StructType(Seq(
         StructField("id", LongType), StructField("ts", TimestampType),
         StructField("d", DateType),
         StructField("amount", DecimalType(10, 2)),
-        StructField("flag", BooleanType)))
+        StructField("flag", BooleanType),
+        StructField("payload", BinaryType)))
       val back = Pg.readPartitioned(spark, t, "typed", schema,
         "id", 1L, 2L, 2)
       val rows = back.orderBy("id").collect()
@@ -122,6 +132,53 @@ class PgSpec extends SparkSpec {
       assert(rows(0).getDate(2) == java.sql.Date.valueOf("2025-07-01"))
       assert(rows(0).getDecimal(3) == new java.math.BigDecimal("12345.67"))
       assert(rows(0).getBoolean(4) && !rows(1).getBoolean(4))
+      assert(rows(0).getAs[Array[Byte]](5).toSeq == Seq[Byte](0, 1, 127, -128))
+      assert(rows(1).getAs[Array[Byte]](5).isEmpty)
+    }
+  }
+
+  test("timestamp round-trip is session-timezone independent") {
+    withPg { t =>
+      // the sink renders UTC wall into a zoneless column and the read
+      // extracts exact epoch micros server-side — the same INSTANT must
+      // come back whatever spark.sql.session.timeZone says
+      val instant = java.time.Instant.parse("2025-07-01T16:34:56.123456Z")
+      val df = Seq(Tuple2(1L, java.sql.Timestamp.from(instant)))
+        .toDF("id", "ts")
+      Pg.writePartitioned(df, t, "tz_rt", overwrite = true)
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("ts", TimestampType)))
+      val prior = spark.conf.get("spark.sql.session.timeZone")
+      try {
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        val got = Pg.readPartitioned(spark, t, "tz_rt", schema, "id", 1L, 1L, 1)
+          .collect().head.getTimestamp(1).toInstant
+        assert(got == instant, s"instant shifted under session tz: $got")
+      } finally spark.conf.set("spark.sql.session.timeZone", prior)
+    }
+  }
+
+  test("readPartitioned keeps out-of-bounds and NULL-key rows (Spark-JDBC bound semantics)") {
+    withPg { t =>
+      val df = Seq(
+        (Some(0L), "below"), (Some(3L), "inside"), (Some(9L), "above"),
+        (Option.empty[Long], "nullkey"))
+        .toDF("id", "s")
+      Pg.writePartitioned(df, t, "bounds_rt", overwrite = true)
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("s", StringType)))
+      // bounds cover only [2, 5] — rows at 0, 9, and NULL must STILL appear
+      // (bounds shape partitions; they never filter)
+      val back = Pg.readPartitioned(spark, t, "bounds_rt", schema,
+        "id", 2L, 5L, 3)
+      val got = back.collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getString(1))).toSet
+      assert(got == Set(
+        (Some(0L), "below"), (Some(3L), "inside"), (Some(9L), "above"),
+        (None, "nullkey")))
+      // single-partition degenerate case still reads everything
+      assert(Pg.readPartitioned(spark, t, "bounds_rt", schema,
+        "id", 0L, 0L, 1).count() == 4)
     }
   }
 
@@ -134,7 +191,7 @@ class PgSpec extends SparkSpec {
       // replay batch 0 (Structured Streaming re-runs a failed batch under
       // the SAME id): row-level no-op, batch 1 untouched
       Pg.writeBatchIdempotent(b0, 0L, t, "mb_sink")
-      val got = t.connect().query(
+      val got = queryOnce(t,
         "SELECT k, v, batch_id FROM mb_sink ORDER BY k")
       assert(got == Vector(
         Vector(Some("1"), Some("10"), Some("0")),

@@ -52,11 +52,22 @@ object PgTestServer {
         val data = s"$dir/data"
         val (ic, iout) = asPostgres(s"$InitDb -D $data -A trust -E UTF8")
         require(ic == 0, s"initdb failed:\n$iout")
-        val sock = new java.net.ServerSocket(0)
-        val p = try sock.getLocalPort finally sock.close()
-        val (sc, sout) = asPostgres(
-          s"$PgCtl -D $data -l $dir/log -o '-p $p -c listen_addresses=127.0.0.1 -k $dir' start")
-        require(sc == 0, s"pg_ctl start failed:\n$sout")
+        // Probe-then-bind is inherently racy (anything can grab the port
+        // between ServerSocket.close() and the postgres bind), so retry
+        // with a fresh port instead of turning a lost race into a hard
+        // suite failure.
+        val p = (1 to 3).view.map { attempt =>
+          val sock = new java.net.ServerSocket(0)
+          val cand = try sock.getLocalPort finally sock.close()
+          val (sc, sout) = asPostgres(
+            s"$PgCtl -D $data -l $dir/log.$attempt " +
+              s"-o '-p $cand -c listen_addresses=127.0.0.1 -k $dir' start")
+          if (sc == 0) Some(cand)
+          else {
+            require(attempt < 3, s"pg_ctl start failed 3 times; last:\n$sout")
+            None
+          }
+        }.collectFirst { case Some(port) => port }.get
         sys.addShutdownHook(stop())
         state = Some((dir, p))
         p
