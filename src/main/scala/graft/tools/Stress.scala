@@ -1685,6 +1685,69 @@ object Stress {
     ok
   }
 
+  /** Postgres sink/source stress (round-12 `pg` scenario): n rows through
+    * the wire-protocol COPY sink and the bound-partitioned read — the
+    * PgSpec contract at ~200× its row count, with throughput printed and
+    * content verified by an ORDER-INDEPENDENT engine-side checksum
+    * (bit_xor of xxhash64 over every column, computed on the pre-write
+    * frame and the post-read frame — a single dropped, duplicated, or
+    * corrupted row flips it). Also replays one idempotent micro-batch at
+    * scale: the delete-then-COPY contract must stay a row-level no-op
+    * when the batch is 100k rows, not just PgSpec's three.
+    */
+  private def runPg(spark: SparkSession, n: Long): Boolean = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    if (!PgLocalServer.available) {
+      println("[stress] pg: postgres toolchain not on this image - SKIP")
+      return true
+    }
+    val t = PgLocalServer.target()
+    val cores = spark.sparkContext.defaultParallelism
+    val df = spark.range(0, n, 1, cores).select(
+        $"id",
+        md5(concat(lit("u"), ($"id" % 9973).cast("string"))).as("who"),
+        (($"id" % 100000) / 100.0).as("v"),
+        timestamp_micros(lit(1700000000000000L) + $"id" * 1000000L).as("ts"))
+      .ckptDisk() // generation excluded from the timed write
+    def checksum(frame: org.apache.spark.sql.DataFrame): Long =
+      frame.select(expr("bit_xor(xxhash64(id, who, v, ts))").as("c"))
+        .as[Long].head()
+    val want = checksum(df)
+    val (_, wSecs) = timedS(s"COPY write $n rows x ${cores} partitions") {
+      graft.io.Pg.writePartitioned(df, t, "stress_rows", overwrite = true)
+    }
+    println(f"[stress] pg write throughput: ${n / wSecs}%.0f rows/s")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("who", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    val (back, rSecs) = timedS(s"bound-partitioned read x $cores") {
+      graft.io.Pg.readPartitioned(spark, t, "stress_rows", schema,
+        "id", 0L, n - 1, cores).ckptDisk()
+    }
+    println(f"[stress] pg read throughput: ${n / rSecs}%.0f rows/s")
+    val nBack = back.count()
+    val got = checksum(back)
+    val batch = df.limit(100000).select($"id".as("k"), $"v")
+    graft.io.Pg.writeBatchIdempotent(batch, 7L, t, "stress_mb")
+    graft.io.Pg.writeBatchIdempotent(batch, 7L, t, "stress_mb") // replay
+    val mbRows = {
+      val c = t.connect()
+      try c.query("SELECT count(*) FROM stress_mb").head.head.get.toLong
+      finally c.close()
+    }
+    val okCount = nBack == n
+    val okSum = got == want
+    val okMb = mbRows == math.min(100000L, n)
+    println(s"[stress] pg: rows $nBack/$n ${if (okCount) "OK" else "MISMATCH"}; " +
+      s"checksum ${if (okSum) "OK" else s"MISMATCH ($got != $want)"}; " +
+      s"replayed micro-batch rows $mbRows ${if (okMb) "OK (no-op)" else "DUPLICATED"}")
+    PgLocalServer.stop()
+    okCount && okSum && okMb
+  }
+
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 200000L
     val scenario = if (args.length > 1) args(1) else "dedup"
@@ -1772,6 +1835,10 @@ object Stress {
     }
     if (scenario == "quota") {
       val ok = runQuota(spark, n)
+      spark.stop(); if (!ok) sys.exit(1); return
+    }
+    if (scenario == "pg") {
+      val ok = runPg(spark, n)
       spark.stop(); if (!ok) sys.exit(1); return
     }
 
