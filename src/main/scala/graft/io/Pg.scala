@@ -301,7 +301,7 @@ object Pg {
   /** Quote an identifier (table/column name) — lower-cased first so the
     * quoted form matches what unquoted references elsewhere resolve to.
     */
-  private def ident(name: String): String =
+  private[graft] def ident(name: String): String =
     "\"" + name.toLowerCase(java.util.Locale.ROOT).replace("\"", "\"\"") + "\""
 
   private def createSql(table: String, schema: StructType): String =

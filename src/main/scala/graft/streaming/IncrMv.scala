@@ -257,11 +257,111 @@ object IncrMv {
     } finally conn.close()
   }
 
+  // ------------------------------------------------------------- Pg path
+
+  /** The same ledger contract on the wire-protocol Postgres path
+    * ([[graft.io.Pg]]) — the engine the reference actually sinks to
+    * (`kafka_stream.pyc @ 91`), drivable since round 12 against the
+    * image's REAL server. Same guard, same monoid, same single-writer
+    * contract as [[foldBatch]]; the Pg trio differs only in transport.
+    */
+  private def pgKey(t: graft.io.Pg.Target, table: String): (String, String) =
+    (s"pg:${t.host}:${t.port}/${t.database}", table)
+
+  /** [[foldBatch]] on the wire path: `events.writeStream.foreachBatch(
+    * IncrMv.foldBatchPg(target, tbl) _)`.
+    */
+  def foldBatchPg(target: graft.io.Pg.Target, table: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val wm = wmCache.computeIfAbsent(pgKey(target, table),
+      _ => ledgerWatermarkPg(target, table))
+    if (batchId < wm) return
+    graft.io.Pg.writeBatchIdempotent(deltaAgg(batch), batchId, target, table)
+  }
+
+  /** [[ledgerWatermark]] on the wire path. A missing table reads as
+    * watermark 0 — recognized by SQLSTATE 42P01 (undefined_table) from the
+    * probe query itself, not by swallowing every error.
+    */
+  def ledgerWatermarkPg(target: graft.io.Pg.Target, table: String): Long = {
+    val conn = target.connect()
+    try {
+      val rows =
+        try conn.query(
+          s"""SELECT min("batch_id") FROM ${graft.io.Pg.ident(table)}""")
+        catch {
+          case e: java.io.IOException if e.getMessage.contains("42P01") =>
+            return 0L
+        }
+      rows.headOption.flatMap(_.head).map(_.toLong) match {
+        case Some(m) if m < 0 => -m
+        case _ => 0L
+      }
+    } finally conn.close()
+  }
+
+  /** [[compactLedger]] on the wire path — the same double-bounded
+    * watermark contract, with the fold+delete atomicity coming from the
+    * protocol itself: a multi-statement simple-query message executes as
+    * ONE implicit transaction (any error aborts the whole message), so a
+    * crash or server error rolls back to the pre-compaction ledger
+    * exactly like the JDBC path's explicit setAutoCommit(false) block.
+    * Single-writer contract unchanged: never run alongside an in-flight
+    * [[foldBatchPg]] on the same table.
+    */
+  def compactLedgerPg(
+      target: graft.io.Pg.Target, table: String, watermark: Long): Unit = {
+    require(watermark >= 1, s"watermark must be >= 1, got $watermark")
+    val conn = target.connect()
+    try {
+      val tbl = graft.io.Pg.ident(table)
+      def oneLong(sql: String, empty: Long): Long =
+        try conn.query(sql).headOption.flatMap(_.head)
+          .map(_.toLong).getOrElse(empty)
+        catch {
+          case e: java.io.IOException if e.getMessage.contains("42P01") =>
+            return empty
+        }
+      try { conn.query(s"""SELECT 1 FROM $tbl LIMIT 1"""); () }
+      catch {
+        case e: java.io.IOException if e.getMessage.contains("42P01") =>
+          return // missing table: nothing to compact (JDBC path parity)
+      }
+      val hiLive = oneLong(
+        s"""SELECT max("batch_id") FROM $tbl WHERE "batch_id" >= 0""", -1L)
+      val current = -oneLong(
+        s"""SELECT min("batch_id") FROM $tbl WHERE "batch_id" < 0""", 0L)
+      require(watermark >= current,
+        s"watermark $watermark is below the ledger's current watermark " +
+          s"$current — it would rewind the replay guard past batches the " +
+          "base already holds")
+      require(watermark <= math.max(hiLive + 1, current),
+        s"watermark $watermark is past the ledger's highest live batch id " +
+          s"$hiLive + 1 — it would suppress batches the stream has not " +
+          "delivered yet")
+      val base = baseBatchId(watermark)
+      conn.exec(
+        s"""INSERT INTO $tbl
+           |  ("user_id", "n_events", "sum_cents", "min_day", "max_day",
+           |   "batch_id")
+           |SELECT "user_id", SUM("n_events"), SUM("sum_cents"),
+           |  MIN("min_day"), MAX("max_day"), $base
+           |FROM $tbl
+           |WHERE "batch_id" < $watermark AND "batch_id" <> $base
+           |GROUP BY "user_id";
+           |DELETE FROM $tbl
+           |WHERE "batch_id" < $watermark AND "batch_id" <> $base"""
+          .stripMargin)
+      wmCache.put(pgKey(target, table), watermark)
+    } finally conn.close()
+  }
+
   /** The summary view: the monoid fold over the partials ledger — lands on
     * the identical per-user summary as the one-shot aggregate over all
     * events (the parity [[graft.analytics.Incremental]] hash-gates for the
     * batch fold, here proven for the streamed one under uneven batching
-    * and replay by IncrMvParitySpec).
+    * and replay by IncrMvParitySpec — and on the real Postgres server by
+    * IncrMvPgParitySpec).
     */
   def summaryFromLedger(ledger: DataFrame): DataFrame = {
     val spark = ledger.sparkSession

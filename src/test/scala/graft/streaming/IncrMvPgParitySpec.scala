@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.analytics.Incremental
+import graft.io.{Pg, PgTestServer}
+
+/** The streaming-MV parity chain (IncrMvParitySpec) on the REAL PostgreSQL
+  * server via the wire-protocol path: streamed uneven micro-batches into a
+  * `foldBatchPg` ledger, fold ≡ batch month-fold ≡ one-shot aggregate,
+  * convergence under same-batchId replay, and the compaction contract —
+  * including the wire path's distinct atomicity mechanism (the
+  * multi-statement simple query's implicit transaction) and its distinct
+  * missing-table detection (SQLSTATE 42P01, not JDBC metadata).
+  * Cancels (assume) on images without the postgres toolchain.
+  */
+class IncrMvPgParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Table = "pg_mv_ledger"
+
+  private val rows = Seq(
+    (1L, 10.00, Option("2024-01-05 10:00:00")),
+    (2L, 3.25, Option("2024-01-20 00:30:00")),
+    (1L, 2.50, Option("2024-02-01 09:00:00")),
+    (3L, 7.75, Option.empty[String]), // NULL ts: counts, no day
+    (2L, 3.25, Option("2024-01-20 00:30:00")), // exact duplicate payload
+    (1L, 99.99, Option("2024-03-15 23:59:59")),
+    (4L, 0.01, Option("2024-02-29 12:00:00")))
+
+  private def toEvents(rs: Seq[(Long, Double, Option[String])]) =
+    rs.toDF("user_id", "value", "ts_s")
+      .select($"user_id", $"value", $"ts_s".cast("timestamp").as("ts"))
+
+  test("streamed Pg ledger folds to the batch summary under replay and compaction") {
+    assume(PgTestServer.available,
+      "postgres binaries/user not present on this image")
+    val t = PgTestServer.target()
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double, Option[String])]
+    val events = input.toDF().toDF("user_id", "value", "ts_s")
+      .select($"user_id", $"value", $"ts_s".cast("timestamp").as("ts"))
+    val q = events.writeStream
+      .foreachBatch(IncrMv.foldBatchPg(t, Table) _)
+      .start()
+    try {
+      input.addData(rows.take(1): _*); q.processAllAvailable()
+      input.addData(rows.slice(1, 5): _*); q.processAllAvailable()
+      input.addData(rows.drop(5): _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val ledgerSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("n_events", LongType),
+      StructField("sum_cents", LongType), StructField("min_day", LongType),
+      StructField("max_day", LongType), StructField("batch_id", LongType)))
+    def ledger() = Pg.readPartitioned(spark, t, Table, ledgerSchema,
+      "user_id", 1L, 5L, 2)
+    def summary() = IncrMv.summaryFromLedger(ledger().drop("batch_id"))
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSeq
+
+    val want = Incremental.incrAggOver(toEvents(rows))
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSeq
+    assert(summary() == want, "streamed Pg fold must equal the batch fold")
+
+    def fold() = IncrMv.foldBatchPg(t, Table) _
+    // replay batch 1 under its original id: row-level no-op
+    fold()(toEvents(rows.slice(1, 5)), 1L)
+    assert(summary() == want, "same-batchId replay must converge")
+
+    // compact batches 0-1 into the base; watermark readable back
+    IncrMv.compactLedgerPg(t, Table, watermark = 2L)
+    assert(IncrMv.ledgerWatermarkPg(t, Table) == 2L)
+    assert(summary() == want, "fold(base + recent) must equal the one-shot")
+    val ids = ledger().select($"batch_id").distinct().as[Long].collect().toSet
+    assert(ids == Set(-2L, 2L), s"ledger batch ids after compaction: $ids")
+
+    // pre-watermark redelivery: guard skips (content lives in the base)
+    fold()(toEvents(rows.slice(1, 5)), 1L)
+    assert(summary() == want, "pre-watermark replay must be a no-op")
+    assert(ledger().filter($"batch_id" === 1L).count() == 0L)
+
+    // idempotent re-compaction, then full compaction, then crash-retry
+    IncrMv.compactLedgerPg(t, Table, watermark = 2L)
+    IncrMv.compactLedgerPg(t, Table, watermark = 3L)
+    assert(summary() == want)
+    val idsAfter = ledger().select($"batch_id").distinct()
+      .as[Long].collect().toSet
+    assert(idsAfter == Set(-3L), s"fully compacted ledger ids: $idsAfter")
+    IncrMv.compactLedgerPg(t, Table, watermark = 3L)
+    assert(summary() == want, "retry after full compaction must converge")
+
+    // rewinding watermark rejected (would un-guard batches in the base)
+    intercept[IllegalArgumentException] {
+      IncrMv.compactLedgerPg(t, Table, watermark = 2L)
+    }
+    // overshooting past the highest live batch rejected
+    intercept[IllegalArgumentException] {
+      IncrMv.compactLedgerPg(t, Table, watermark = 99L)
+    }
+  }
+
+  test("Pg watermark probe: missing table reads as 0 via SQLSTATE, not a swallow") {
+    assume(PgTestServer.available,
+      "postgres binaries/user not present on this image")
+    val t = PgTestServer.target()
+    assert(IncrMv.ledgerWatermarkPg(t, "no_such_ledger") == 0L)
+    // compaction of a missing table is a no-op, not an error
+    IncrMv.compactLedgerPg(t, "no_such_ledger", watermark = 5L)
+    // but a REAL server error (bad identifier chars are fine — quoting —
+    // so use a permissions-free weird case: a view with wrong shape) is
+    // NOT masked: probe a table whose batch_id column is missing
+    val conn = t.connect()
+    try conn.exec("CREATE TABLE IF NOT EXISTS not_a_ledger (x int)")
+    finally conn.close()
+    val e = intercept[java.io.IOException](
+      IncrMv.ledgerWatermarkPg(t, "not_a_ledger"))
+    assert(e.getMessage.contains("42703"), // undefined_column
+      s"wrong-shape table must surface its real error: ${e.getMessage}")
+  }
+}
