@@ -161,6 +161,18 @@ object GraftFunctions {
         arity("sorted_intersect", "(a array<long>, b array<long>)", 2)(children)
         SortedIntersect(children.head, children(1))
       }),
+    (new FunctionIdentifier("char_trigrams"),
+      new ExpressionInfo(classOf[CharTrigrams].getName, "char_trigrams"),
+      (children: Seq[Expression]) => {
+        arity("char_trigrams", "(text string)", 1)(children)
+        CharTrigrams(children.head)
+      }),
+    (new FunctionIdentifier("oov_count"),
+      new ExpressionInfo(classOf[OovCount].getName, "oov_count"),
+      (children: Seq[Expression]) => {
+        arity("oov_count", "(text string, vocab array<string>)", 2)(children)
+        OovCount(children.head, children(1))
+      }),
     (new FunctionIdentifier("mg_candidates"),
       new ExpressionInfo(classOf[MisraGries].getName, "mg_candidates"),
       (children: Seq[Expression]) => {

@@ -144,41 +144,35 @@ object CorpusFilter {
     */
   def oovRate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // trigrams via a char array + O(1) element reads: substring(text, i, 3)
-    // per index re-scans the UTF8 string to find boundary i — O(len²) per
-    // doc, measured 4.3 s at sf0.1; the array form is linear (1.3 s). The
-    // gram frame feeds BOTH the vocab cut and the scoring join, and is
-    // deliberately NOT checkpointed: at one row per corpus CHARACTER it is
-    // the largest intermediate in the text tier, and re-deriving it is
-    // pure map-side work (scan + explode, no shuffle) — measured cheaper
-    // than materializing it (3.6 s checkpointed to disk vs 2.1 s
-    // recomputed at sf0.1; the vocab aggregate shuffles only the
-    // hash-aggregated gram counts either way).
-    // Deliberately NOT widened (graft.util.Widen): this is the corpus's
-    // heaviest per-row derivation (one gram row per CHARACTER), and
-    // widening it measured GREAT in steady state (1.5-2.0 s vs 2.7) but
-    // pathological on first execution — 32 tasks all running the big
-    // un-JIT-ed generated stage concurrently burn 54 s of total task
-    // time (DebugPlan per-stage, keyed and keyless forms alike; suite
-    // run 1 went 3.4 -> 7.0 s and even run 2 lags C2). The widen
-    // amplifies first-execution compile/warm cost by the core count; on
-    // a derivation this large the cold-measured stat loses what the
-    // steady state gains (BENCH_NOTES #68).
-    def grams = Tables.documents(spark, dir)
-      .filter(length($"text") >= 3)
-      .select($"doc_id", split($"text", "").as("cs"))
-      .select($"doc_id", explode(expr(
-        "transform(sequence(0, size(cs) - 3), i -> concat(cs[i], cs[i+1], cs[i+2]))"))
-        .as("g"))
-    val vocab = grams
+    graft.functions.GraftFunctions.register(spark)
+    // Round 12: both halves run on native codegen'd expressions
+    // (graft.functions.{CharTrigrams,OovCount}) instead of the interpreted
+    // split('')/transform/concat HOF chain — the same §7.3 escalation as
+    // walk_pick, and the same reason: HOFs are CodegenFallback, and this
+    // was the text tier's heaviest per-row derivation (one allocation per
+    // character plus one per trigram, twice over the corpus; isolated
+    // steady 3.0-3.9 s at sf0.1, the last standing >2x-of-oracle query).
+    // Pass 1 (vocab) still explodes — a global top-k needs the gram rows —
+    // but derives them in one linear byte walk per doc. Pass 2 (scoring)
+    // no longer explodes OR joins at all: the top-k vocabulary (OovVocab
+    // rows, driver-collected — the same bounded-collect discipline as the
+    // IVF centroids) rides into a single per-document oov_count projection
+    // that slides one window over the bytes against a hashed vocab set.
+    // Measured at sf0.1, fresh JVM: before 3.07 s steady / 7.9 s run-1
+    // (DebugPlan); after 1.40 s min2 with the vocab pass inside the
+    // timed window (Bench) and 0.44-0.58 s for the scoring half alone —
+    // both halves of the #68 trade improved at once (run-1 0.88 s), no
+    // widen needed, oracle hash unchanged (BENCH_NOTES #74).
+    val docs = Tables.documents(spark, dir).filter(length($"text") >= 3)
+    val vocabArr: Array[String] = docs
+      .select(explode(call_function("char_trigrams", $"text")).as("g"))
       .groupBy($"g").agg(count(lit(1)).as("n"))
       .orderBy($"n".desc, $"g").limit(OovVocab)
-      .select($"g", lit(1).as("in_v"))
-    grams
-      .join(broadcast(vocab), Seq("g"), "left")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when($"in_v".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select($"g").as[String].collect()
+    docs
+      .select($"doc_id",
+        call_function("oov_count", $"text", lit(vocabArr)).as("oc"))
+      .select($"doc_id", $"oc.n_grams".as("n_grams"), $"oc.n_oov".as("n_oov"))
       .orderBy($"doc_id")
   }
 
