@@ -159,7 +159,14 @@ case class OovCount(left: Expression, right: Expression)
         nGrams += 1
         if (!vocabSet.contains(g)) nOov += 1
       }
-      if (i < bytes.length) i += UTF8String.numBytesForFirstByte(bytes(i))
+      if (i < bytes.length)
+        // clamp: a truncated multi-byte tail declares more bytes than the
+        // buffer holds; without the clamp the walk would jump PAST the
+        // terminal boundary and silently drop the final window, while
+        // charStarts (which appends the terminal unconditionally) keeps
+        // it — the two expressions must agree on every input, malformed
+        // UTF-8 included
+        i = math.min(i + UTF8String.numBytesForFirstByte(bytes(i)), bytes.length)
       else i += 1
     }
     InternalRow(nGrams, nOov)

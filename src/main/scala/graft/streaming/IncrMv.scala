@@ -215,38 +215,13 @@ object IncrMv {
           } finally rs.close()
         } finally st.close()
       }
-      val hiLive = oneLong(
-        s"""SELECT max("batch_id") FROM $table WHERE "batch_id" >= 0""", -1L)
-      val current = -oneLong(
-        s"""SELECT min("batch_id") FROM $table WHERE "batch_id" < 0""", 0L)
-      require(watermark >= current,
-        s"watermark $watermark is below the ledger's current watermark " +
-          s"$current — it would rewind the replay guard past batches the " +
-          "base already holds")
-      require(watermark <= math.max(hiLive + 1, current),
-        s"watermark $watermark is past the ledger's highest live batch id " +
-          s"$hiLive + 1 — it would suppress batches the stream has not " +
-          "delivered yet")
-      val base = baseBatchId(watermark)
+      val (insSql, delSql) = compactionSql(table, watermark, oneLong)
       conn.setAutoCommit(false)
       try {
         val ins = conn.createStatement()
-        try ins.executeUpdate(
-          s"""INSERT INTO $table
-             |  ("user_id", "n_events", "sum_cents", "min_day", "max_day",
-             |   "batch_id")
-             |SELECT "user_id", SUM("n_events"), SUM("sum_cents"),
-             |  MIN("min_day"), MAX("max_day"), $base
-             |FROM $table
-             |WHERE "batch_id" < $watermark AND "batch_id" <> $base
-             |GROUP BY "user_id"""".stripMargin)
-        finally ins.close()
+        try ins.executeUpdate(insSql) finally ins.close()
         val del = conn.createStatement()
-        try del.executeUpdate(
-          s"""DELETE FROM $table
-             |WHERE "batch_id" < $watermark AND "batch_id" <> $base"""
-            .stripMargin)
-        finally del.close()
+        try del.executeUpdate(delSql) finally del.close()
         conn.commit()
         wmCache.put((url, table), watermark)
       } catch {
@@ -266,7 +241,65 @@ object IncrMv {
     * contract as [[foldBatch]]; the Pg trio differs only in transport.
     */
   private def pgKey(t: graft.io.Pg.Target, table: String): (String, String) =
-    (s"pg:${t.host}:${t.port}/${t.database}", table)
+    // lowercase: Pg.ident case-folds identifiers for SQL, so "Ledger" and
+    // "ledger" are ONE physical table — a case-sensitive cache key would
+    // split its watermark and let a mixed-case caller's stale wm=0 guard
+    // re-append content the base already holds
+    (s"pg:${t.host}:${t.port}/${t.database}",
+      table.toLowerCase(java.util.Locale.ROOT))
+
+  /** Targeted [[invalidateWatermarkCache]] for a wire-path ledger — the
+    * external-compaction escape hatch; the synthetic cache key is private,
+    * so without this overload only the clear-everything form could reach
+    * Pg entries.
+    */
+  def invalidateWatermarkCachePg(
+      target: graft.io.Pg.Target, table: String): Unit =
+    wmCache.remove(pgKey(target, table))
+
+  /** The compaction SQL + watermark-bound contract, shared verbatim by the
+    * JDBC and wire paths (they differ ONLY in transport): `quote` renders
+    * an identifier, `oneLong` runs a scalar probe with an empty-default,
+    * and the returned (insert, delete) pair is executed inside whichever
+    * transaction mechanism the transport provides. Extracted so a schema
+    * or bound change cannot silently diverge the two paths.
+    */
+  private def compactionSql(
+      table: String, watermark: Long,
+      oneLong: (String, Long) => Long): (String, String) = {
+    val hiLive = oneLong(
+      s"""SELECT max("batch_id") FROM $table WHERE "batch_id" >= 0""", -1L)
+    val current = -oneLong(
+      s"""SELECT min("batch_id") FROM $table WHERE "batch_id" < 0""", 0L)
+    require(watermark >= current,
+      s"watermark $watermark is below the ledger's current watermark " +
+        s"$current — it would rewind the replay guard past batches the " +
+        "base already holds")
+    require(watermark <= math.max(hiLive + 1, current),
+      s"watermark $watermark is past the ledger's highest live batch id " +
+        s"$hiLive + 1 — it would suppress batches the stream has not " +
+        "delivered yet")
+    val base = baseBatchId(watermark)
+    (s"""INSERT INTO $table
+        |  ("user_id", "n_events", "sum_cents", "min_day", "max_day",
+        |   "batch_id")
+        |SELECT "user_id", SUM("n_events"), SUM("sum_cents"),
+        |  MIN("min_day"), MAX("max_day"), $base
+        |FROM $table
+        |WHERE "batch_id" < $watermark AND "batch_id" <> $base
+        |GROUP BY "user_id"""".stripMargin,
+      s"""DELETE FROM $table
+         |WHERE "batch_id" < $watermark AND "batch_id" <> $base"""
+        .stripMargin)
+  }
+
+  /** SQLSTATE 42P01 (undefined_table) from the wire client — null-guarded:
+    * a dropped connection surfaces as an IOException with a NULL message
+    * (EOFException), and `e.getMessage.contains` would turn that real
+    * failure into an NPE masking it.
+    */
+  private def isUndefinedTable(e: java.io.IOException): Boolean =
+    e.getMessage != null && e.getMessage.contains("42P01")
 
   /** [[foldBatch]] on the wire path: `events.writeStream.foreachBatch(
     * IncrMv.foldBatchPg(target, tbl) _)`.
@@ -290,8 +323,7 @@ object IncrMv {
         try conn.query(
           s"""SELECT min("batch_id") FROM ${graft.io.Pg.ident(table)}""")
         catch {
-          case e: java.io.IOException if e.getMessage.contains("42P01") =>
-            return 0L
+          case e: java.io.IOException if isUndefinedTable(e) => return 0L
         }
       rows.headOption.flatMap(_.head).map(_.toLong) match {
         case Some(m) if m < 0 => -m
@@ -315,43 +347,19 @@ object IncrMv {
     val conn = target.connect()
     try {
       val tbl = graft.io.Pg.ident(table)
-      def oneLong(sql: String, empty: Long): Long =
-        try conn.query(sql).headOption.flatMap(_.head)
-          .map(_.toLong).getOrElse(empty)
-        catch {
-          case e: java.io.IOException if e.getMessage.contains("42P01") =>
-            return empty
-        }
       try { conn.query(s"""SELECT 1 FROM $tbl LIMIT 1"""); () }
       catch {
-        case e: java.io.IOException if e.getMessage.contains("42P01") =>
+        case e: java.io.IOException if isUndefinedTable(e) =>
           return // missing table: nothing to compact (JDBC path parity)
       }
-      val hiLive = oneLong(
-        s"""SELECT max("batch_id") FROM $tbl WHERE "batch_id" >= 0""", -1L)
-      val current = -oneLong(
-        s"""SELECT min("batch_id") FROM $tbl WHERE "batch_id" < 0""", 0L)
-      require(watermark >= current,
-        s"watermark $watermark is below the ledger's current watermark " +
-          s"$current — it would rewind the replay guard past batches the " +
-          "base already holds")
-      require(watermark <= math.max(hiLive + 1, current),
-        s"watermark $watermark is past the ledger's highest live batch id " +
-          s"$hiLive + 1 — it would suppress batches the stream has not " +
-          "delivered yet")
-      val base = baseBatchId(watermark)
-      conn.exec(
-        s"""INSERT INTO $tbl
-           |  ("user_id", "n_events", "sum_cents", "min_day", "max_day",
-           |   "batch_id")
-           |SELECT "user_id", SUM("n_events"), SUM("sum_cents"),
-           |  MIN("min_day"), MAX("max_day"), $base
-           |FROM $tbl
-           |WHERE "batch_id" < $watermark AND "batch_id" <> $base
-           |GROUP BY "user_id";
-           |DELETE FROM $tbl
-           |WHERE "batch_id" < $watermark AND "batch_id" <> $base"""
-          .stripMargin)
+      // no 42P01 handling past the probe: the single-writer contract means
+      // the table cannot vanish mid-compaction on this same connection
+      def oneLong(sql: String, empty: Long): Long =
+        conn.query(sql).headOption.flatMap(_.head)
+          .map(_.toLong).getOrElse(empty)
+      val (ins, del) = compactionSql(tbl, watermark, oneLong)
+      // one multi-statement simple query = one implicit transaction
+      conn.exec(s"$ins;\n$del")
       wmCache.put(pgKey(target, table), watermark)
     } finally conn.close()
   }

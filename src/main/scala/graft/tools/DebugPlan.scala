@@ -51,12 +51,21 @@ object DebugPlan {
         .foreach(_.unpersist(blocking = true))
       maxTaskMs.set(0L)
       stages.clear()
+      // Frame CONSTRUCTION is timed separately: some queries run real
+      // driver-side jobs while building the frame (IVF centroid collects,
+      // oovRate's vocab top-k) — Bench times fn() inside its window, so a
+      // DebugPlan reading that silently excluded the build would
+      // under-report exactly those queries (and the printed plan covers
+      // only the post-build half either way).
+      val tb0 = System.nanoTime()
       val df = fn(spark, sfDir)
+      val build = (System.nanoTime() - tb0) / 1e9
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300)
-      println(f"run $i: $wall%.3f s  maxtask=${maxTaskMs.get()} ms")
+      val buildNote = if (build >= 0.1) f" (+ build $build%.3f s)" else ""
+      println(f"run $i: $wall%.3f s$buildNote  maxtask=${maxTaskMs.get()} ms")
       import scala.jdk.CollectionConverters._
       stages.asScala.toSeq.sortBy(_._1).foreach { case (sid, (mx, n, tot)) =>
         println(f"  stage $sid%3d: tasks=$n%3d maxtask=$mx%6d ms total=$tot%7d ms")

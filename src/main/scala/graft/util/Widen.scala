@@ -24,8 +24,10 @@ import org.apache.spark.sql.{Column, DataFrame}
   * projected (project BEFORE widening — a few MB), which buys full-width
   * execution of the expensive derivation downstream. Two consumers of
   * the SAME widened frame compile to one scan + one exchange via
-  * Spark's ReuseExchange, so substrates used twice (oovRate's gram
-  * frame, spanDedup's span frame) also stop double-scanning.
+  * Spark's ReuseExchange, so substrates used twice (spanDedup's span
+  * frame; oovRate's gram frame was one until round 12 replaced that
+  * query's derivation with native expressions) also stop
+  * double-scanning.
   *
   * Known limitation (accepted): the gate reads the PLANNED split count,
   * and a split only yields rows if a row group starts inside it — so one

@@ -85,6 +85,53 @@ class TextGramsSpec extends SparkSpec {
     }
   }
 
+  test("oov_count: interpreted eval agrees with codegen") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val vocab = Array("llo", "wor", "日本語", "😀b😀", "aaa")
+    val vocabLit = Literal(
+      new GenericArrayData(vocab.map(UTF8String.fromString): Array[Any]),
+      ArrayType(StringType))
+    val viaCodegen = df.filter(length($"text") >= 3)
+      .select($"id", call_function("oov_count", $"text", lit(vocab)).as("oc"))
+      .select($"id", $"oc.n_grams", $"oc.n_oov").orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // force the interpreted path: evaluate the expression directly
+    // (same length(text) >= 3 cut as the frame — Spark length() counts
+    // code points)
+    val viaEval = texts.zipWithIndex
+      .collect { case (t, i) if t.codePointCount(0, t.length) >= 3 =>
+        val row = OovCount(Literal(t), vocabLit).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        (i.toLong, row.getLong(0), row.getLong(1))
+      }
+    assert(viaCodegen == viaEval)
+  }
+
+  test("char_trigrams and oov_count agree on MALFORMED UTF-8 (truncated tail)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    // 'a','b','c' then a 3-byte lead with no continuation bytes: the lead
+    // declares bytes past the buffer — the clamp must keep the terminal
+    // boundary so both expressions see the same gram multiset
+    val malformed = UTF8String.fromBytes(
+      Array[Byte]('a', 'b', 'c', 0xE4.toByte))
+    val grams = CharTrigrams(Literal(malformed, StringType)).eval(null)
+      .asInstanceOf[ArrayData]
+    val oc = OovCount(Literal(malformed, StringType),
+      Literal(new GenericArrayData(Array[Any](UTF8String.fromString("abc"))),
+        ArrayType(StringType)))
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert(oc.getLong(0) == grams.numElements().toLong,
+      s"n_grams ${oc.getLong(0)} != char_trigrams count ${grams.numElements()}")
+    assert(oc.getLong(1) == grams.numElements().toLong - 1L,
+      "exactly the 'abc' gram is in-vocab")
+  }
+
   test("oov_count: NULL vocab elements are ignored; non-literal vocab rejected") {
     val r = df.filter($"id" === 0L)
       .select(call_function("oov_count", $"text",

@@ -103,6 +103,31 @@ class IncrMvPgParitySpec extends SparkSpec {
     }
   }
 
+  test("watermark guard is case-insensitive to the caller's table spelling") {
+    assume(PgTestServer.available,
+      "postgres binaries/user not present on this image")
+    val t = PgTestServer.target()
+    // Pg.ident lowercases identifiers, so "CaseLedger" and "caseledger"
+    // are one physical table — the guard cache must agree, or a
+    // mixed-case redelivery would bypass the compaction watermark and
+    // double-count (round-12 review finding)
+    val b0 = toEvents(rows.take(2))
+    IncrMv.foldBatchPg(t, "CaseLedger")(b0, 0L)
+    IncrMv.foldBatchPg(t, "caseledger")(toEvents(rows.slice(2, 3)), 1L)
+    IncrMv.compactLedgerPg(t, "caseledger", watermark = 1L)
+    IncrMv.invalidateWatermarkCachePg(t, "CASELEDGER") // same key, any case
+    // redeliver batch 0 under the MIXED-CASE spelling: the guard must
+    // re-probe (cache invalidated), read watermark 1, and skip
+    IncrMv.foldBatchPg(t, "CaseLedger")(b0, 0L)
+    val conn = t.connect()
+    try {
+      val live = conn.query(
+        """SELECT count(*) FROM caseledger WHERE "batch_id" = 0""")
+        .head.head.get.toLong
+      assert(live == 0L, "pre-watermark mixed-case replay must be a no-op")
+    } finally conn.close()
+  }
+
   test("Pg watermark probe: missing table reads as 0 via SQLSTATE, not a swallow") {
     assume(PgTestServer.available,
       "postgres binaries/user not present on this image")
