@@ -42,6 +42,50 @@ object Bench {
   // number either way, and the warmup seconds stay visible in the
   // artifact).
 
+  /** One measured execution: wall seconds plus the window's GC/JIT deltas,
+    * the longest task, the task count/sum (uniform-slowdown channel), and
+    * the mini-probe readings taken just outside the window (-1 = not
+    * probed). secs < 0 marks a failed run.
+    */
+  case class Run(secs: Double, gcMs: Long, jitMs: Long, maxTaskMs: Long,
+      tasks: Long, taskSumMs: Long, probeBeforeMs: Long, probeAfterMs: Long)
+
+  /** Per-run throttle attribution (BENCH_NOTES #76): a run is SUSPECT —
+    * likely measured through a host throttle burst rather than its plan —
+    * when either channel fires:
+    *  - probe-hot: a mini-probe reading taken just outside the run's
+    *    window exceeds its tolerance (direct speed-of-light evidence);
+    *  - heuristic: the round-12 burst signature — every task uniformly
+    *    slow (max_task within 1.6x of the MEAN task, so no straggler to
+    *    blame), flat GC+JIT (< 20% of wall — not a pause or compile
+    *    storm), and wall >= 2x this query's baseline. Gated on >= 8 tasks
+    *    and >= 1 s wall so micro-query noise can't trip it.
+    * Pure so the classification itself is spec-pinned, not just exercised.
+    */
+  def suspectRun(r: Run, baselineSecs: Option[Double]): Boolean = {
+    val probeHot = graft.util.CpuProbe.miniHot(r.probeBeforeMs) ||
+      graft.util.CpuProbe.miniHot(r.probeAfterMs)
+    val wallMs = r.secs * 1000.0
+    val heuristic = r.tasks >= 8 && r.secs >= 1.0 &&
+      r.maxTaskMs <= 1.6 * (r.taskSumMs.toDouble / r.tasks) &&
+      (r.gcMs + r.jitMs) < 0.2 * wallMs &&
+      baselineSecs.exists(b => b > 0.0 && r.secs >= 2.0 * b)
+    r.secs >= 0 && (probeHot || heuristic)
+  }
+
+  /** The chosen central tendency over a (possibly suspect-filtered) sample:
+    * min for the default tier, median for [[NoisyQueries]] — even-sized
+    * samples (a suspect run excluded from a 3-run sample) take the
+    * midpoint of the two middle values. Empty sample = failed (-1).
+    */
+  def chooseStat(noisy: Boolean, ts: Seq[Double]): Double =
+    if (ts.isEmpty) -1.0
+    else if (noisy) {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    } else ts.min
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -71,16 +115,34 @@ object Bench {
     val baselinePath = explicitBaseline
       .orElse(Some(outFile))
       .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
-    val baseline: Map[String, Double] = baselinePath.map { p =>
+    // The baseline's own "sf" must match this run's — ratios of an sf0.01
+    // run against an sf0.1 artifact are not regressions, they're a unit
+    // error, and recording them as vs_baseline would commit bogus 10x
+    // ratios into the artifact (round-12 ADVICE). A mismatch keeps the
+    // path (so the artifact can SAY what was skipped) but empties the
+    // ratio inputs.
+    val baselineSf: Option[String] = baselinePath.flatMap { p =>
       val txt = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
         java.nio.charset.StandardCharsets.UTF_8)
-      // The artifact format is ours (written below) — a two-group regex
-      // over `"name": {"secs":N` is parse enough, no JSON lib on the
-      // classpath needed.
-      val re = """"([A-Za-z0-9_]+)":\s*\{"secs":(-?[0-9.]+)""".r
-      re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
-    }.getOrElse(Map.empty)
+      """"sf":\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+    }
+    val sfMismatch = baselineSf.exists(_ != sfDir)
+    if (sfMismatch)
+      System.err.println(s"[bench] WARNING: baseline '${baselinePath.get}' " +
+        s"is at sf '${baselineSf.get}' but this run is at '$sfDir'; " +
+        "vs_baseline ratios suppressed (sf_mismatch recorded)")
+    val baseline: Map[String, Double] = baselinePath.filter(_ => !sfMismatch)
+      .map { p =>
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+          java.nio.charset.StandardCharsets.UTF_8)
+        // The artifact format is ours (written below) — a two-group regex
+        // over `"name": {"secs":N` is parse enough, no JSON lib on the
+        // classpath needed.
+        val re = """"([A-Za-z0-9_]+)":\s*\{"secs":(-?[0-9.]+)""".r
+        re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -127,26 +189,34 @@ object Bench {
       if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
         jitBean.getTotalCompilationTime else 0L
     val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    // Task count + summed task time alongside the max: the ratio
+    // max_task / (total_task / tasks) distinguishes ONE straggler (high)
+    // from a fleet-wide uniform stretch (≈1) — the round-12 driver burst's
+    // signature was "all 32 intersection tasks uniformly ~7.7 s", which no
+    // single-channel max can tell apart from a genuinely heavier plan.
+    val taskCount = new java.util.concurrent.atomic.AtomicLong(0L)
+    val totalTaskMs = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          if (t.taskInfo != null)
+          if (t.taskInfo != null) {
             maxTaskMs.getAndAccumulate(t.taskInfo.duration, math.max)
+            taskCount.incrementAndGet()
+            totalTaskMs.addAndGet(t.taskInfo.duration)
+          }
       })
     // The listener bus is asynchronous: the straggler task this channel
     // exists to catch is often the LAST event delivered, after the action
     // has already returned — read-once would miss it or leak it into the
     // next run's window. Settle-poll (graft.util.Poll, shared with the
     // stress harness's listener), OUTSIDE the measured window; short
-    // cadence because this runs once per measured run.
-    def settledMaxTaskMs(): Long =
-      graft.util.Poll.settled(() => maxTaskMs.get(), 20, 50)
+    // cadence because this runs once per measured run. Settling on the
+    // SUM settles the count and max too (every event moves the sum).
+    def settleTasks(): Unit = {
+      graft.util.Poll.settled(() => totalTaskMs.get(), 20, 50); ()
+    }
 
-    /** One measured execution: wall seconds plus the window's GC/JIT deltas
-      * and the longest task. secs < 0 marks a failed run.
-      */
-    case class Run(secs: Double, gcMs: Long, jitMs: Long, maxTaskMs: Long)
 
     // Warmup: shuffle + agg + parquet scan machinery, not a declared query.
     exec(spark.range(1000000).selectExpr("id % 97 AS k", "id AS v")
@@ -214,13 +284,32 @@ object Bench {
     def probe(label: String): Unit =
       probes += graft.util.CpuProbe.read(label, graft.util.CpuProbe.RefThreads)
 
-    def runPass(pass: Int): Seq[(String, Double, String, Seq[Run], Int, Option[Run])] = {
+    // Headline stats are computed over NON-suspect runs (see [[suspectRun]])
+    // when any exist; the full sample stays in the artifact (secs_all +
+    // per-run flags).
+
+    /** One query's pass result: chosen stat over clean runs, the all-runs
+      * stat for round-over-round comparability, every raw run + its
+      * suspect flag, and the untimed warmup if one ran.
+      */
+    case class QR(name: String, secs: Double, secsAll: Double, stat: String,
+        runs: Seq[Run], suspect: Seq[Boolean], nRuns: Int, warm: Option[Run])
+
+    def runPass(pass: Int): Seq[QR] = {
       probe(s"p${pass}_start")
       val mid = selected.size / 2
       val out = selected.zipWithIndex.map { case ((name, fn), idx) =>
         if (idx == mid && idx > 0) probe(s"p${pass}_mid")
         val nRuns = if (NoisyQueries(name)) 3 else 2
-        def oneRun(): Option[Run] = {
+        // Mini-probe policy: the iterative/graph tier (the documented burst
+        // victims — every false "regression" in the round-12 driver
+        // artifact was one of these) gets a reading before AND after every
+        // measured run. Everything else gets an after-reading only when
+        // the run came out slow (>= 2x baseline, or >= 2 s without one) —
+        // attribution on demand, ~0 cost on a clean pass. All probes sit
+        // OUTSIDE the measured window.
+        val probeRun = early.contains(name)
+        def oneRun(measured: Boolean): Option[Run] = {
           // Before each run (outside the measured window): drop dead
           // localCheckpoint blocks. Several queries pin lineage-truncation
           // blocks in executor storage; the ContextCleaner frees them only
@@ -231,13 +320,21 @@ object Bench {
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = true))
           System.gc()
+          val pb = if (measured && probeRun) graft.util.CpuProbe.miniMs()
+            else -1L
           val (gc0, jit0) = (gcMs(), jitMs())
-          maxTaskMs.set(0L)
+          maxTaskMs.set(0L); taskCount.set(0L); totalTaskMs.set(0L)
           val t0 = System.nanoTime()
           try {
             exec(fn(spark, sfDir))
             val wall = (System.nanoTime() - t0) / 1e9
-            Some(Run(wall, gcMs() - gc0, jitMs() - jit0, settledMaxTaskMs()))
+            settleTasks()
+            val slow = baseline.get(name).filter(_ > 0.0)
+              .map(b => wall >= 2.0 * b).getOrElse(wall >= 2.0)
+            val pa = if (measured && (probeRun || slow))
+              graft.util.CpuProbe.miniMs() else -1L
+            Some(Run(wall, gcMs() - gc0, jitMs() - jit0, maxTaskMs.get(),
+              taskCount.get(), totalTaskMs.get(), pb, pa))
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
@@ -254,19 +351,27 @@ object Bench {
         // artifact ("warmup" field) so nothing is hidden; min-of-2 queries
         // need none because min() already discards the compile run.
         val warm =
-          if (warmedUp(name)) Some(oneRun().getOrElse(Run(-1.0, 0, 0, 0)))
+          if (warmedUp(name))
+            Some(oneRun(measured = false)
+              .getOrElse(Run(-1.0, 0, 0, 0, 0, 0, -1, -1)))
           else None
-        val runs = (1 to nRuns).flatMap(_ => oneRun())
-        val times = runs.map(_.secs)
+        val runs = (1 to nRuns).flatMap(_ => oneRun(measured = true))
+        val suspect = runs.map(r => suspectRun(r, baseline.get(name)))
+        val clean = runs.zip(suspect).collect { case (r, false) => r }
+        // Chosen stat prefers the clean sample; if EVERY run is suspect the
+        // all-runs stat is reported with a "_suspect" stat suffix — a
+        // number must never silently pretend its sample was clean.
+        val useClean = clean.nonEmpty
+        val used = if (useClean) clean else runs
+        val secs = chooseStat(NoisyQueries(name), used.map(_.secs))
+        val secsAll = chooseStat(NoisyQueries(name), runs.map(_.secs))
+        val statBase =
+          if (used.isEmpty) "none"
+          else if (NoisyQueries(name)) s"median${used.size}"
+          else s"min${used.size}"
         val stat =
-          if (times.isEmpty) "none"
-          else if (NoisyQueries(name)) s"median${times.size}"
-          else s"min${times.size}"
-        val secs =
-          if (times.isEmpty) -1.0
-          else if (NoisyQueries(name)) times.sorted.apply(times.size / 2)
-          else times.min
-        (name, secs, stat, runs, nRuns, warm)
+          if (runs.nonEmpty && !useClean) s"${statBase}_suspect" else statBase
+        QR(name, secs, secsAll, stat, runs, suspect, nRuns, warm)
       }
       probe(s"p${pass}_end")
       out
@@ -275,40 +380,63 @@ object Bench {
     val passes = (1 to repeat).map(runPass)
     // The primary artifact reports pass 1 — the same warmth profile as a
     // single-pass (driver) invocation, so numbers stay comparable.
-    val results = passes.head.map { case (n, s, st, t, _, w) => (n, s, st, t, w) }
-    val flakyNames = passes.head.collect {
-      case (n, _, _, t, nRuns, w)
-        if (t.nonEmpty && t.size < nRuns) || w.exists(_.secs < 0) => n
+    val results = passes.head
+    val flakyNames = results.collect {
+      case q if (q.runs.nonEmpty && q.runs.size < q.nRuns) ||
+        q.warm.exists(_.secs < 0) => q.name
+    }
+    // Queries with any suspect run, named at top level AND in the stdout
+    // summary: the three-valued #70 decision rule (clean / regression /
+    // burst-suspect) needs the burst-suspect set visible without opening
+    // the per-query block.
+    val suspectNames = results.collect {
+      case q if q.suspect.contains(true) => q.name
     }
 
     def fmt(d: Double): String = BigDecimal(d)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
     // Full-fidelity per-query artifact: chosen stat, every raw run with its
-    // GC/JIT/longest-task attribution, the spread, and (warmed queries) the
-    // untimed warmup run — so a reader can audit whether a chosen number is
-    // stable, what the excluded compile run cost, and WHERE an outlier
-    // run's time went (GC pause vs JIT storm vs one straggler task vs
-    // genuinely slow plan).
-    val perQuery = results.map { case (name, secs, stat, runs, warm) =>
-      val times = runs.map(_.secs)
-      val spread = if (times.size >= 2) times.max - times.min else 0.0
-      val warmField = warm.map(w =>
+    // GC/JIT/longest-task attribution, the task count/sum (uniformity), the
+    // per-run mini-probe readings and suspect flags, the spread, and
+    // (warmed queries) the untimed warmup run — so a reader can audit
+    // whether a chosen number is stable, what the excluded compile run
+    // cost, and WHERE an outlier run's time went (GC pause vs JIT storm vs
+    // one straggler task vs host throttle burst vs genuinely slow plan).
+    val perQuery = results.map { q =>
+      val times = q.runs.map(_.secs)
+      // spread describes the SAME sample the chosen stat came from (clean
+      // runs when any exist): a criterion like "spread <= 1.5" must not
+      // stay formally unmet because one flagged burst run widened it —
+      // the unfiltered sample is fully visible in "runs"/"suspect".
+      val sample = {
+        val clean = q.runs.zip(q.suspect).collect { case (r, false) => r.secs }
+        if (clean.nonEmpty) clean else times
+      }
+      val spread = if (sample.size >= 2) sample.max - sample.min else 0.0
+      val warmField = q.warm.map(w =>
         s""","warmup":${fmt(w.secs)},"warmup_gc_ms":${w.gcMs},""" +
           s""""warmup_jit_ms":${w.jitMs}""").getOrElse("")
-      s"""  "$name": {"secs":${fmt(secs)},"stat":"$stat",""" +
+      val allField =
+        if (q.secsAll != q.secs) s""","secs_all":${fmt(q.secsAll)}""" else ""
+      s"""  "${q.name}": {"secs":${fmt(q.secs)},"stat":"${q.stat}"$allField,""" +
         s""""runs":[${times.map(fmt).mkString(",")}],"spread":${fmt(spread)},""" +
-        s""""gc_ms":[${runs.map(_.gcMs).mkString(",")}],""" +
-        s""""jit_ms":[${runs.map(_.jitMs).mkString(",")}],""" +
-        s""""max_task_ms":[${runs.map(_.maxTaskMs).mkString(",")}]$warmField}"""
+        s""""suspect":[${q.suspect.mkString(",")}],""" +
+        s""""gc_ms":[${q.runs.map(_.gcMs).mkString(",")}],""" +
+        s""""jit_ms":[${q.runs.map(_.jitMs).mkString(",")}],""" +
+        s""""max_task_ms":[${q.runs.map(_.maxTaskMs).mkString(",")}],""" +
+        s""""tasks":[${q.runs.map(_.tasks).mkString(",")}],""" +
+        s""""task_sum_ms":[${q.runs.map(_.taskSumMs).mkString(",")}],""" +
+        s""""probe_ms":[${q.runs.map(r =>
+          s"[${r.probeBeforeMs},${r.probeAfterMs}]").mkString(",")}]$warmField}"""
     }.mkString("{\n", ",\n", "\n}")
-    val failedNames = results.collect { case (n, s, _, _, _) if s < 0 => n }
+    val failedNames = results.collect { case q if q.secs < 0 => q.name }
     // A failed query must POISON the headline number: excluding it would
     // make a broken round bench FASTER than a working one for any consumer
     // that only reads "value".
     val total =
       if (failedNames.nonEmpty) -1.0
-      else results.map(_._2).sum
+      else results.map(_.secs).sum
 
     // Probe block: every reading (all passes), plus the clean verdict for
     // PASS 1 — the pass the primary numbers come from. Clean = within-pass
@@ -327,6 +455,9 @@ object Bench {
         s""""ref_single_ms":${CpuProbe.RefSingleMs},"ref_wide_ms":${CpuProbe.RefWideMs},""" +
         s""""tolerance_single":${CpuProbe.ToleranceSingle},""" +
         s""""tolerance_wide":${CpuProbe.ToleranceWide},""" +
+        s""""ref_mini_ms":${CpuProbe.RefMiniMs},""" +
+        s""""tolerance_mini":${CpuProbe.ToleranceMini},""" +
+        s""""ref_source":"${CpuProbe.RefSource}","host_cpus":${CpuProbe.HostCpus},""" +
         s""""clean":$probeClean,"readings":$readings}"""
     }
 
@@ -334,18 +465,31 @@ object Bench {
     // and p90 of per-query cur/base, and the >2x names. Read with the probe
     // verdict: clean probe + high ratios = regression; dirty probe explains
     // the ratios away without cross-referencing another machine's numbers.
-    val ratios = results.flatMap { case (n, s, _, _, _) =>
-      baseline.get(n).filter(_ > 0.0).collect { case b if s > 0.0 => (n, s / b) }
+    // The >2x list is gated on the suspect flags (round-12 verdict #2: the
+    // r12 driver gt2x named 8 queries, 8-for-8 burst false-positives —
+    // a list that cries wolf on its first outing trains readers to ignore
+    // it): a query whose chosen stat had to include suspect runs goes to
+    // `gt2x_suspect` (the burst is named, not the plan); `gt2x` itself
+    // lists only queries slow on a clean sample — genuine regressions.
+    val statByName = results.map(q => q.name -> q.stat).toMap
+    val ratios = results.flatMap { q =>
+      baseline.get(q.name).filter(_ > 0.0)
+        .collect { case b if q.secs > 0.0 => (q.name, q.secs / b) }
     }.sortBy(_._2)
     val vsBaseline =
-      if (ratios.isEmpty) "null"
+      if (sfMismatch)
+        s"""{"file":"${baselinePath.get}","sf_mismatch":true,""" +
+          s""""baseline_sf":"${baselineSf.get}"}"""
+      else if (ratios.isEmpty) "null"
       else {
         val med = ratios(ratios.size / 2)._2
         val p90 = ratios((ratios.size * 9) / 10 min (ratios.size - 1))._2
-        val gt2x = ratios.filter(_._2 > 2.0).map("\"" + _._1 + "\"")
+        val (sus2x, gt2x) = ratios.filter(_._2 > 2.0)
+          .partition { case (n, _) => statByName(n).endsWith("_suspect") }
         s"""{"file":"${baselinePath.get}","n":${ratios.size},""" +
           s""""median_ratio":${fmt(med)},"p90_ratio":${fmt(p90)},""" +
-          s""""gt2x":[${gt2x.mkString(",")}]}"""
+          s""""gt2x":[${gt2x.map("\"" + _._1 + "\"").mkString(",")}],""" +
+          s""""gt2x_suspect":[${sus2x.map("\"" + _._1 + "\"").mkString(",")}]}"""
       }
 
     val artifact =
@@ -355,6 +499,7 @@ object Bench {
          |"total":${fmt(total)},
          |"failed":[${failedNames.map("\"" + _ + "\"").mkString(",")}],
          |"flaky":[${flakyNames.map("\"" + _ + "\"").mkString(",")}],
+         |"suspect":[${suspectNames.map("\"" + _ + "\"").mkString(",")}],
          |"probe":$probeJson,
          |"vs_baseline":$vsBaseline,
          |"queries":$perQuery
@@ -366,9 +511,9 @@ object Bench {
     // and worst/best ratio per query — drift is a first-class measurement,
     // not something reconstructed from two differently-warmed bench files.
     if (repeat >= 2) {
-      val byName = passes.map(_.map(r => r._1 -> r).toMap)
+      val byName = passes.map(_.map(r => r.name -> r).toMap)
       val rows = selected.map(_._1).map { name =>
-        val secs = byName.map(_(name)._2)
+        val secs = byName.map(_(name).secs)
         val delta = secs.max - secs.min
         val ratio =
           if (secs.exists(_ <= 0)) -1.0
@@ -376,7 +521,7 @@ object Bench {
         s"""  "$name": {"passes":[${secs.map(fmt).mkString(",")}],""" +
           s""""delta":${fmt(delta)},"ratio":${fmt(ratio)}}"""
       }.mkString("{\n", ",\n", "\n}")
-      val totals = passes.map(p => fmt(p.map(_._2).sum)).mkString(",")
+      val totals = passes.map(p => fmt(p.map(_.secs).sum)).mkString(",")
       val stab =
         s"""{
            |"sf":"$sfDir",
@@ -398,12 +543,13 @@ object Bench {
     // full per-query fidelity lives in the committed artifact file.
     val failed = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flaky = flakyNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val suspectJs = suspectNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val lineBudget = 1600
     val fixedLen =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"omitted":000,"probe_clean":$probeClean,"queries":{},"failed":$failed,"flaky":$flaky,"artifact":"$outFile","sf":"$sfDir"}""".length
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"omitted":000,"probe_clean":$probeClean,"suspect":$suspectJs,"queries":{},"failed":$failed,"flaky":$flaky,"artifact":"$outFile","sf":"$sfDir"}""".length
     val entries = results
-      .sortBy { case (_, s, _, _, _) => -s } // failed (-1) sort last
-      .map { case (k, v, _, _, _) => "\"" + k + "\":" + fmt(v) }
+      .sortBy(q => -q.secs) // failed (-1) sort last
+      .map(q => "\"" + q.name + "\":" + fmt(q.secs))
     var used = fixedLen
     val kept = entries.takeWhile { e =>
       val ok = used + e.length + 1 <= lineBudget
@@ -411,7 +557,7 @@ object Bench {
       ok
     }
     val qs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"omitted":${results.size - kept.size},"probe_clean":$probeClean,"queries":$qs,"failed":$failed,"flaky":$flaky,"artifact":"$outFile","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"omitted":${results.size - kept.size},"probe_clean":$probeClean,"suspect":$suspectJs,"queries":$qs,"failed":$failed,"flaky":$flaky,"artifact":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

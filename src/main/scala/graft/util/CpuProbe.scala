@@ -108,10 +108,53 @@ object CpuProbe {
     * steal-detector (tolerance 2.0 accommodates its in-situ noise while
     * still catching a host that has lost real cores).
     */
-  val RefSingleMs = 795L
-  val RefWideMs = 1200L
+  private def envMs(name: String, default: Long): Long =
+    sys.env.get(name).flatMap(_.toLongOption).getOrElse(default)
+  val RefSingleMs = envMs("SPARK_GRAFT_PROBE_REF_SINGLE_MS", 795L)
+  val RefWideMs = envMs("SPARK_GRAFT_PROBE_REF_WIDE_MS", 1200L)
+  /** Where the references came from: the built-in constants are calibrated
+    * for THIS 32-vCPU container only — on any other host they'd mislabel a
+    * merely-different machine as throttled (or a throttled one as clean).
+    * The artifact records the source plus the host's core count so a
+    * foreign-host reading is distinguishable from a dirty one; a foreign
+    * host overrides via SPARK_GRAFT_PROBE_REF_{SINGLE,WIDE}_MS after its
+    * own `CpuProbe.main` calibration.
+    */
+  val RefSource: String =
+    if (sys.env.contains("SPARK_GRAFT_PROBE_REF_SINGLE_MS") ||
+        sys.env.contains("SPARK_GRAFT_PROBE_REF_WIDE_MS")) "env" else "builtin"
+  val HostCpus: Int = Runtime.getRuntime.availableProcessors
   val ToleranceSingle = 1.5
   val ToleranceWide = 2.0
+
+  /** Per-run mini probe (BENCH_NOTES #76): the 3-point pass probe certifies
+    * the PASS but cannot see a mid-suite throttle burst between its samples
+    * (the round-12 driver artifact was probe-clean while x_triangles ran
+    * 21.7 s from exactly such a burst). This is the same single-thread md5
+    * channel at 1/8 the work (~100 ms at full speed) so it can ride before
+    * and after individual measured runs, outside their windows. min-of-2
+    * discards one-off scheduler/GC-thread interference exactly like the
+    * full reading; the throttle it detects is a 3–10× signal against a
+    * ≤1.13× natural drift, so the looser 1.75 tolerance (short windows
+    * jitter more than 750 ms ones) still separates with headroom.
+    */
+  val MiniWork: Int = Work / 8
+  def RefMiniMs: Long = math.max(1L, RefSingleMs / 8)
+  val ToleranceMini = 1.75
+
+  def miniMs(): Long = {
+    sink += burn(MiniWork / 4) // warm outside the window
+    (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      sink += burn(MiniWork)
+      (System.nanoTime() - t0) / 1000000
+    }.min
+  }
+
+  /** Is a mini reading "hot" — evidence the host was throttled at that
+    * instant? -1 (not probed) is never hot.
+    */
+  def miniHot(ms: Long): Boolean = ms > RefMiniMs * ToleranceMini
 
   /** Thread count the wide reference was calibrated at — the probe always
     * runs this wide regardless of Spark's parallelism setting: it measures

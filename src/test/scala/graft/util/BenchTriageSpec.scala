@@ -1,0 +1,106 @@
+package graft.util
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.Bench
+import graft.Bench.Run
+
+/** Pins the per-run throttle-attribution triage (BENCH_NOTES #76): the
+  * round-12 driver pass was probe-clean at pass granularity yet measured
+  * x_triangles at 21.7 s through a mid-suite throttle burst (judge-verified:
+  * same plan 9.1 s on a hot host, 1.05 s cooled). The triage must flag that
+  * exact shape — uniform task slowdown + flat GC/JIT + >=2x baseline — and
+  * must NOT flag the shapes the existing channels already explain
+  * (straggler, GC pause, JIT storm) or micro-query noise.
+  */
+class BenchTriageSpec extends AnyFunSuite {
+
+  private val hotMs: Long = (CpuProbe.RefMiniMs * CpuProbe.ToleranceMini).toLong + 1
+  private val coolMs: Long = CpuProbe.RefMiniMs
+
+  // The round-12 x_triangles burst run, verbatim: 21.7 s wall, 32 tasks
+  // uniformly ~7.7 s (sum 246.4 s, max 7.7 s), flat GC/JIT, baseline 2.26.
+  private def burstRun(pb: Long = -1, pa: Long = -1): Run =
+    Run(secs = 21.7, gcMs = 400, jitMs = 300, maxTaskMs = 7700,
+      tasks = 32, taskSumMs = 246400, probeBeforeMs = pb, probeAfterMs = pa)
+
+  test("the round-12 burst signature is suspect on the heuristic alone") {
+    assert(Bench.suspectRun(burstRun(), Some(2.26)))
+  }
+
+  test("a hot mini-probe reading is suspect regardless of run shape") {
+    // straggler shape (max >> mean task) that the heuristic would pass,
+    // but the probe saw the host throttled just outside the window
+    val straggler = Run(4.0, 100, 100, 3500, 32, 4400, hotMs, -1)
+    assert(Bench.suspectRun(straggler, Some(1.0)))
+    val hotAfter = Run(4.0, 100, 100, 3500, 32, 4400, -1, hotMs)
+    assert(Bench.suspectRun(hotAfter, Some(1.0)))
+  }
+
+  test("a cool probed run with a straggler is NOT suspect") {
+    // one 3.5 s task over a 4.4 s task sum: a straggler, not a burst —
+    // max_task attribution already explains it
+    val straggler = Run(4.0, 100, 100, 3500, 32, 4400, coolMs, coolMs)
+    assert(!Bench.suspectRun(straggler, Some(1.0)))
+  }
+
+  test("unprobed (-1) readings are never hot") {
+    assert(!CpuProbe.miniHot(-1L))
+    assert(!CpuProbe.miniHot(coolMs))
+    assert(CpuProbe.miniHot(hotMs))
+  }
+
+  test("a GC-dominated slow run is NOT suspect (the gc channel owns it)") {
+    val gcHeavy = burstRun().copy(gcMs = 5000, jitMs = 0)
+    assert(!Bench.suspectRun(gcHeavy, Some(2.26)))
+  }
+
+  test("a JIT-storm slow run is NOT suspect (the jit channel owns it)") {
+    val jitHeavy = burstRun().copy(gcMs = 0, jitMs = 5000)
+    assert(!Bench.suspectRun(jitHeavy, Some(2.26)))
+  }
+
+  test("heuristic needs a baseline: uniform-slow without one stays clean") {
+    assert(!Bench.suspectRun(burstRun(), None))
+    assert(!Bench.suspectRun(burstRun(), Some(0.0))) // failed baseline entry
+  }
+
+  test("a run within 2x of baseline is NOT suspect however uniform") {
+    assert(!Bench.suspectRun(burstRun(), Some(15.0)))
+  }
+
+  test("micro-query guards: < 8 tasks or < 1 s wall never trip the heuristic") {
+    assert(!Bench.suspectRun(burstRun().copy(tasks = 4, taskSumMs = 30800),
+      Some(2.26)))
+    val micro = Run(0.6, 0, 0, 18, 32, 576, -1, -1)
+    assert(!Bench.suspectRun(micro, Some(0.2)))
+  }
+
+  test("a failed run (secs < 0) is never suspect, even probe-hot") {
+    assert(!Bench.suspectRun(
+      Run(-1.0, 0, 0, 0, 0, 0, hotMs, hotMs), Some(1.0)))
+  }
+
+  test("chooseStat: min tier takes the min, noisy tier the median") {
+    assert(Bench.chooseStat(noisy = false, Seq(3.0, 1.5, 2.0)) == 1.5)
+    assert(Bench.chooseStat(noisy = true, Seq(3.0, 1.5, 2.0)) == 2.0)
+  }
+
+  test("chooseStat: even-sized noisy sample takes the midpoint (a suspect " +
+    "run excluded from median3 must not silently report the max)") {
+    assert(Bench.chooseStat(noisy = true, Seq(1.0, 3.0)) == 2.0)
+    assert(Bench.chooseStat(noisy = true, Seq(4.0, 1.0, 3.0, 2.0)) == 2.5)
+  }
+
+  test("chooseStat: empty sample reports failure (-1)") {
+    assert(Bench.chooseStat(noisy = true, Seq.empty) == -1.0)
+    assert(Bench.chooseStat(noisy = false, Seq.empty) == -1.0)
+  }
+
+  test("mini probe measures and the refs/fingerprint are coherent") {
+    val ms = CpuProbe.miniMs()
+    assert(ms > 0)
+    assert(CpuProbe.RefMiniMs == math.max(1L, CpuProbe.RefSingleMs / 8))
+    assert(Set("builtin", "env").contains(CpuProbe.RefSource))
+    assert(CpuProbe.HostCpus > 0)
+  }
+}
