@@ -93,6 +93,18 @@ object Pg {
         s"(SQLSTATE ${fields.getOrElse('C', "?????")})"
     }
 
+    /** Server major version from the startup ParameterStatus
+      * (`server_version`), -1 if the server didn't report one. Load-bearing
+      * for [[Pg.readPartitioned]]: its timestamp render relies on
+      * `extract(epoch from ts)` being NUMERIC-exact, which PostgreSQL
+      * guarantees only from version 14 (older servers return double
+      * precision, silently truncating microseconds for modern epochs) — so
+      * the floor is asserted where that render is built, not assumed in a
+      * comment.
+      */
+    @volatile private var _serverMajor: Int = -1
+    def serverMajor: Int = _serverMajor
+
     // Startup: protocol 3.0, user + database, then drain to ReadyForQuery.
     // Trust auth answers AuthenticationOk (code 0) immediately; any other
     // auth request is refused loudly — silently mis-answering SCRAM would
@@ -119,7 +131,19 @@ object Pg {
               s"server requested auth method $code; only trust is supported")
         case Msg('Z', _) => ready = true
         case Msg('E', b) => err = Some(errorText(b)); ready = true
-        case _ => () // ParameterStatus, BackendKeyData, NoticeResponse
+        case Msg('S', b) =>
+          // ParameterStatus: name NUL value NUL. Only server_version is
+          // kept (e.g. "15.4" or "14.2 (Debian 14.2-1)": the leading
+          // integer is the major).
+          val nul = b.indexOf(0.toByte)
+          if (nul > 0 &&
+              new String(b, 0, nul, UTF_8) == "server_version") {
+            val end = b.indexOf(0.toByte, nul + 1)
+            val v = new String(b, nul + 1,
+              (if (end < 0) b.length else end) - (nul + 1), UTF_8)
+            _serverMajor = v.takeWhile(_.isDigit).toIntOption.getOrElse(-1)
+          }
+        case _ => () // BackendKeyData, NoticeResponse
       }
       err.foreach(e => throw new java.io.IOException(s"startup failed: $e"))
     } catch {
@@ -402,6 +426,18 @@ object Pg {
       upper: Long,
       numParts: Int): DataFrame = {
     require(numParts > 0 && upper >= lower, "need upper >= lower, parts > 0")
+    // Numeric-exact epoch extraction (the timestamp render below) holds
+    // only on PostgreSQL >= 14 — fail loudly at plan time on an older
+    // server instead of corrupting microseconds row by row. One driver-side
+    // probe connection; the executors talk to the same server.
+    if (schema.fields.exists(_.dataType == TimestampType)) {
+      val probe = target.connect()
+      val major = try probe.serverMajor finally probe.close()
+      require(major >= 14,
+        s"readPartitioned needs PostgreSQL >= 14 for numeric-exact " +
+          "extract(epoch from timestamp); server reported major " +
+          s"${if (major < 0) "<none>" else major.toString}")
+    }
     val pc = ident(partCol)
     // Interior cut points in BigInt; predicates per Spark-JDBC semantics.
     val span = BigInt(upper) - BigInt(lower) + 1

@@ -1696,13 +1696,22 @@ object Stress {
     * when the batch is 100k rows, not just PgSpec's three.
     */
   private def runPg(spark: SparkSession, n: Long): Boolean = {
-    import spark.implicits._
-    import org.apache.spark.sql.functions._
     if (!PgLocalServer.available) {
       println("[stress] pg: postgres toolchain not on this image - SKIP")
       return true
     }
     val t = PgLocalServer.target()
+    // The throwaway server + its /tmp data dir must not outlive the
+    // scenario on ANY exit path — a mid-scenario failure would otherwise
+    // leave them running until the JVM shutdown hook (round-12 ADVICE).
+    try runPgBody(spark, n, t)
+    finally PgLocalServer.stop()
+  }
+
+  private def runPgBody(
+      spark: SparkSession, n: Long, t: graft.io.Pg.Target): Boolean = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
     val cores = spark.sparkContext.defaultParallelism
     val df = spark.range(0, n, 1, cores).select(
         $"id",
@@ -1744,7 +1753,6 @@ object Stress {
     println(s"[stress] pg: rows $nBack/$n ${if (okCount) "OK" else "MISMATCH"}; " +
       s"checksum ${if (okSum) "OK" else s"MISMATCH ($got != $want)"}; " +
       s"replayed micro-batch rows $mbRows ${if (okMb) "OK (no-op)" else "DUPLICATED"}")
-    PgLocalServer.stop()
     okCount && okSum && okMb
   }
 

@@ -51,6 +51,11 @@ class PgSpec extends SparkSpec {
         val e = intercept[java.io.IOException](conn.exec("SELECT no_such_col"))
         assert(e.getMessage.contains("SQLSTATE"))
         assert(conn.query("SELECT version()").head.head.get.contains("PostgreSQL"))
+        // startup ParameterStatus capture: readPartitioned's numeric-exact
+        // extract(epoch ...) contract requires server >= 14 and asserts on
+        // this field — it must be populated, and on this image it's PG 15
+        assert(conn.serverMajor >= 14,
+          s"server_version not captured at startup (got ${conn.serverMajor})")
       } finally conn.close()
     }
   }
