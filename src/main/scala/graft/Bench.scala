@@ -449,7 +449,8 @@ object Bench {
     val probeClean = CpuProbe.clean(p1)
     val probeJson = {
       val readings = probeSeq.map(r =>
-        s"""{"label":"${r.label}","single_ms":${r.singleMs},"wide_ms":${r.wideMs}}""")
+        s"""{"label":"${r.label}","single_ms":${r.singleMs},""" +
+          s""""wide_ms":${r.wideMs},"mem_ms":${r.memMs}}""")
         .mkString("[", ",", "]")
       s"""{"work":${CpuProbe.Work},"threads":${CpuProbe.RefThreads},""" +
         s""""ref_single_ms":${CpuProbe.RefSingleMs},"ref_wide_ms":${CpuProbe.RefWideMs},""" +
@@ -457,6 +458,7 @@ object Bench {
         s""""tolerance_wide":${CpuProbe.ToleranceWide},""" +
         s""""ref_mini_ms":${CpuProbe.RefMiniMs},""" +
         s""""tolerance_mini":${CpuProbe.ToleranceMini},""" +
+        s""""ref_mem_ms":${CpuProbe.RefMemMs},""" +
         s""""ref_source":"${CpuProbe.RefSource}","host_cpus":${CpuProbe.HostCpus},""" +
         s""""clean":$probeClean,"readings":$readings}"""
     }

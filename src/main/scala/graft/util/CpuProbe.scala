@@ -83,11 +83,67 @@ object CpuProbe {
     } finally pool.shutdown()
   }
 
-  /** One labeled probe reading (single + wide). */
-  case class Reading(label: String, singleMs: Long, wideMs: Long)
+  /** Memory-bandwidth channel (round 13, observational): a probe-clean
+    * full pass measured every query uniformly ~1.4× slow while single,
+    * wide AND mini md5 readings all sat at reference — the md5 loop is
+    * compute-bound and cache-resident, so it cannot see the regime where
+    * the host's MEMORY BANDWIDTH is contended (Spark's scans, shuffles and
+    * hash tables are exactly that bound). This channel streams a shared
+    * 256 MB array with `threads` concurrent sequential scanners
+    * ([[MemPasses]] full-array passes per measured window = 8 GB of DRAM
+    * traffic, ~110 ms at this host's measured ~50 GB/s), min-of-2. It is RECORDED in
+    * the artifact next to the md5 channels but does NOT gate `clean` yet:
+    * the reference below is from one calibration session, and a
+    * false-dirty gate is worse than an observational column while the
+    * noise band is still being learned (BENCH_NOTES #77).
+    */
+  val MemWords: Int = 32 << 20 // 32M longs = 256 MB, far past any L3
+  val MemPasses = 32 // 8 GB of traffic per window: ~150 ms at this host's
+                     // measured ~50 GB/s — long enough to average scheduler
+                     // jitter that dominated an 8-pass (~40 ms) window
+  private lazy val memArr: Array[Long] = {
+    val a = new Array[Long](MemWords)
+    var i = 0
+    while (i < MemWords) { a(i) = i * 0x9E3779B97F4A7C15L; i += 1 }
+    a
+  }
+
+  private def memScan(lo: Int, hi: Int): Long = {
+    var acc = 0L
+    var p = 0
+    while (p < MemPasses) {
+      var i = lo
+      while (i < hi) { acc += memArr(i); i += 1 }
+      p += 1
+    }
+    acc
+  }
+
+  def memMs(threads: Int): Long = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      import scala.jdk.CollectionConverters._
+      val chunk = MemWords / threads
+      def jobs = (0 until threads).map { t =>
+        val lo = t * chunk
+        val hi = if (t == threads - 1) MemWords else lo + chunk
+        (() => memScan(lo, hi)): java.util.concurrent.Callable[Long]
+      }
+      // one warm pass: faults the array in / populates TLBs outside the window
+      pool.invokeAll(jobs.asJava).asScala.foreach(f => sink += f.get())
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        pool.invokeAll(jobs.asJava).asScala.foreach(f => sink += f.get())
+        (System.nanoTime() - t0) / 1000000
+      }.min
+    } finally pool.shutdown()
+  }
+
+  /** One labeled probe reading (single + wide md5, wide memory stream). */
+  case class Reading(label: String, singleMs: Long, wideMs: Long, memMs: Long)
 
   def read(label: String, threads: Int): Reading =
-    Reading(label, singleMs(), wideMs(threads))
+    Reading(label, singleMs(), wideMs(threads), memMs(threads))
 
   /** Quiet-host, IN-SITU reference readings for THIS container's CPU —
     * measured inside a Spark-hosting Bench JVM, the exact condition the
@@ -142,6 +198,12 @@ object CpuProbe {
   def RefMiniMs: Long = math.max(1L, RefSingleMs / 8)
   val ToleranceMini = 1.75
 
+  /** Quiet-host reference for the memory-bandwidth channel (observational —
+    * see [[memMs]]; env-overridable like the md5 refs). Calibrated in-situ
+    * round 13.
+    */
+  val RefMemMs = envMs("SPARK_GRAFT_PROBE_REF_MEM_MS", 110L)
+
   def miniMs(): Long = {
     sink += burn(MiniWork / 4) // warm outside the window
     (1 to 2).map { _ =>
@@ -178,7 +240,8 @@ object CpuProbe {
     val n = args.headOption.map(_.toInt).getOrElse(3)
     (1 to n).foreach { i =>
       val r = read(s"cal$i", threads)
-      println(s"reading $i: single=${r.singleMs} ms wide=${r.wideMs} ms")
+      println(s"reading $i: single=${r.singleMs} ms wide=${r.wideMs} ms " +
+        s"mem=${r.memMs} ms")
     }
   }
 }

@@ -103,4 +103,10 @@ class BenchTriageSpec extends AnyFunSuite {
     assert(Set("builtin", "env").contains(CpuProbe.RefSource))
     assert(CpuProbe.HostCpus > 0)
   }
+
+  test("memory-bandwidth channel measures (observational, non-gating)") {
+    val ms = CpuProbe.memMs(4)
+    assert(ms > 0)
+    assert(CpuProbe.RefMemMs > 0)
+  }
 }
