@@ -57,9 +57,14 @@ object Bench {
     *    window exceeds its tolerance (direct speed-of-light evidence);
     *  - heuristic: the round-12 burst signature — every task uniformly
     *    slow (max_task within 1.6x of the MEAN task, so no straggler to
-    *    blame), flat GC+JIT (< 20% of wall — not a pause or compile
-    *    storm), and wall >= 2x this query's baseline. Gated on >= 8 tasks
-    *    and >= 1 s wall so micro-query noise can't trip it.
+    *    blame), task work DOMINATING the window (summed task time >= the
+    *    wall, i.e. at least one core-equivalent busy — a driver-side-
+    *    dominated slow query has tiny task sums and must stay eligible
+    *    for gt2x as a real regression), flat GC+JIT (< 20% of wall — not
+    *    a pause or compile storm), and wall >= 2x this query's baseline.
+    *    Gated on >= 8 tasks and >= 1 s wall so micro-query noise can't
+    *    trip it. (The r12 burst run: 246.4 s of task time in a 21.7 s
+    *    window — the executor fleet was busy AND uniformly slow.)
     * Pure so the classification itself is spec-pinned, not just exercised.
     */
   def suspectRun(r: Run, baselineSecs: Option[Double]): Boolean = {
@@ -68,6 +73,7 @@ object Bench {
     val wallMs = r.secs * 1000.0
     val heuristic = r.tasks >= 8 && r.secs >= 1.0 &&
       r.maxTaskMs <= 1.6 * (r.taskSumMs.toDouble / r.tasks) &&
+      r.taskSumMs >= wallMs &&
       (r.gcMs + r.jitMs) < 0.2 * wallMs &&
       baselineSecs.exists(b => b > 0.0 && r.secs >= 2.0 * b)
     r.secs >= 0 && (probeHot || heuristic)

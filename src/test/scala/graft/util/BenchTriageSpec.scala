@@ -68,6 +68,15 @@ class BenchTriageSpec extends AnyFunSuite {
     assert(!Bench.suspectRun(burstRun(), Some(15.0)))
   }
 
+  test("a driver-side-dominated slow run is NOT suspect (tiny task sums " +
+    "stay eligible for gt2x as real regressions)") {
+    // wall 3 s at 2x baseline, but only 0.4 s of summed task time: the
+    // executors were idle — whatever is slow, it isn't a fleet-wide
+    // throttle stretching task walls
+    val driverBound = Run(3.0, 50, 50, 40, 12, 420, -1, -1)
+    assert(!Bench.suspectRun(driverBound, Some(1.2)))
+  }
+
   test("micro-query guards: < 8 tasks or < 1 s wall never trip the heuristic") {
     assert(!Bench.suspectRun(burstRun().copy(tasks = 4, taskSumMs = 30800),
       Some(2.26)))
