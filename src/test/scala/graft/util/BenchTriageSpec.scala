@@ -118,4 +118,45 @@ class BenchTriageSpec extends AnyFunSuite {
     assert(ms > 0)
     assert(CpuProbe.RefMemMs > 0)
   }
+
+  // --- pass-level clean() gate boundaries (previously smoke-covered only)
+
+  private def rd(single: Long, wide: Long): CpuProbe.Reading =
+    CpuProbe.Reading("t", single, wide, memMs = 100)
+
+  test("clean(): readings at the references certify") {
+    val rs = Seq(rd(CpuProbe.RefSingleMs, CpuProbe.RefWideMs),
+      rd(CpuProbe.RefSingleMs, CpuProbe.RefWideMs))
+    assert(CpuProbe.clean(rs))
+  }
+
+  test("clean(): one reading past its absolute ceiling fails the pass " +
+    "(uniform throttle from query one has low drift but high absolutes)") {
+    val hotSingle = (CpuProbe.RefSingleMs * CpuProbe.ToleranceSingle).toLong + 1
+    assert(!CpuProbe.clean(Seq(rd(hotSingle, CpuProbe.RefWideMs))))
+    val hotWide = (CpuProbe.RefWideMs * CpuProbe.ToleranceWide).toLong + 1
+    assert(!CpuProbe.clean(Seq(rd(CpuProbe.RefSingleMs, hotWide))))
+  }
+
+  test("clean(): within-pass drift past tolerance fails even under the " +
+    "absolute ceilings") {
+    // both readings individually under the single ceiling, but the pass
+    // drifted more than ToleranceSingle between them
+    val lo = 500L
+    val hi = (lo * CpuProbe.ToleranceSingle).toLong + 10
+    assert(hi <= CpuProbe.RefSingleMs * CpuProbe.ToleranceSingle)
+    assert(!CpuProbe.clean(Seq(rd(lo, CpuProbe.RefWideMs),
+      rd(hi, CpuProbe.RefWideMs))))
+  }
+
+  test("clean(): no readings can never certify") {
+    assert(!CpuProbe.clean(Seq.empty))
+  }
+
+  test("clean(): the mem channel is observational — an elevated mem " +
+    "reading alone does not (yet) fail the gate") {
+    val r = CpuProbe.Reading("t", CpuProbe.RefSingleMs, CpuProbe.RefWideMs,
+      memMs = CpuProbe.RefMemMs * 10)
+    assert(CpuProbe.clean(Seq(r)))
+  }
 }
