@@ -43,18 +43,32 @@ object Bench {
   // artifact).
 
   /** One measured execution: wall seconds plus the window's GC/JIT deltas,
-    * the longest task, the task count/sum (uniform-slowdown channel), and
-    * the mini-probe readings taken just outside the window (-1 = not
-    * probed). secs < 0 marks a failed run.
+    * the longest task, the task count/sum (uniform-slowdown channel), the
+    * mini-probe readings taken just outside the window (-1 = not probed),
+    * and (round 14) the memory-bandwidth readings taken alongside them —
+    * the md5 minis cannot see the ~1.2–2× bandwidth-contention regime
+    * (BENCH_NOTES #77), so the early tier's runs carry both channels. The
+    * mem readings are observational at run granularity (the pass-level
+    * CpuProbe.memVerdict is what gates gt2x diversion); they exist so a
+    * contended run is attributable WITHIN the artifact, per-run, next
+    * round's calibration data included. secs < 0 marks a failed run.
     */
   case class Run(secs: Double, gcMs: Long, jitMs: Long, maxTaskMs: Long,
-      tasks: Long, taskSumMs: Long, probeBeforeMs: Long, probeAfterMs: Long)
+      tasks: Long, taskSumMs: Long, probeBeforeMs: Long, probeAfterMs: Long,
+      memBeforeMs: Long = -1L, memAfterMs: Long = -1L)
 
   /** Per-run throttle attribution (BENCH_NOTES #76): a run is SUSPECT —
     * likely measured through a host throttle burst rather than its plan —
     * when either channel fires:
-    *  - probe-hot: a mini-probe reading taken just outside the run's
-    *    window exceeds its tolerance (direct speed-of-light evidence);
+    *  - probe-hot AND the run itself came out slow: a mini-probe reading
+    *    taken just outside the run's window exceeds its tolerance (direct
+    *    speed-of-light evidence) — but a FAST run next to a jittery probe
+    *    evidently wasn't throttled, and excluding it would discard the
+    *    best sample and bias the min-tier headline upward (round-13
+    *    ADVICE). "Slow" = ≥1.5× the prior-round baseline when one exists,
+    *    else ≥1.5× the fastest sibling run in this sample; with neither
+    *    reference the probe keeps its original unconditional authority
+    *    (conservative: no evidence the run was fast);
     *  - heuristic: the round-12 burst signature — every task uniformly
     *    slow (max_task within 1.6x of the MEAN task, so no straggler to
     *    blame), task work DOMINATING the window (summed task time >= the
@@ -67,16 +81,22 @@ object Bench {
     *    window — the executor fleet was busy AND uniformly slow.)
     * Pure so the classification itself is spec-pinned, not just exercised.
     */
-  def suspectRun(r: Run, baselineSecs: Option[Double]): Boolean = {
+  def suspectRun(r: Run, baselineSecs: Option[Double],
+      fastestSiblingSecs: Option[Double] = None): Boolean = {
     val probeHot = graft.util.CpuProbe.miniHot(r.probeBeforeMs) ||
       graft.util.CpuProbe.miniHot(r.probeAfterMs)
+    // forall: with no baseline AND no sibling the probe's verdict stands
+    // unconditioned, as before round 14.
+    val runSlow = baselineSecs.filter(_ > 0.0)
+      .orElse(fastestSiblingSecs.filter(_ > 0.0))
+      .forall(ref => r.secs >= 1.5 * ref)
     val wallMs = r.secs * 1000.0
     val heuristic = r.tasks >= 8 && r.secs >= 1.0 &&
       r.maxTaskMs <= 1.6 * (r.taskSumMs.toDouble / r.tasks) &&
       r.taskSumMs >= wallMs &&
       (r.gcMs + r.jitMs) < 0.2 * wallMs &&
       baselineSecs.exists(b => b > 0.0 && r.secs >= 2.0 * b)
-    r.secs >= 0 && (probeHot || heuristic)
+    r.secs >= 0 && ((probeHot && runSlow) || heuristic)
   }
 
   /** The chosen central tendency over a (possibly suspect-filtered) sample:
@@ -207,9 +227,15 @@ object Bench {
         override def onTaskEnd(
             t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
           if (t.taskInfo != null) {
+            // count LAST: the settle below polls the count, and a
+            // sub-millisecond task (common in local mode) moves the sum by
+            // 0 — settling on the sum could return with max/count updates
+            // still in flight (round-13 ADVICE). Every event moves the
+            // count by exactly 1, and by the time it does, its own
+            // max/sum updates are already published.
             maxTaskMs.getAndAccumulate(t.taskInfo.duration, math.max)
-            taskCount.incrementAndGet()
             totalTaskMs.addAndGet(t.taskInfo.duration)
+            taskCount.incrementAndGet()
           }
       })
     // The listener bus is asynchronous: the straggler task this channel
@@ -218,9 +244,10 @@ object Bench {
     // next run's window. Settle-poll (graft.util.Poll, shared with the
     // stress harness's listener), OUTSIDE the measured window; short
     // cadence because this runs once per measured run. Settling on the
-    // SUM settles the count and max too (every event moves the sum).
+    // COUNT settles the max and sum too (each event publishes those
+    // before its count increment — see the listener comment).
     def settleTasks(): Unit = {
-      graft.util.Poll.settled(() => totalTaskMs.get(), 20, 50); ()
+      graft.util.Poll.settled(() => taskCount.get(), 20, 50); ()
     }
 
 
@@ -310,10 +337,12 @@ object Bench {
         // Mini-probe policy: the iterative/graph tier (the documented burst
         // victims — every false "regression" in the round-12 driver
         // artifact was one of these) gets a reading before AND after every
-        // measured run. Everything else gets an after-reading only when
-        // the run came out slow (>= 2x baseline, or >= 2 s without one) —
-        // attribution on demand, ~0 cost on a clean pass. All probes sit
-        // OUTSIDE the measured window.
+        // measured run — since round 14 on BOTH channels (md5 mini for the
+        // 3-10x burst regime, mem stream for the 1.2-2x bandwidth regime;
+        // same ~100ms cost class each). Everything else gets after-readings
+        // only when the run came out slow (>= 2x baseline, or >= 2 s
+        // without one) — attribution on demand, ~0 cost on a clean pass.
+        // All probes sit OUTSIDE the measured window.
         val probeRun = early.contains(name)
         def oneRun(measured: Boolean): Option[Run] = {
           // Before each run (outside the measured window): drop dead
@@ -328,6 +357,9 @@ object Bench {
           System.gc()
           val pb = if (measured && probeRun) graft.util.CpuProbe.miniMs()
             else -1L
+          val mb = if (measured && probeRun)
+            graft.util.CpuProbe.memMs(graft.util.CpuProbe.RefThreads)
+            else -1L
           val (gc0, jit0) = (gcMs(), jitMs())
           maxTaskMs.set(0L); taskCount.set(0L); totalTaskMs.set(0L)
           val t0 = System.nanoTime()
@@ -339,8 +371,11 @@ object Bench {
               .map(b => wall >= 2.0 * b).getOrElse(wall >= 2.0)
             val pa = if (measured && (probeRun || slow))
               graft.util.CpuProbe.miniMs() else -1L
+            val ma = if (measured && (probeRun || slow))
+              graft.util.CpuProbe.memMs(graft.util.CpuProbe.RefThreads)
+              else -1L
             Some(Run(wall, gcMs() - gc0, jitMs() - jit0, maxTaskMs.get(),
-              taskCount.get(), totalTaskMs.get(), pb, pa))
+              taskCount.get(), totalTaskMs.get(), pb, pa, mb, ma))
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
@@ -362,7 +397,14 @@ object Bench {
               .getOrElse(Run(-1.0, 0, 0, 0, 0, 0, -1, -1)))
           else None
         val runs = (1 to nRuns).flatMap(_ => oneRun(measured = true))
-        val suspect = runs.map(r => suspectRun(r, baseline.get(name)))
+        // The probe-hot channel's "run also slow" reference (see
+        // [[suspectRun]]): prior-round baseline when one exists, else the
+        // fastest OTHER run of this sample.
+        val suspect = runs.map { r =>
+          val sib = runs.filter(o => !(o eq r)).map(_.secs).filter(_ >= 0)
+          suspectRun(r, baseline.get(name),
+            if (sib.isEmpty) None else Some(sib.min))
+        }
         val clean = runs.zip(suspect).collect { case (r, false) => r }
         // Chosen stat prefers the clean sample; if EVERY run is suspect the
         // all-runs stat is reported with a "_suspect" stat suffix — a
@@ -434,7 +476,9 @@ object Bench {
         s""""tasks":[${q.runs.map(_.tasks).mkString(",")}],""" +
         s""""task_sum_ms":[${q.runs.map(_.taskSumMs).mkString(",")}],""" +
         s""""probe_ms":[${q.runs.map(r =>
-          s"[${r.probeBeforeMs},${r.probeAfterMs}]").mkString(",")}]$warmField}"""
+          s"[${r.probeBeforeMs},${r.probeAfterMs}]").mkString(",")}],""" +
+        s""""mem_ms":[${q.runs.map(r =>
+          s"[${r.memBeforeMs},${r.memAfterMs}]").mkString(",")}]$warmField}"""
     }.mkString("{\n", ",\n", "\n}")
     val failedNames = results.collect { case q if q.secs < 0 => q.name }
     // A failed query must POISON the headline number: excluding it would
@@ -453,6 +497,10 @@ object Bench {
     val probeSeq = probes.toSeq
     val p1 = probeSeq.filter(_.label.startsWith("p1_"))
     val probeClean = CpuProbe.clean(p1)
+    // The bandwidth-regime verdict (round-14 graduation, round-13 verdict
+    // #1): three-valued over pass 1's mem readings. Load-bearing below —
+    // a non-clean verdict diverts sub-3x gt2x entries to gt2x_regime.
+    val memVerdict = CpuProbe.memVerdict(p1)
     val probeJson = {
       val readings = probeSeq.map(r =>
         s"""{"label":"${r.label}","single_ms":${r.singleMs},""" +
@@ -465,8 +513,10 @@ object Bench {
         s""""ref_mini_ms":${CpuProbe.RefMiniMs},""" +
         s""""tolerance_mini":${CpuProbe.ToleranceMini},""" +
         s""""ref_mem_ms":${CpuProbe.RefMemMs},""" +
+        s""""tolerance_mem":${CpuProbe.ToleranceMem},""" +
+        s""""mem_dirty_factor":${CpuProbe.MemDirtyFactor},""" +
         s""""ref_source":"${CpuProbe.RefSource}","host_cpus":${CpuProbe.HostCpus},""" +
-        s""""clean":$probeClean,"readings":$readings}"""
+        s""""clean":$probeClean,"mem":"$memVerdict","readings":$readings}"""
     }
 
     // Ratio summary vs the baseline artifact (if one was readable): median
@@ -477,8 +527,15 @@ object Bench {
     // r12 driver gt2x named 8 queries, 8-for-8 burst false-positives —
     // a list that cries wolf on its first outing trains readers to ignore
     // it): a query whose chosen stat had to include suspect runs goes to
-    // `gt2x_suspect` (the burst is named, not the plan); `gt2x` itself
-    // lists only queries slow on a clean sample — genuine regressions.
+    // `gt2x_suspect` (the burst is named, not the plan). Round 14 adds the
+    // second regime's gate (round-13 verdict #1: the r13 driver pass named
+    // 7 gt2x "regressions", 7-for-7 bandwidth-contention environmental):
+    // when the pass-level mem verdict is not clean, entries below 3x go to
+    // `gt2x_regime` — the uniform-contention regime inflates everything
+    // 1.2-2x, so a sub-3x ratio under it names the regime, not the plan;
+    // a >=3x ratio exceeds what that regime produces and stays a real
+    // finding even on a contended pass. `gt2x` itself lists only queries
+    // slow on a clean sample under a clean regime — genuine regressions.
     val statByName = results.map(q => q.name -> q.stat).toMap
     val ratios = results.flatMap { q =>
       baseline.get(q.name).filter(_ > 0.0)
@@ -492,11 +549,16 @@ object Bench {
       else {
         val med = ratios(ratios.size / 2)._2
         val p90 = ratios((ratios.size * 9) / 10 min (ratios.size - 1))._2
-        val (sus2x, gt2x) = ratios.filter(_._2 > 2.0)
+        val (sus2x, rest) = ratios.filter(_._2 > 2.0)
           .partition { case (n, _) => statByName(n).endsWith("_suspect") }
+        val (regime2x, gt2x) = rest.partition { case (_, ratio) =>
+          memVerdict != "clean" && ratio < 3.0
+        }
         s"""{"file":"${baselinePath.get}","n":${ratios.size},""" +
           s""""median_ratio":${fmt(med)},"p90_ratio":${fmt(p90)},""" +
+          s""""mem_regime":"$memVerdict",""" +
           s""""gt2x":[${gt2x.map("\"" + _._1 + "\"").mkString(",")}],""" +
+          s""""gt2x_regime":[${regime2x.map("\"" + _._1 + "\"").mkString(",")}],""" +
           s""""gt2x_suspect":[${sus2x.map("\"" + _._1 + "\"").mkString(",")}]}"""
       }
 
@@ -554,7 +616,7 @@ object Bench {
     val suspectJs = suspectNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val lineBudget = 1600
     val fixedLen =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"omitted":000,"probe_clean":$probeClean,"suspect":$suspectJs,"queries":{},"failed":$failed,"flaky":$flaky,"artifact":"$outFile","sf":"$sfDir"}""".length
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"omitted":000,"probe_clean":$probeClean,"probe_mem":"$memVerdict","suspect":$suspectJs,"queries":{},"failed":$failed,"flaky":$flaky,"artifact":"$outFile","sf":"$sfDir"}""".length
     val entries = results
       .sortBy(q => -q.secs) // failed (-1) sort last
       .map(q => "\"" + q.name + "\":" + fmt(q.secs))
@@ -565,7 +627,7 @@ object Bench {
       ok
     }
     val qs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"omitted":${results.size - kept.size},"probe_clean":$probeClean,"suspect":$suspectJs,"queries":$qs,"failed":$failed,"flaky":$flaky,"artifact":"$outFile","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"omitted":${results.size - kept.size},"probe_clean":$probeClean,"probe_mem":"$memVerdict","suspect":$suspectJs,"queries":$qs,"failed":$failed,"flaky":$flaky,"artifact":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -83,24 +83,38 @@ object CpuProbe {
     } finally pool.shutdown()
   }
 
-  /** Memory-bandwidth channel (round 13, observational): a probe-clean
-    * full pass measured every query uniformly ~1.4× slow while single,
-    * wide AND mini md5 readings all sat at reference — the md5 loop is
-    * compute-bound and cache-resident, so it cannot see the regime where
-    * the host's MEMORY BANDWIDTH is contended (Spark's scans, shuffles and
-    * hash tables are exactly that bound). This channel streams a shared
-    * 256 MB array with `threads` concurrent sequential scanners
-    * ([[MemPasses]] full-array passes per measured window = 8 GB of DRAM
-    * traffic, ~110 ms at this host's measured ~50 GB/s), min-of-2. It is RECORDED in
-    * the artifact next to the md5 channels but does NOT gate `clean` yet:
-    * the reference below is from one calibration session, and a
-    * false-dirty gate is worse than an observational column while the
-    * noise band is still being learned (BENCH_NOTES #77).
+  /** Memory-bandwidth channel (round 13, graduated to load-bearing in
+    * round 14): a probe-clean full pass measured every query uniformly
+    * ~1.4× slow while single, wide AND mini md5 readings all sat at
+    * reference — the md5 loop is compute-bound and cache-resident, so it
+    * cannot see the regime where the host's MEMORY BANDWIDTH is contended
+    * (Spark's scans, shuffles and hash tables are exactly that bound).
+    * This channel streams a shared 256 MB array with `threads` concurrent
+    * sequential scanners ([[MemPasses]] full-array passes per measured
+    * window = 8 GB of DRAM traffic; the quiet-host reference is the
+    * MEASURED 110 ms, which implies ~73 GB/s effective bandwidth on this
+    * host), min-of-2.
+    *
+    * The channel still does not gate `clean` (the md5 channels own the
+    * 3–10× burst regime), but since round 14 it carries its own
+    * three-valued verdict ([[memVerdict]]) which `Bench` uses to divert
+    * bandwidth-regime gt2x false positives — the r13 driver pass named 7
+    * "regressions", 7-for-7 environmental, in exactly this regime.
     */
   val MemWords: Int = 32 << 20 // 32M longs = 256 MB, far past any L3
-  val MemPasses = 32 // 8 GB of traffic per window: ~150 ms at this host's
-                     // measured ~50 GB/s — long enough to average scheduler
-                     // jitter that dominated an 8-pass (~40 ms) window
+  val MemPasses = 32 // 8 GB of traffic per window: ~110 ms measured on this
+                     // quiet host (=> ~73 GB/s effective) — long enough to
+                     // average scheduler jitter that dominated an 8-pass
+                     // (~28 ms) window
+  /** Deliberately a PERMANENT 256 MB live array (round-14 ADVICE
+    * adjudication): per-reading allocate/null was considered and rejected —
+    * with per-run mem readings riding the early tier (round 14), that would
+    * churn ~256 MB of humongous allocations per reading straight through
+    * the old gen, a bigger GC perturbation than a fixed, never-moving block
+    * the heap is sized for (the bench JVM runs at -Xmx 24g per build.sbt —
+    * the block is ~1% of heap; the delta is noted in BENCH_NOTES #80 for
+    * round-over-round gc_ms comparability).
+    */
   private lazy val memArr: Array[Long] = {
     val a = new Array[Long](MemWords)
     var i = 0
@@ -198,11 +212,58 @@ object CpuProbe {
   def RefMiniMs: Long = math.max(1L, RefSingleMs / 8)
   val ToleranceMini = 1.75
 
-  /** Quiet-host reference for the memory-bandwidth channel (observational —
-    * see [[memMs]]; env-overridable like the md5 refs). Calibrated in-situ
-    * round 13.
+  /** Quiet-host reference for the memory-bandwidth channel (see [[memMs]];
+    * env-overridable like the md5 refs). Calibrated in-situ round 13.
     */
   val RefMemMs = envMs("SPARK_GRAFT_PROBE_REF_MEM_MS", 110L)
+
+  /** Band edges for [[memVerdict]], from the round-13 in-artifact
+    * calibration (BENCH_NOTES #77/#79 + the r13 driver pass, the worked
+    * example this graduation exists for): every QUIET reading on record is
+    * 75–87 ms (0.68–0.79× of RefMemMs=110); induced bandwidth contention
+    * read 155–225 ms (#77); the exogenous storm 1102–1217 ms (#79); and
+    * the r13 driver pass — median query ratio 1.142, 7 false gt2x names —
+    * read 79/80/148: its WORST reading is only 1.345×, under the 1.5×
+    * edge first suggested, so a 1.5× absolute-only rule would have
+    * certified the exact pass this verdict must catch. Hence two terms,
+    * mirroring the md5 `clean()` design:
+    *  - absolute: 1.3× (143 ms) — 1.64× headroom above the observed quiet
+    *    maximum (87 ms), and below the mildest contended reading on
+    *    record (148 ms);
+    *  - drift: max/min ≤ 1.3 within the pass — the r13 driver pass's
+    *    signature was the regime ARRIVING mid-pass (79 → 148, a 1.87×
+    *    drift), visible even when the absolute max sits near the edge.
+    * The dirty edge (5×) separates the storm regime (10–14×) from mere
+    * contention (1.4–2×) with two-sided headroom.
+    */
+  val ToleranceMem = 1.3
+  val MemDirtyFactor = 5.0
+
+  /** Three-valued verdict over a pass's mem readings — the graduation the
+    * round-13 verdict ordered. "clean": every reading within
+    * [[ToleranceMem]]× of [[RefMemMs]] AND within-pass drift ≤
+    * [[ToleranceMem]] — the md5-certified numbers are bandwidth-trustworthy
+    * too. "elevated": the contention regime (uniform ~1.2–2× query
+    * inflation); absolute times are inflated and sub-3× baseline ratios
+    * are regime, not regression (Bench diverts them to `gt2x_regime`).
+    * "dirty": a reading past 5× — the storm regime; nothing measured under
+    * it is usable.
+    */
+  def memVerdict(rs: Seq[Reading]): String =
+    if (rs.isEmpty) "unknown"
+    else {
+      val ms = rs.map(_.memMs.toDouble)
+      if (ms.max > RefMemMs * MemDirtyFactor) "dirty"
+      else if (ms.max <= RefMemMs * ToleranceMem &&
+        ms.max / ms.min <= ToleranceMem) "clean"
+      else "elevated"
+    }
+
+  /** Is a single mem reading elevated (per-run attribution for the early
+    * tier — observational at run granularity; the pass-level [[memVerdict]]
+    * is what gates). -1 (not probed) is never elevated.
+    */
+  def memHot(ms: Long): Boolean = ms > RefMemMs * ToleranceMem
 
   def miniMs(): Long = {
     sink += burn(MiniWork / 4) // warm outside the window

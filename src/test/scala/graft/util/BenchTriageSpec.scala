@@ -27,13 +27,38 @@ class BenchTriageSpec extends AnyFunSuite {
     assert(Bench.suspectRun(burstRun(), Some(2.26)))
   }
 
-  test("a hot mini-probe reading is suspect regardless of run shape") {
+  test("a hot mini-probe reading next to a SLOW run is suspect regardless " +
+    "of run shape") {
     // straggler shape (max >> mean task) that the heuristic would pass,
-    // but the probe saw the host throttled just outside the window
+    // but the probe saw the host throttled just outside the window and the
+    // run came out 4x its baseline
     val straggler = Run(4.0, 100, 100, 3500, 32, 4400, hotMs, -1)
     assert(Bench.suspectRun(straggler, Some(1.0)))
     val hotAfter = Run(4.0, 100, 100, 3500, 32, 4400, -1, hotMs)
     assert(Bench.suspectRun(hotAfter, Some(1.0)))
+  }
+
+  test("a hot probe next to a FAST run is NOT suspect (round-13 ADVICE: " +
+    "a fast run evidently wasn't throttled; excluding it would discard " +
+    "the best sample and bias the min-tier headline upward)") {
+    // at baseline — under the 1.5x slow edge
+    val fast = Run(1.0, 100, 100, 200, 32, 3000, hotMs, hotMs)
+    assert(!Bench.suspectRun(fast, Some(1.0)))
+    // no baseline, but the fastest sibling says this run was the fast one
+    assert(!Bench.suspectRun(fast, None, Some(1.2)))
+  }
+
+  test("probe-hot slow edge: baseline preferred, sibling fallback, " +
+    "unconditional with neither") {
+    val r = Run(3.0, 100, 100, 200, 32, 9000, hotMs, -1)
+    assert(Bench.suspectRun(r, Some(1.0)))        // 3x baseline: slow
+    assert(!Bench.suspectRun(r, Some(2.5)))       // 1.2x baseline: fast
+    assert(Bench.suspectRun(r, None, Some(1.0)))  // 3x sibling: slow
+    assert(!Bench.suspectRun(r, None, Some(2.5))) // 1.2x sibling: fast
+    // no reference at all: the probe keeps its original authority
+    assert(Bench.suspectRun(r, None, None))
+    // a failed (-1) baseline/sibling entry is no reference
+    assert(Bench.suspectRun(r, Some(0.0), None))
   }
 
   test("a cool probed run with a straggler is NOT suspect") {
@@ -153,10 +178,57 @@ class BenchTriageSpec extends AnyFunSuite {
     assert(!CpuProbe.clean(Seq.empty))
   }
 
-  test("clean(): the mem channel is observational — an elevated mem " +
-    "reading alone does not (yet) fail the gate") {
+  test("clean(): the mem channel does not gate clean() — it carries its " +
+    "own three-valued verdict (memVerdict) instead") {
     val r = CpuProbe.Reading("t", CpuProbe.RefSingleMs, CpuProbe.RefWideMs,
       memMs = CpuProbe.RefMemMs * 10)
     assert(CpuProbe.clean(Seq(r)))
+  }
+
+  // --- memVerdict band edges (round-14 graduation, round-13 verdict #1)
+
+  private def mem(ms: Long*): Seq[CpuProbe.Reading] =
+    ms.map(m => CpuProbe.Reading("t", CpuProbe.RefSingleMs,
+      CpuProbe.RefWideMs, memMs = m))
+
+  test("memVerdict: every quiet reading on record is clean (75-87 ms)") {
+    assert(CpuProbe.memVerdict(mem(75, 80, 87)) == "clean")
+    assert(CpuProbe.memVerdict(mem(CpuProbe.RefMemMs)) == "clean")
+  }
+
+  test("memVerdict: the r13 driver pass (79/80/148 — 7 false gt2x names) " +
+    "is elevated, the worked example this verdict exists to catch") {
+    assert(CpuProbe.memVerdict(mem(79, 80, 148)) == "elevated")
+  }
+
+  test("memVerdict: induced-contention readings (155-225, BENCH_NOTES " +
+    "#77) are elevated on the absolute edge alone") {
+    assert(CpuProbe.memVerdict(mem(155, 225)) == "elevated")
+    assert(CpuProbe.memVerdict(mem(160)) == "elevated")
+  }
+
+  test("memVerdict: drift term — readings individually under the absolute " +
+    "edge but drifting past tolerance within the pass are elevated " +
+    "(the regime arriving mid-pass, the r13 signature)") {
+    val edge = (CpuProbe.RefMemMs * CpuProbe.ToleranceMem).toLong // 143
+    assert(CpuProbe.memVerdict(mem(80, edge)) == "elevated") // 1.79x drift
+    assert(CpuProbe.memVerdict(mem(edge, edge)) == "clean")  // no drift
+  }
+
+  test("memVerdict: the exogenous storm regime (1102-1217, BENCH_NOTES " +
+    "#79) is dirty") {
+    assert(CpuProbe.memVerdict(mem(80, 80, 1102)) == "dirty")
+  }
+
+  test("memVerdict: no readings is unknown, never clean") {
+    assert(CpuProbe.memVerdict(Seq.empty) == "unknown")
+  }
+
+  test("memHot: per-run mem attribution uses the same clean edge; " +
+    "-1 (not probed) is never hot") {
+    assert(!CpuProbe.memHot(-1L))
+    assert(!CpuProbe.memHot(CpuProbe.RefMemMs))
+    assert(CpuProbe.memHot(
+      (CpuProbe.RefMemMs * CpuProbe.ToleranceMem).toLong + 1))
   }
 }
