@@ -105,6 +105,23 @@ object Pg {
     @volatile private var _serverMajor: Int = -1
     def serverMajor: Int = _serverMajor
 
+    /** [[serverMajor]], falling back to `SHOW server_version_num` over this
+      * connection when the startup ParameterStatus didn't carry a version —
+      * a pooler/proxy that doesn't forward ParameterStatus must not fail a
+      * plan the server itself can answer for (round-13 ADVICE). The numeric
+      * form is `major*10000 + minor` from PostgreSQL 10 on (and
+      * `major*10000 + minor*100 + patch` before, where integer division by
+      * 10000 still yields the major). Still -1 if the server answers
+      * nothing parseable — the caller's fail-loud floor then applies.
+      */
+    def serverMajorResolved: Int =
+      if (_serverMajor >= 0) _serverMajor
+      else try {
+        query("SHOW server_version_num")
+          .headOption.flatMap(_.headOption.flatten)
+          .flatMap(_.trim.toIntOption).map(_ / 10000).getOrElse(-1)
+      } catch { case _: java.io.IOException => -1 }
+
     // Startup: protocol 3.0, user + database, then drain to ReadyForQuery.
     // Trust auth answers AuthenticationOk (code 0) immediately; any other
     // auth request is refused loudly — silently mis-answering SCRAM would
@@ -429,10 +446,12 @@ object Pg {
     // Numeric-exact epoch extraction (the timestamp render below) holds
     // only on PostgreSQL >= 14 — fail loudly at plan time on an older
     // server instead of corrupting microseconds row by row. One driver-side
-    // probe connection; the executors talk to the same server.
+    // probe connection; the executors talk to the same server. Resolved
+    // (not bare) major: a server behind ParameterStatus-stripping
+    // middleware gets one SHOW round-trip before being rejected.
     if (schema.fields.exists(_.dataType == TimestampType)) {
       val probe = target.connect()
-      val major = try probe.serverMajor finally probe.close()
+      val major = try probe.serverMajorResolved finally probe.close()
       require(major >= 14,
         s"readPartitioned needs PostgreSQL >= 14 for numeric-exact " +
           "extract(epoch from timestamp); server reported major " +

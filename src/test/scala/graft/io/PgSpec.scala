@@ -56,6 +56,13 @@ class PgSpec extends SparkSpec {
         // this field — it must be populated, and on this image it's PG 15
         assert(conn.serverMajor >= 14,
           s"server_version not captured at startup (got ${conn.serverMajor})")
+        // resolved path agrees with the startup capture, and the SHOW
+        // fallback it would use on ParameterStatus-stripping middleware
+        // parses to the same major on the real wire (150004 / 10000 = 15)
+        assert(conn.serverMajorResolved == conn.serverMajor)
+        assert(conn.query("SHOW server_version_num").head.head
+          .flatMap(_.trim.toIntOption).map(_ / 10000)
+          .contains(conn.serverMajor))
       } finally conn.close()
     }
   }
