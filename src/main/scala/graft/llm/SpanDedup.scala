@@ -85,14 +85,36 @@ object SpanDedup {
     * each document's novelty is the fraction of its spans not seen in any
     * earlier document. The dataset-growth signal: novelty permille falling
     * over ingestion time means the crawl is re-reading the same web.
-    * Same span substrate as [[spanDedup]]; the only extra work is a
-    * min(doc_id) per span instead of a count — still one aggregate + one
-    * join back, no ordering anywhere.
+    *
+    * Single-substrate form (round 14, BENCH_NOTES #80): the natural
+    * DISTINCT + min-per-span + join-back shape made Catalyst DUPLICATE the
+    * scan+explode subtree — the distinct side aggregates on (doc_id, span)
+    * while the optimizer pushes plain min(doc_id) THROUGH the distinct on
+    * the other side, so the two consumers share no exchange and the corpus
+    * is tokenized TWICE (DebugPlan at sf0.1: two single-task ~600 ms
+    * explode stages per run, ~3 s each cold — and at 100 TB, two full
+    * corpus scans of the dominant stage). This form derives both answers
+    * from ONE distinct substrate with no join-back on span at all:
+    *  - n_spans(doc)  = count over the distinct (doc, span) rows;
+    *  - n_novel(doc)  = |{span : first_doc(span) = doc}| — a count over
+    *    the TINY per-span min aggregate, grouped by its value, instead of
+    *    joining it back against every (doc, span) row;
+    * then one doc-level left join (novel-less docs get 0) that AQE
+    * broadcasts. first_doc uses min_by(doc_id, doc_id) — semantically
+    * min — because plain min is pushed through the distinct by the
+    * optimizer, splitting the subtrees again; min_by keeps both consumers
+    * on the IDENTICAL distinct exchange, which AQE then ReuseExchange-s:
+    * one parquet scan, verified by NoveltySpec's plan-shape test and the
+    * DebugPlan stage profile (one ~600 ms explode stage, not two).
+    * Everything downstream is hash aggregates with scalar payloads —
+    * skew-safe at 100 TB (a collect_set-of-holders variant was measured
+    * similar locally but materializes a boilerplate span's full holder
+    * list on one reducer; rejected). Deliberately NOT widened —
+    * BENCH_NOTES #68 (b+c): fusing this explode into a 32-wide stage
+    * multiplied pre-C2 first-run cost for a ~0.2 s steady-state win.
     */
   def novelty(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // Deliberately NOT widened — same first-execution-cost measurement as
-    // [[spanDedup]]; see the note there.
     val sp = Tables.documents(spark, dir)
       .select($"doc_id", split(lower($"text"), " ").as("toks"))
       .filter(size($"toks") >= SpanK)
@@ -100,14 +122,18 @@ object SpanDedup {
         s"""transform(sequence(1, size(toks) - ${SpanK - 1}),
            |          i -> array_join(slice(toks, i, $SpanK), ' '))"""
           .stripMargin)).as("span"))
-      .distinct()
-    val firstSeen = sp.groupBy($"span").agg(min($"doc_id").as("first_doc"))
-    sp.join(firstSeen, "span")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
-      .select($"doc_id", $"n_spans", $"n_novel",
-        expr("n_novel * 1000 div n_spans").as("novelty_permille"))
+    val distinctSpans = sp.distinct()
+    val nSpans = distinctSpans.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"))
+    val nNovel = distinctSpans.groupBy($"span")
+      .agg(min_by($"doc_id", $"doc_id").as("first_doc"))
+      .groupBy($"first_doc").agg(count(lit(1)).as("n_novel"))
+      .withColumnRenamed("first_doc", "doc_id")
+    nSpans.join(nNovel, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_spans",
+        coalesce($"n_novel", lit(0L)).as("n_novel"),
+        expr("coalesce(n_novel, 0L) * 1000 div n_spans")
+          .as("novelty_permille"))
       .orderBy($"doc_id")
   }
 

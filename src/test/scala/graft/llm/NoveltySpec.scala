@@ -25,6 +25,25 @@ class NoveltySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("single-substrate plan: the span explode runs ONCE (AQE reuses the " +
+    "distinct exchange; min_by blocks the min-through-distinct pushdown " +
+    "that split the subtrees — see the novelty scaladoc + BENCH_NOTES #80)") {
+    val df = SpanDedup.novelty(spark, dir)
+    // collect() (not a write) so execution finalizes THIS frame's own
+    // QueryExecution — a write plans a separate one and leaves this plan
+    // un-finalized (isFinalPlan=false, pre-reuse). After execution the
+    // adaptive plan is final; a reused exchange means the scan+explode
+    // subtree was shared instead of recomputed. If a future Spark version
+    // learns to push min_by through the distinct, this re-splits into two
+    // scans and must resurface here loudly.
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1 || plan.contains("ReusedExchange"),
+      s"expected a shared span substrate (1 scan or a ReusedExchange); " +
+        s"got $scans scans and no reuse:\n$plan")
+  }
+
   test("the earliest document is fully novel; novelty and dup-share agree") {
     val nov = SpanDedup.novelty(spark, dir)
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
