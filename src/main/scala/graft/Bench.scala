@@ -99,6 +99,30 @@ object Bench {
     r.secs >= 0 && ((probeHot && runSlow) || heuristic)
   }
 
+  /** Should a >2x-vs-baseline entry be diverted to `gt2x_regime` — named as
+    * bandwidth-regime fallout rather than a plan regression? Two evidence
+    * tiers (round 14; the second added after this round's first pass became
+    * the worked example one level down from r13's):
+    *  - pass-level: the pass's 3-point mem verdict is not clean and the
+    *    ratio is under 3x (the uniform 1.2-2x regime can't produce more);
+    *  - per-query: ANY of this query's own runs carried a hot mem reading
+    *    (the regime was measured AT this query's point in the pass). No
+    *    ratio ceiling here: the 3-point pass probe demonstrably misses an
+    *    INTERMITTENT regime (this round's first pass: pass readings 83-95
+    *    ms = clean, while all ten gt2x victims' run-level readings sat at
+    *    151-410 ms with cool md5 minis and untouched query code — and on
+    *    sub-second queries the regime's ~0.5-1 s absolute tax produces
+    *    3-4.5x ratios, past any uniform-inflation ceiling). Exclusion is
+    *    the wrong tool for a uniform regime — there may be no clean
+    *    sibling to fall back to (the faster run can be the mem-hot one) —
+    *    so the entry is DIVERTED, fully visible, for the next clean pass
+    *    to re-adjudicate.
+    * Pure so the gate is spec-pinned (BenchTriageSpec).
+    */
+  def regimeDivert(passMemVerdict: String, ratio: Double,
+      queryMemHot: Boolean): Boolean =
+    (passMemVerdict != "clean" && ratio < 3.0) || queryMemHot
+
   /** The chosen central tendency over a (possibly suspect-filtered) sample:
     * min for the default tier, median for [[NoisyQueries]] — even-sized
     * samples (a suspect run excluded from a 3-run sample) take the
@@ -501,6 +525,13 @@ object Bench {
     // #1): three-valued over pass 1's mem readings. Load-bearing below —
     // a non-clean verdict diverts sub-3x gt2x entries to gt2x_regime.
     val memVerdict = CpuProbe.memVerdict(p1)
+    // Run-level mem summary next to the pass verdict: how many probed
+    // runs saw the bandwidth regime. A pass can read mem-clean at its 3
+    // sample points while an intermittent regime taxes runs in between —
+    // these counts make that visible at the top of the artifact.
+    val memRunReadings = results.flatMap(_.runs)
+      .flatMap(r => Seq(r.memBeforeMs, r.memAfterMs)).filter(_ >= 0)
+    val memRunsHot = memRunReadings.count(CpuProbe.memHot)
     val probeJson = {
       val readings = probeSeq.map(r =>
         s"""{"label":"${r.label}","single_ms":${r.singleMs},""" +
@@ -516,7 +547,9 @@ object Bench {
         s""""tolerance_mem":${CpuProbe.ToleranceMem},""" +
         s""""mem_dirty_factor":${CpuProbe.MemDirtyFactor},""" +
         s""""ref_source":"${CpuProbe.RefSource}","host_cpus":${CpuProbe.HostCpus},""" +
-        s""""clean":$probeClean,"mem":"$memVerdict","readings":$readings}"""
+        s""""clean":$probeClean,"mem":"$memVerdict",""" +
+        s""""mem_run_readings":${memRunReadings.size},""" +
+        s""""mem_runs_hot":$memRunsHot,"readings":$readings}"""
     }
 
     // Ratio summary vs the baseline artifact (if one was readable): median
@@ -530,12 +563,12 @@ object Bench {
     // `gt2x_suspect` (the burst is named, not the plan). Round 14 adds the
     // second regime's gate (round-13 verdict #1: the r13 driver pass named
     // 7 gt2x "regressions", 7-for-7 bandwidth-contention environmental):
-    // when the pass-level mem verdict is not clean, entries below 3x go to
-    // `gt2x_regime` — the uniform-contention regime inflates everything
-    // 1.2-2x, so a sub-3x ratio under it names the regime, not the plan;
-    // a >=3x ratio exceeds what that regime produces and stays a real
-    // finding even on a contended pass. `gt2x` itself lists only queries
-    // slow on a clean sample under a clean regime — genuine regressions.
+    // diversion to `gt2x_regime` is decided by [[regimeDivert]]: pass-level
+    // non-clean mem verdict (sub-3x entries only — the uniform regime
+    // can't produce more) OR per-query run-level mem-hot evidence (no
+    // ceiling — see the scaladoc for why). `gt2x` itself lists only
+    // queries slow on a clean sample with no bandwidth evidence — genuine
+    // regressions.
     val statByName = results.map(q => q.name -> q.stat).toMap
     val ratios = results.flatMap { q =>
       baseline.get(q.name).filter(_ > 0.0)
@@ -551,8 +584,11 @@ object Bench {
         val p90 = ratios((ratios.size * 9) / 10 min (ratios.size - 1))._2
         val (sus2x, rest) = ratios.filter(_._2 > 2.0)
           .partition { case (n, _) => statByName(n).endsWith("_suspect") }
-        val (regime2x, gt2x) = rest.partition { case (_, ratio) =>
-          memVerdict != "clean" && ratio < 3.0
+        val memHotByName = results.map(q => q.name -> q.runs.exists(r =>
+          CpuProbe.memHot(r.memBeforeMs) ||
+            CpuProbe.memHot(r.memAfterMs))).toMap
+        val (regime2x, gt2x) = rest.partition { case (n, ratio) =>
+          regimeDivert(memVerdict, ratio, memHotByName(n))
         }
         s"""{"file":"${baselinePath.get}","n":${ratios.size},""" +
           s""""median_ratio":${fmt(med)},"p90_ratio":${fmt(p90)},""" +

@@ -224,6 +224,22 @@ class BenchTriageSpec extends AnyFunSuite {
     assert(CpuProbe.memVerdict(Seq.empty) == "unknown")
   }
 
+  test("regimeDivert: pass-level tier — non-clean pass verdict diverts " +
+    "only sub-3x entries (the uniform regime can't produce more)") {
+    assert(Bench.regimeDivert("elevated", 2.5, queryMemHot = false))
+    assert(!Bench.regimeDivert("elevated", 3.5, queryMemHot = false))
+    assert(Bench.regimeDivert("dirty", 2.9, queryMemHot = false))
+    assert(!Bench.regimeDivert("clean", 2.5, queryMemHot = false))
+  }
+
+  test("regimeDivert: per-query tier — run-level mem-hot evidence diverts " +
+    "with NO ratio ceiling (the intermittent regime taxes sub-second " +
+    "queries 3-4.5x while the 3-point pass probe reads clean)") {
+    assert(Bench.regimeDivert("clean", 4.5, queryMemHot = true))
+    assert(Bench.regimeDivert("clean", 2.1, queryMemHot = true))
+    assert(!Bench.regimeDivert("clean", 2.1, queryMemHot = false))
+  }
+
   test("memHot: per-run mem attribution uses the same clean edge; " +
     "-1 (not probed) is never hot") {
     assert(!CpuProbe.memHot(-1L))
