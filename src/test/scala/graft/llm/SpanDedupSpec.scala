@@ -26,6 +26,19 @@ class SpanDedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("single-substrate plan: the span explode runs ONCE — count cannot " +
+    "be pushed through the distinct, so both consumers share the identical " +
+    "subtree and AQE reuses the exchange naturally (unlike x_novelty's " +
+    "min, which needed min_by to block the pushdown)") {
+    val df = SpanDedup.spanDedup(spark, dir)
+    df.collect() // finalize THIS frame's adaptive plan (see NoveltySpec)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1 || plan.contains("ReusedExchange"),
+      s"expected a shared span substrate (1 scan or a ReusedExchange); " +
+        s"got $scans scans and no reuse:\n$plan")
+  }
+
   test("duplicated spans actually exist in the fixture corpus") {
     val got = SpanDedup.spanDedup(spark, dir)
       .as[(Long, Long, Long, Long)].collect()
