@@ -150,8 +150,20 @@ object Hll {
     */
   def hllMerge(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // ONE corpus scan: every downstream consumer derives from the distinct
+    // (source, h) substrate (ScanAudit round 14 — the register aggregate
+    // and the exact-count eval side each re-scanned and re-hashed the text
+    // before). Dedup cannot change the registers (max rho is idempotent
+    // under duplicates; j/rho are deterministic in h), and the exact side
+    // needs exactly this distinct. ckptDisk-materialized, not just shared
+    // at plan level: the three consumers prune/rewrite the distinct
+    // differently (column pruning drops `source` on the ALL-row path),
+    // forking the subtrees back into separate corpus scans (measured).
+    // The pinned frame is one (source, content-hash) row per distinct
+    // text per source — never the text itself.
+    import graft.util.Ckpt.CkptOps
     val hashed = Tables.documents(spark, dir)
-      .select($"source", md5($"text").as("h"))
+      .select($"source", md5($"text").as("h")).distinct().ckptDisk()
     val perSrcRegs = hashed
       .select((col("source") +: jRho("h")): _*)
       .groupBy($"source", $"j").agg(max($"rho").as("r"))
@@ -166,7 +178,10 @@ object Hll {
       .select($"source", $"m_hit",
         ($"z_hit" + (lit(M.toLong) - $"m_hit") *
           lit(9007199254740992L)).as("z_scaled"))
-    val exact = hashed.select($"source", $"h").distinct()
+    // hashed is already the distinct (source, h) substrate; the ALL row
+    // still needs its own distinct over h (cross-source duplicates
+    // collapse), but over the deduped substrate, not the corpus.
+    val exact = hashed
       .groupBy($"source").agg(count(lit(1)).as("n_exact"))
       .union(hashed.select($"h").distinct()
         .agg(count(lit(1)).as("n_exact")).select(lit("ALL").as("source"), $"n_exact"))

@@ -368,12 +368,24 @@ object Sketch {
     val toks = Tables.documents(spark, dir)
       .select(explode(split(lower($"text"), " ")).as("token"))
       .withColumn("h", xxhash64($"token"))
-    val cand = toks.agg(call_function("mg_candidates", $"h", lit(MgK)).as("c"))
-      .select(explode($"c").as("h"))
-    val total = toks.agg(count(lit(1)).as("n_total"))
-    toks.join(broadcast(cand), Seq("h"), "left_semi")
-      .groupBy($"token").agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(total))
+    // ONE sketch pass: the MG candidate aggregate and the total-count ride
+    // the same global aggregate, and the SINGLE downstream consumer keeps
+    // them fused (ScanAudit round 14 — as separate .agg() calls, and even
+    // as two selects over one aggregate, each consumer re-tokenized the
+    // corpus: Catalyst column-prunes every branch independently, splitting
+    // the shared subtree). The one-row sketch explodes into k candidate
+    // rows each carrying n_total; the inner broadcast join both filters
+    // the rescan to candidates (what the semi-join did) and delivers
+    // n_total (what the cross-join did). Two passes total — the second,
+    // candidate-only exact rescan is the algorithm's inherent verify
+    // pass, not waste.
+    val cand = toks.agg(
+      call_function("mg_candidates", $"h", lit(MgK)).as("c"),
+      count(lit(1)).as("n_total"))
+      .select(explode($"c").as("h"), $"n_total")
+    toks.join(broadcast(cand), Seq("h"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n"), max($"n_total").as("n_total"))
       .filter($"n" * HhPhiDen > $"n_total")
       .select($"token", $"n", $"n_total")
       .orderBy($"n".desc, $"token")

@@ -34,7 +34,17 @@ object Terms {
     val toks = Tables.documents(spark, dir)
       .select($"source", explode(split(lower($"text"), " ")).as("token"))
     val tf = toks.groupBy($"source", $"token").agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy($"token").agg(countDistinct($"source").as("df"))
+    // df derived from tf's OWN output, not a second pass over the token
+    // stream: tf has exactly one row per (source, token) present, so
+    // count-per-token over tf ≡ countDistinct(source) over raw toks
+    // (non-null sources; the isNotNull guard keeps the equivalence exact
+    // on dirty input — countDistinct skips NULLs). Both consumers sit on
+    // tf's aggregate, AQE reuses its exchange, and the corpus text is
+    // tokenized ONCE instead of twice (ScanAudit round 14; the x_novelty
+    // pattern, BENCH_NOTES #80d). The n_sources scan below reads only the
+    // single source column — not the text — so it stays its own cheap pass.
+    val df = tf.filter($"source".isNotNull)
+      .groupBy($"token").agg(count(lit(1)).as("df"))
     val nSrc = Tables.documents(spark, dir)
       .agg(countDistinct($"source").as("n_sources"))
     val w = Window.partitionBy($"source").orderBy($"score".desc, $"token")
@@ -127,18 +137,40 @@ object Terms {
     */
   def pmiPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
+    // ONE tokenize pass for both count tables (ScanAudit round 14 — the
+    // unigram and bigram aggregates each re-scanned and re-split the
+    // corpus text before): every doc emits its unigrams tagged (x, NULL)
+    // and its bigrams (x, y) into a single explode, and one (x, y)
+    // aggregate counts both key spaces in one shuffle (same total row
+    // volume as the two separate shuffles). The aggregate is ckptDisk-
+    // materialized because plan-level sharing is NOT enough here: the
+    // uni/bi consumers are filters on the group key, and Catalyst pushes
+    // key filters through the aggregate, forking the subtrees back into
+    // two corpus scans (measured — the same optimizer-splits-the-share
+    // disease as x_novelty's min-through-distinct). The pinned frame is
+    // vocabulary + bigram counts (Heaps-law bounded), not the corpus. A
+    // split() token is never NULL, so the NULL tag cannot collide with a
+    // real bigram key. A single-token doc contributes its unigram and a
+    // zero-length bigram zip (slice length 0), matching the old
+    // size>=2 filter.
+    import graft.util.Ckpt.CkptOps
+    val tagged = Tables.documents(spark, dir)
       .select(split(lower($"text"), " ").as("toks"))
-    val uni = docs.select(explode($"toks").as("w"))
-      .groupBy($"w").agg(count(lit(1)).as("nw"))
-    val bi = docs.filter(size($"toks") >= 2)
-      .select(explode(zip_with(
-        slice($"toks", lit(1), size($"toks") - 1),
-        slice($"toks", lit(2), size($"toks") - 1),
-        (a, b) => struct(a.as("x"), b.as("y")))).as("p"))
+      .select(explode(concat(
+        transform($"toks",
+          t => struct(t.as("x"), lit(null).cast("string").as("y"))),
+        zip_with(
+          slice($"toks", lit(1), size($"toks") - 1),
+          slice($"toks", lit(2), size($"toks") - 1),
+          (a, b) => struct(a.as("x"), b.as("y"))))).as("p"))
       .select($"p.x", $"p.y")
-      .groupBy($"x", $"y").agg(count(lit(1)).as("n_xy"))
-      .filter($"n_xy" >= PmiMinCount)
+      .groupBy($"x", $"y").agg(count(lit(1)).as("n"))
+      .ckptDisk()
+    val uni = tagged.filter($"y".isNull)
+      .select($"x".as("w"), $"n".as("nw"))
+    val bi = tagged.filter($"y".isNotNull)
+      .filter($"n" >= PmiMinCount)
+      .select($"x", $"y", $"n".as("n_xy"))
     val total = bi.agg(sum($"n_xy").as("n_total"))
     bi.join(broadcast(uni.select($"w".as("x"), $"nw".as("n_x"))), "x")
       .join(broadcast(uni.select($"w".as("y"), $"nw".as("n_y"))), "y")
