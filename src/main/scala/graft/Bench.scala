@@ -24,7 +24,17 @@ object Bench {
   val NoisyQueries: Set[String] = Set(
     "x_pagerank", "x_triangles", "x_bfs_dist",
     "x_dedup_cluster", "x_dedup_cluster_verified", "x_cc_size_dist",
-    "x_jaccard_join", "x_quality_filter")
+    "x_jaccard_join", "x_quality_filter",
+    // Round 14: the three-round x_lsh_precision watch item resolved into
+    // a measurement-policy fact, not drift — same-code readings spanned
+    // 1.26-4.29 s across four same-night passes (docs/BENCH_NOTES.md
+    // #85). Its wall is dominated by the eager ckptDisk pairs build
+    // inside the measured window, exactly like the rest of the jaccard/
+    // checkpoint family ALREADY in this set — and its old min2 stat
+    // never probed (the 2.58 s baseline put the slow-probe threshold at
+    // 5.15 s). median3 + warmup + the early tier's per-run dual-channel
+    // probes give it the same treatment as its family.
+    "x_lsh_precision")
   // NOT in the set despite first-run compile cost: x_rand_walk,
   // x_shortest_path, x_basket_pairs, x_rfm, x_kcore. Measured (round 8):
   // their swing is concentrated in run 1 (Janino compile, e.g. x_rand_walk
@@ -315,7 +325,8 @@ object Bench {
       "x_rand_walk", "x_pagerank", "x_shortest_path", "x_bfs_dist",
       "x_triangles", "x_basket_pairs", "x_rfm", "x_kcore",
       "x_dedup_cluster", "x_dedup_cluster_verified", "x_cc_size_dist",
-      "x_graph_jaccard", "x_jaccard_join", "x_quality_filter")
+      "x_graph_jaccard", "x_jaccard_join", "x_quality_filter",
+      "x_lsh_precision")
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // The iterative tier gets one untimed warmup run (see NoisyQueries
