@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
@@ -22,11 +23,18 @@ import graft.util.Det
   * `x_weighted_median`: the quantity-weighted median of the extended
   * price — the "typical traded price" where the unweighted median
   * ([[Sketch]]'s percentile tier) answers "typical line item". The
-  * crossing point (first value where 2·cumWeight ≥ totalWeight) comes
-  * from [[PrefixSum.globalRunningSum]] over the weight column — a range
-  * exchange + parallel local windows at any scale, never a
-  * single-partition window; the oracle states the identical crossing
-  * rule over a plain running-sum window.
+  * crossing point (first value where 2·cumWeight ≥ totalWeight) is found
+  * by WEIGHTED distributed selection ([[Sketch.selectQuantile]]'s 3-pass
+  * shape with weight sums in place of row counts): min/max/totalWeight,
+  * a 256-bucket weight histogram walked on the driver, then a per-price
+  * cumulative over ONLY the crossing bucket's aggregated prices. Round
+  * 14 replaced the [[PrefixSum.globalRunningSum]] form: a running sum
+  * materializes the whole fact table through a range exchange + disk
+  * checkpoint pin to read ONE crossing point off it — selection moves
+  * three aggregates and one bucket instead (the crossing VALUE is
+  * tie-order independent, so the weight histogram loses nothing). The
+  * oracle states the identical crossing rule over a plain running-sum
+  * window.
   */
 object Experiment {
 
@@ -78,23 +86,52 @@ object Experiment {
       |ORDER BY arm""".stripMargin
 
   /** x_weighted_median — quantity-weighted median of the extended price. */
-  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val li = Tables.lineitem(spark, dir)
-      .select(Det.cents($"l_extendedprice").as("price_cents"),
-        $"l_quantity".cast("long").as("w"),
-        $"l_orderkey", $"l_linenumber")
-    val total = li.agg(sum($"w").as("total_w"))
-    // unique running key: (price, orderkey, linenumber) — the running
-    // weight at each row is the cumulative quantity at or below it
-    val cum = PrefixSum.globalRunningSum(spark, li,
-        struct($"price_cents", $"l_orderkey", $"l_linenumber"), $"w")
-      .withColumnRenamed("running", "cum_w")
-    cum.crossJoin(broadcast(total))
-      .filter($"cum_w" * 2 >= $"total_w")
-      .agg(min(struct($"price_cents", $"l_orderkey", $"l_linenumber")).as("m"),
-        first($"total_w").as("total_w"))
-      .select($"m.price_cents".as("weighted_median_cents"), $"total_w")
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame =
+    weightedMedianOver(Tables.lineitem(spark, dir)
+      .select(Det.cents(col("l_extendedprice")).as("c"),
+        col("l_quantity").cast("long").as("w")))
+
+  /** Weighted selection over any non-empty (c: long, w: long ≥ 1) frame.
+    *
+    * The crossing row in (c, tiebreak…) order satisfies 2·cum ≥ total ⟺
+    * cum ≥ (total+1) div 2 =: kw, and its VALUE c* = min c whose
+    * through-price cumulative weight reaches kw — independent of any
+    * tiebreak order, so selection needs no row identity at all. Pass 1:
+    * min/max/totalWeight. Pass 2: [[Sketch.SelBuckets]]-bucket WEIGHT
+    * histogram (map-side combined; the collect is bucket-bounded). The
+    * driver walks it to the bucket holding weight-rank kw. Pass 3: only
+    * that bucket's rows, pre-aggregated per distinct price, cumulated in
+    * one domain-bounded window (≤ span/SelBuckets distinct cents values —
+    * value-domain bounded like [[CorpusFilter.paretoFrontOver]]'s frontier
+    * window, never corpus-bounded). Zero full shuffles of the fact frame.
+    */
+  def weightedMedianOver(li: DataFrame): DataFrame = {
+    import li.sparkSession.implicits._
+    val Array(mn, mx, totalW) = li
+      .agg(min($"c"), max($"c"), sum($"w")).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val kw = (totalW + 1) / 2
+    val span = mx - mn + 1
+    val bucket = expr(s"(c - $mn) * ${Sketch.SelBuckets} div $span")
+    val hist = li
+      .select(bucket.as("b"), $"w")
+      .groupBy($"b").agg(sum($"w").as("wsum"))
+      .orderBy($"b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // Walk the ≤256-entry weight histogram to the bucket holding rank kw.
+    var cum = 0L; var bStar = 0L; var cumBefore = 0L
+    hist.foreach { case (b, wsum) =>
+      if (cum < kw && kw <= cum + wsum) { bStar = b; cumBefore = cum }
+      cum += wsum
+    }
+    val wCum = Window.orderBy($"c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.filter(bucket === bStar)
+      .groupBy($"c").agg(sum($"w").as("pw"))
+      .withColumn("cum_w", sum($"pw").over(wCum) + lit(cumBefore))
+      .filter($"cum_w" >= kw)
+      .agg(min($"c").as("weighted_median_cents"))
+      .select($"weighted_median_cents", lit(totalW).as("total_w"))
   }
 
   val weightedMedianSql: String =

@@ -54,4 +54,48 @@ class ExperimentSpec extends SparkSpec {
     val unweighted = prices(prices.length / 2)
     assert(crossing != unweighted)
   }
+
+  // The selection rewrite (round 14) must reproduce the running-sum
+  // crossing rule on every tie/boundary shape the histogram walk could
+  // mishandle: the reference model below IS the old formulation.
+  private def crossingModel(rows: Seq[(Long, Long)]): (Long, Long) = {
+    val total = rows.map(_._2).sum
+    var cum = 0L
+    val c = rows.sortBy(_._1).find { r => cum += r._2; cum * 2 >= total }.get._1
+    (c, total)
+  }
+
+  private def viaSelection(rows: Seq[(Long, Long)]): (Long, Long) =
+    Experiment.weightedMedianOver(rows.toDF("c", "w")).as[(Long, Long)].head()
+
+  test("weighted selection matches the crossing model on tie and boundary shapes") {
+    val shapes: Seq[(String, Seq[(Long, Long)])] = Seq(
+      "single row" -> Seq((7L, 3L)),
+      "all prices equal" -> Seq.fill(50)((42L, 2L)),
+      "one heavy price owns the crossing" ->
+        (Seq.tabulate(100)(i => (i.toLong, 1L)) :+ (50L, 1000L)),
+      "tie group spans the crossing" ->
+        (Seq.fill(30)((10L, 1L)) ++ Seq.fill(30)((20L, 1L)) ++ Seq.fill(30)((30L, 1L))),
+      "even total, crossing between equal halves" ->
+        Seq((1L, 5L), (2L, 5L)),
+      "odd total" -> Seq((1L, 5L), (2L, 6L)),
+      "span smaller than the bucket count" ->
+        Seq.tabulate(10)(i => ((i % 3).toLong, (i + 1).toLong)),
+      "wide span, weight in the last bucket" ->
+        (Seq((0L, 1L), (1000000L, 1L)) ++ Seq.fill(40)((999999L, 5L))))
+    shapes.foreach { case (label, rows) =>
+      assert(viaSelection(rows) == crossingModel(rows), s"shape: $label")
+    }
+  }
+
+  test("weighted selection is partitioning-invariant") {
+    val rows = Seq.tabulate(997)(i => ((i * 37 % 251).toLong, (i % 7 + 1).toLong))
+    val expected = crossingModel(rows)
+    Seq(1, 3, 32).foreach { p =>
+      val df = spark.createDataFrame(rows.map { case (c, w) => (c, w) })
+        .toDF("c", "w").repartition(p)
+      assert(Experiment.weightedMedianOver(df).as[(Long, Long)].head() == expected,
+        s"partitions: $p")
+    }
+  }
 }
