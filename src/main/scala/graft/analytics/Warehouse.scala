@@ -439,31 +439,47 @@ object Warehouse {
     * metric-pipeline guard against a few corrupt readings dragging a mean;
     * emitted entirely in integer cents.
     *
-    * Scale: one windowed rank per group (parallel per event_type), a
-    * 5-row fence table broadcast back, and one final hash-aggregate —
-    * the fences never leave the driver-side broadcast, the fact stream
-    * stays map-only between the two shuffles.
+    * Scale (round 14): ONE map-side-combined aggregate to the
+    * (event_type, cents) DOMAIN, then everything — fence ranks, fence
+    * values, clamp counts, the winsorized sum — computes over that frame,
+    * whose per-group size is bounded by the cents domain (≤ span values),
+    * never by row count. The pre-rewrite shape ranked EVERY row through a
+    * per-type window — with a handful of event types that is a giant
+    * per-key sort partition at scale (the same hazard the capped-window
+    * family mitigates) plus a second full scan for the clamp; here the
+    * corpus is touched once, the per-type sort moves ≤ |domain| rows, and
+    * the fence value at rank k is read off the cumulative count (the k-th
+    * order statistic is the smallest cents whose through-value cumulative
+    * reaches k — tie-order independent, like [[Sketch.groupMedian]]).
     */
   def winsorize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ec = Tables.events(spark, dir)
-      .select($"event_type", $"event_id", Det.cents($"value").as("c"))
-    val w = Window.partitionBy($"event_type").orderBy($"c", $"event_id")
-    val ranked = ec
-      .select($"event_type", $"c",
-        row_number().over(w).as("rn"),
-        count(lit(1)).over(Window.partitionBy($"event_type")).as("n"))
-    val fences = ranked.groupBy($"event_type")
-      .agg(
-        max(when($"rn" === floor(($"n" * 5 + 99) / 100.0), $"c")).as("lo_cents"),
-        max(when($"rn" === floor(($"n" * 95 + 99) / 100.0), $"c")).as("hi_cents"))
-    ec.join(broadcast(fences), Seq("event_type"))
-      .groupBy($"event_type")
-      .agg(count(lit(1)).as("n"),
-        max($"lo_cents").as("lo_cents"), max($"hi_cents").as("hi_cents"),
-        sum(when($"c" < $"lo_cents", 1L).otherwise(0L)).as("n_lo"),
-        sum(when($"c" > $"hi_cents", 1L).otherwise(0L)).as("n_hi"),
-        sum(least(greatest($"c", $"lo_cents"), $"hi_cents")).as("sum_wins_cents"))
+    winsorizeOver(Tables.events(spark, dir)
+      .select($"event_type", Det.cents($"value").as("c")))
+  }
+
+  /** Same pipeline over any (event_type, c: long) frame — the spec seam. */
+  def winsorizeOver(ec: DataFrame): DataFrame = {
+    import ec.sparkSession.implicits._
+    val byVal = ec.groupBy($"event_type", $"c").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy($"event_type").orderBy($"c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"event_type").orderBy($"c")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val fenced = byVal
+      .withColumn("cum", sum($"cnt").over(wCum))
+      .withColumn("n", sum($"cnt").over(wAll))
+      .withColumn("lo_f",
+        min(when($"cum" >= expr("(n * 5 + 99) div 100"), $"c")).over(wAll))
+      .withColumn("hi_f",
+        min(when($"cum" >= expr("(n * 95 + 99) div 100"), $"c")).over(wAll))
+    fenced.groupBy($"event_type")
+      .agg(sum($"cnt").as("n"),
+        max($"lo_f").as("lo_cents"), max($"hi_f").as("hi_cents"),
+        sum(when($"c" < $"lo_f", $"cnt").otherwise(0L)).as("n_lo"),
+        sum(when($"c" > $"hi_f", $"cnt").otherwise(0L)).as("n_hi"),
+        sum($"cnt" * least(greatest($"c", $"lo_f"), $"hi_f"))
+          .as("sum_wins_cents"))
       .orderBy($"event_type")
   }
 
