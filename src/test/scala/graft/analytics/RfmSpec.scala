@@ -36,6 +36,42 @@ class RfmSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  // The round-14 boundary-key rewrite must reproduce the rank formula on
+  // the shapes the histogram walk could mishandle: the model below IS the
+  // original rule — rank = row_number over (metric, custkey), score =
+  // 1 + ((rank-1)*5) div n.
+  private def rankModel(
+      rows: Seq[(Long, Long, Long, Long)]): Seq[(Long, Long, Long, Long, Long)] = {
+    val n = rows.length
+    def ranks(key: ((Long, Long, Long, Long)) => Long): Map[Long, Long] =
+      rows.sortBy(r => (key(r), r._1)).zipWithIndex
+        .map { case (r, idx) => r._1 -> (1L + idx.toLong * 5 / n) }.toMap
+    val (rr, fr, mr) = (ranks(_._4), ranks(_._2), ranks(_._3))
+    rows.groupBy(r => (rr(r._1), fr(r._1), mr(r._1))).toSeq
+      .map { case ((a, b, c), xs) =>
+        (a, b, c, xs.length.toLong, xs.map(_._3).sum) }
+      .sortBy(t => (t._1, t._2, t._3))
+  }
+
+  test("boundary-key scoring matches the rank model on tie and tiny shapes") {
+    val shapes: Seq[(String, Seq[(Long, Long, Long, Long)])] = Seq(
+      "n smaller than 5" -> Seq.tabulate(3)(i =>
+        (i.toLong, (i + 1).toLong, (i * 10).toLong, (5 - i).toLong)),
+      "one metric all-equal" -> Seq.tabulate(50)(i =>
+        (i.toLong, 7L, (i * 3 % 17).toLong, (i % 11).toLong)),
+      "tie blocks straddling every boundary" -> Seq.tabulate(100)(i =>
+        (i.toLong, (i / 25).toLong, (i / 20).toLong, (i / 10).toLong)),
+      "wide-span outliers" -> (Seq.tabulate(40)(i =>
+        (i.toLong, (i % 5).toLong, (i % 7).toLong, (i % 3).toLong)) :+
+        (99L, 1000000L, 2000000000L, 500000L)))
+    shapes.foreach { case (label, rows) =>
+      val base = rows.toDF("o_custkey", "f", "m_cents", "r_days")
+      val got = Rfm.rfmScoresOver(base)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      assert(got == rankModel(rows), s"shape: $label")
+    }
+  }
+
   test("x_rfm: monetary totals per segment add up to the corpus total") {
     val seg = Rfm.rfm(spark, dir)
       .as[(Long, Long, Long, Long, Long)].collect()
