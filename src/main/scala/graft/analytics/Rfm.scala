@@ -78,7 +78,7 @@ object Rfm {
       (c, st.getLong(2 * i), st.getLong(2 * i + 1))
     }
     def bexpr(c: String, mn: Long, mx: Long) =
-      expr(s"($c - ${mn}L) * ${Sketch.SelBuckets} div ${mx - mn + 1}L")
+      expr(s"($c - (${mn}L)) * ${Sketch.SelBuckets} div ${mx - mn + 1}L")
     // one fused job: all three metrics' SelBuckets-bounded histograms
     val hist = base.select(explode(array(mets.zipWithIndex.map {
         case ((c, mn, mx), i) =>

@@ -138,15 +138,57 @@ object Eval {
   def calibrationBins(spark: SparkSession, dir: String): DataFrame =
     calibrationBinsOver(scored(spark, dir))
 
-  /** Frame-parametric core of [[calibrationBins]]. */
+  /** Frame-parametric core of [[calibrationBins]]. Round 14: a decile id
+    * only reads which side of nine boundary ranks a row falls — decile >
+    * i ⟺ (rnk-1)·10 ≥ i·n ⟺ rnk > ⌈i·n/10⌉ =: Bᵢ — and (score, vec_id)
+    * is unique, so the nine boundary KEYS at ranks Bᵢ determine every
+    * decile: 1 + #{i : key > Tᵢ}. They come from the
+    * [[graft.analytics.Sketch.selectQuantile]] selection shape (256-bucket
+    * score histogram, driver walk, one in-bucket residual-rank job — both
+    * collects bucket/9-row bounded) over ONE pin of the scored frame;
+    * tagging is then map-only. The previous form paid
+    * [[PrefixSum.globalRunningSum]] — a full range exchange plus its own
+    * checkpoint pin — for per-row ranks that collapsed to ten ids, the
+    * same waste [[graft.analytics.Rfm]] dropped this round.
+    */
   def calibrationBinsOver(sc: DataFrame): DataFrame = {
     import sc.sparkSession.implicits._
-    val ranked = PrefixSum.globalRunningSum(sc.sparkSession, sc,
-        struct($"score", $"vec_id"), lit(1L))
-      .withColumnRenamed("running", "rnk")
-    val n = ranked.agg(count(lit(1)).as("n_total"))
-    ranked.crossJoin(broadcast(n))
-      .select(expr("1 + ((rnk - 1) * 10) div n_total").as("decile"), $"label")
+    import graft.util.Ckpt._
+    import graft.analytics.Sketch.SelBuckets
+    val base = sc.select($"vec_id", $"label", $"score").ckptDisk()
+    val st = base.agg(min($"score"), max($"score"), count(lit(1))).head()
+    val (mn, mx, n) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    val bucket = expr(s"(score - (${mn}L)) * $SelBuckets div ${mx - mn + 1}L")
+    val hist = base.select(bucket.as("b"))
+      .groupBy($"b").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val targets = (1 to 9).map(i => (i.toLong * n + 9) / 10) // Bᵢ = ⌈i·n/10⌉
+    val picks = targets.zipWithIndex.map { case (k, ti) =>
+      var cum = 0L; var b = 0L; var res = 0L
+      hist.foreach { case (bk, cnt) =>
+        if (cum < k && k <= cum + cnt) { b = bk; res = k - cum }
+        cum += cnt
+      }
+      (ti, b, res)
+    }
+    val pickDf = broadcast(picks.toDF("ti", "b", "res"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy($"b").orderBy($"score", $"vec_id")
+    val bounds = base
+      .select($"vec_id", $"score", bucket.as("b"))
+      .filter($"b".isin(picks.map(_._2).distinct: _*))
+      .withColumn("rn", row_number().over(wRank))
+      .join(pickDf, Seq("b"))
+      .filter($"rn" === $"res")
+      .select($"ti", $"score", $"vec_id")
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    val decile = (0 until 9).foldLeft(lit(1L)) { case (acc, ti) =>
+      val (tv, tc) = bounds(ti)
+      acc + when($"score" > tv || ($"score" === tv && $"vec_id" > tc), 1L)
+        .otherwise(0L)
+    }
+    base.select(decile.as("decile"), $"label")
       .groupBy($"decile")
       .agg(count(lit(1)).as("n_vecs"),
         sum(when($"label" === PosLabel, 1L).otherwise(0L)).as("n_pos"))

@@ -64,4 +64,34 @@ class EvalSpec extends SparkSpec {
     // top decile must beat the bottom decile for a separating scorer
     assert(rows.last._4 > rows.head._4)
   }
+
+  // The round-14 boundary-key decile rewrite must reproduce the rank rule
+  // — decile = 1 + ((rank-1)*10) div n, rank = row_number over
+  // (score, vec_id) — on tie-heavy and tiny shapes the fixtures avoid.
+  test("boundary-key deciles match the rank model on tie-heavy shapes") {
+    def model(rows: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long, Long)] = {
+      val n = rows.length
+      rows.sortBy(r => (r._3, r._1)).zipWithIndex
+        .groupBy { case (_, idx) => 1L + idx.toLong * 10 / n }
+        .toSeq.map { case (d, xs) =>
+          val pos = xs.count(_._1._2 == Eval.PosLabel).toLong
+          (d, xs.length.toLong, pos, pos * 1000 / xs.length)
+        }.sortBy(_._1)
+    }
+    val shapes: Seq[(String, Seq[(Long, Long, Long)])] = Seq(
+      "fewer rows than deciles" ->
+        Seq.tabulate(7)(i => (i.toLong, (i % 2).toLong, (i * 3).toLong)),
+      "one score value for everyone" ->
+        Seq.tabulate(100)(i => (i.toLong, (i % 3).toLong, 5L)),
+      "tie blocks straddling decile edges" ->
+        Seq.tabulate(200)(i => (i.toLong, (i % 2).toLong, (i / 30).toLong)),
+      "negative scores with outliers" ->
+        (Seq.tabulate(80)(i => (i.toLong, (i % 2).toLong, (-40 + i).toLong)) :+
+          (999L, 0L, 1000000L)))
+    shapes.foreach { case (label, rows) =>
+      val got = Eval.calibrationBinsOver(rows.toDF("vec_id", "label", "score"))
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got == model(rows), s"shape: $label")
+    }
+  }
 }
