@@ -34,7 +34,33 @@ object Eval {
 
   val PosLabel = 0
 
-  /** (vec_id, label, exact integer score) for every vector. */
+  /** Dimension ceiling for [[scored]]'s unrolled dot product: past this,
+    * the literal expression tree would bloat the plan and the
+    * posexplode+join form is the better trade (it is also the oracle's
+    * formulation either way).
+    */
+  val UnrollDims = 512
+
+  /** (vec_id, label, exact integer score) for every vector.
+    *
+    * Round 14: the centroid is dims-bounded, so it collects (≤ dims
+    * rows — the audited bounded-collect class) and the per-vector dot
+    * unrolls into a literal codegen'd sum `Σ q[d]·cv(d)` — a MAP-ONLY
+    * scorer. The previous form posexploded every vector (×dims row
+    * inflation) and re-aggregated through a hash exchange on vec_id —
+    * 64× the corpus through a shuffle to compute a per-row expression.
+    * A `transform`/`aggregate` HOF would also be map-only but runs
+    * interpreted (the BENCH_NOTES #64 JIT-storm shape); the literal
+    * tree stays inside whole-stage codegen. Falls back to the
+    * posexplode+join form past [[UnrollDims]] dims.
+    *
+    * Measured trade at sf0.1 (2k vectors): the centroid collect is one
+    * extra SEQUENTIAL driver job, ≈ +0.2–0.3 s per consumer locally
+    * (interleaved A/B, x_auc 1.3 → 1.55 s) — the local job floor, not
+    * data. At scale both forms scan twice (centroid + scorer); only the
+    * old one then shuffles dims× the corpus. Adopted for the shape, with
+    * the local cost on record (OPTIMIZATION_r14.md).
+    */
   private def scored(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val q = Tables.embeddings(spark, dir)
@@ -44,11 +70,26 @@ object Eval {
       .select(posexplode($"q").as(Seq("d0", "v")))
       .groupBy(($"d0" + 1).as("d"))
       .agg(sum($"v".cast("long")).as("cv"))
-    q.select($"vec_id", $"label", posexplode($"q").as(Seq("d0", "v")))
-      .select($"vec_id", $"label", ($"d0" + 1).as("d"), $"v")
-      .join(broadcast(c0), "d")
-      .groupBy($"vec_id", $"label")
-      .agg(sum($"v".cast("long") * $"cv").as("score"))
+    val cv = c0.orderBy($"d").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1)))
+    if (cv.isEmpty)
+      // no positive class: the inner join produced an empty frame
+      q.select($"vec_id", $"label", lit(0L).as("score")).where(lit(false))
+    else if (cv.length <= UnrollDims && cv.last._1 == cv.length) {
+      // dense 1..dims centroid: unrolled exact dot, zero shuffles. The
+      // coalesce gives a short vector's missing dims the inner join's
+      // contribute-nothing semantics, and the size filter reproduces its
+      // drop of zero-dim vectors (posexplode emits no row for them).
+      val dot = cv.map { case (d, c) =>
+        coalesce(element_at($"q", d.toInt).cast("long"), lit(0L)) * lit(c)
+      }.reduce(_ + _)
+      q.where(size($"q") > 0).select($"vec_id", $"label", dot.as("score"))
+    } else
+      q.select($"vec_id", $"label", posexplode($"q").as(Seq("d0", "v")))
+        .select($"vec_id", $"label", ($"d0" + 1).as("d"), $"v")
+        .join(broadcast(c0), "d")
+        .groupBy($"vec_id", $"label")
+        .agg(sum($"v".cast("long") * $"cv").as("score"))
   }
 
   private val scoredCte: String =
