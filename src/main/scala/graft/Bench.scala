@@ -57,11 +57,14 @@ object Bench {
     * mini-probe readings taken just outside the window (-1 = not probed),
     * and (round 14) the memory-bandwidth readings taken alongside them —
     * the md5 minis cannot see the ~1.2–2× bandwidth-contention regime
-    * (BENCH_NOTES #77), so the early tier's runs carry both channels. The
-    * mem readings are observational at run granularity (the pass-level
-    * CpuProbe.memVerdict is what gates gt2x diversion); they exist so a
-    * contended run is attributable WITHIN the artifact, per-run, next
-    * round's calibration data included. secs < 0 marks a failed run.
+    * (BENCH_NOTES #77), so the early tier's runs carry both channels.
+    * Round 15 graduates the per-run mem channel from observational to
+    * GATING inside [[suspectRun]] (round-14 verdict #1): a run probed
+    * mem-hot AND measured slow is excluded from the chosen stat exactly
+    * like a probe-hot run — the r14 32-core driver pass certified itself
+    * `probe_mem: clean` at its 3 pass-level sample points while ~8
+    * unflagged queries carried 1.4–2.6× contention readings taken at
+    * their own runs. secs < 0 marks a failed run.
     */
   case class Run(secs: Double, gcMs: Long, jitMs: Long, maxTaskMs: Long,
       tasks: Long, taskSumMs: Long, probeBeforeMs: Long, probeAfterMs: Long,
@@ -70,15 +73,22 @@ object Bench {
   /** Per-run throttle attribution (BENCH_NOTES #76): a run is SUSPECT —
     * likely measured through a host throttle burst rather than its plan —
     * when either channel fires:
-    *  - probe-hot AND the run itself came out slow: a mini-probe reading
-    *    taken just outside the run's window exceeds its tolerance (direct
-    *    speed-of-light evidence) — but a FAST run next to a jittery probe
-    *    evidently wasn't throttled, and excluding it would discard the
-    *    best sample and bias the min-tier headline upward (round-13
-    *    ADVICE). "Slow" = ≥1.5× the prior-round baseline when one exists,
-    *    else ≥1.5× the fastest sibling run in this sample; with neither
-    *    reference the probe keeps its original unconditional authority
-    *    (conservative: no evidence the run was fast);
+    *  - probe-hot AND the run itself came out slow: a probe reading taken
+    *    just outside the run's window exceeds its tolerance (direct
+    *    speed-of-light evidence) on EITHER channel — the md5 mini (the
+    *    3-10× CPU-burst regime) or, since round 15, the mem stream (the
+    *    1.2-2× bandwidth regime, round-14 verdict #1: the r14 driver pass
+    *    read pass-level mem-clean while unflagged queries carried 1.4-2.6×
+    *    run-level mem-hot readings; both channels ride every early-tier
+    *    run since round 14, so the calibration data asked for then now
+    *    exists — see BENCH_NOTES #86 for the band evidence). A FAST run
+    *    next to a jittery probe evidently wasn't throttled, and excluding
+    *    it would discard the best sample and bias the min-tier headline
+    *    upward (round-13 ADVICE). "Slow" = ≥1.5× the prior-round baseline
+    *    when one exists, else ≥1.5× the fastest sibling run in this
+    *    sample; with neither reference the probe keeps its original
+    *    unconditional authority (conservative: no evidence the run was
+    *    fast);
     *  - heuristic: the round-12 burst signature — every task uniformly
     *    slow (max_task within 1.6x of the MEAN task, so no straggler to
     *    blame), task work DOMINATING the window (summed task time >= the
@@ -94,7 +104,9 @@ object Bench {
   def suspectRun(r: Run, baselineSecs: Option[Double],
       fastestSiblingSecs: Option[Double] = None): Boolean = {
     val probeHot = graft.util.CpuProbe.miniHot(r.probeBeforeMs) ||
-      graft.util.CpuProbe.miniHot(r.probeAfterMs)
+      graft.util.CpuProbe.miniHot(r.probeAfterMs) ||
+      graft.util.CpuProbe.memHot(r.memBeforeMs) ||
+      graft.util.CpuProbe.memHot(r.memAfterMs)
     // forall: with no baseline AND no sibling the probe's verdict stands
     // unconditioned, as before round 14.
     val runSlow = baselineSecs.filter(_ > 0.0)

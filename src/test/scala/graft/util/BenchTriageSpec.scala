@@ -61,6 +61,54 @@ class BenchTriageSpec extends AnyFunSuite {
     assert(Bench.suspectRun(r, Some(0.0), None))
   }
 
+  // --- per-run mem gate (round 15; round-14 verdict #1): the bandwidth
+  // channel gets the SAME suspect rule as the md5 mini — hot reading next
+  // to a ≥1.5×-slow run excludes it from the chosen stat. Calibration: the
+  // r14 driver pass read pass-level mem-clean (83-95 ms at its 3 sample
+  // points) while x_cms_freq benched 3.63 s vs ≤0.89 clean with 151-410 ms
+  // run-level mem readings — per-run evidence, per-run gate.
+
+  private val memHotMs: Long =
+    (CpuProbe.RefMemMs * CpuProbe.ToleranceMem).toLong + 1
+  private val memCoolMs: Long = CpuProbe.RefMemMs
+
+  test("a hot mem reading next to a SLOW run is suspect (either side), " +
+    "exactly like the md5 mini channel") {
+    val slow = Run(4.0, 100, 100, 3500, 32, 4400, coolMs, coolMs,
+      memBeforeMs = memHotMs, memAfterMs = -1)
+    assert(Bench.suspectRun(slow, Some(1.0)))
+    val hotAfter = Run(4.0, 100, 100, 3500, 32, 4400, coolMs, coolMs,
+      memBeforeMs = -1, memAfterMs = memHotMs)
+    assert(Bench.suspectRun(hotAfter, Some(1.0)))
+  }
+
+  test("a hot mem reading next to a FAST run is NOT suspect (same " +
+    "round-13-ADVICE guard as the md5 channel: don't discard best samples)") {
+    val fast = Run(1.0, 100, 100, 200, 32, 3000, coolMs, coolMs,
+      memBeforeMs = memHotMs, memAfterMs = memHotMs)
+    assert(!Bench.suspectRun(fast, Some(1.0)))
+    assert(!Bench.suspectRun(fast, None, Some(1.2)))
+  }
+
+  test("mem-hot slow edge mirrors the mini channel: baseline preferred, " +
+    "sibling fallback, unconditional with neither") {
+    val r = Run(3.0, 100, 100, 200, 32, 9000, coolMs, coolMs,
+      memBeforeMs = memHotMs, memAfterMs = -1)
+    assert(Bench.suspectRun(r, Some(1.0)))
+    assert(!Bench.suspectRun(r, Some(2.5)))
+    assert(Bench.suspectRun(r, None, Some(1.0)))
+    assert(!Bench.suspectRun(r, None, Some(2.5)))
+    assert(Bench.suspectRun(r, None, None))
+  }
+
+  test("cool or unprobed (-1) mem readings never make a run suspect") {
+    val r = Run(4.0, 100, 100, 3500, 32, 4400, coolMs, coolMs,
+      memBeforeMs = memCoolMs, memAfterMs = -1)
+    assert(!Bench.suspectRun(r, Some(1.0)))
+    val unprobed = Run(4.0, 100, 100, 3500, 32, 4400, coolMs, coolMs)
+    assert(!Bench.suspectRun(unprobed, Some(1.0)))
+  }
+
   test("a cool probed run with a straggler is NOT suspect") {
     // one 3.5 s task over a 4.4 s task sum: a straggler, not a burst —
     // max_task attribution already explains it
