@@ -107,9 +107,16 @@ object Experiment {
     */
   def weightedMedianOver(li: DataFrame): DataFrame = {
     import li.sparkSession.implicits._
-    val Array(mn, mx, totalW) = li
-      .agg(min($"c"), max($"c"), sum($"w")).head()
-      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val st = li.agg(min($"c"), max($"c"), sum($"w")).head()
+    if (st.isNullAt(2))
+      // empty frame: the pre-selection globalRunningSum form aggregated
+      // over an empty filtered frame and returned one (NULL, NULL) row —
+      // reproduce that instead of walking a histogram of nothing (the
+      // seam is public to tests/stress; lineitem itself is never empty)
+      return li.agg(min($"c").as("weighted_median_cents"),
+        sum($"w").as("total_w"))
+    val Array(mn, mx, totalW) =
+      st.toSeq.map(_.asInstanceOf[Long]).toArray
     val kw = (totalW + 1) / 2
     val span = mx - mn + 1
     val bucket = expr(s"(c - $mn) * ${Sketch.SelBuckets} div $span")

@@ -74,6 +74,13 @@ object Rfm {
       min($"r_days"), max($"r_days"), min($"f"), max($"f"),
       min($"m_cents"), max($"m_cents"), count(lit(1))).head()
     val n = st.getLong(6)
+    if (n == 0L)
+      // empty frame: min/max are NULL, so the histogram bucketing has no
+      // inputs; return the declared-schema empty frame the pre-selection
+      // rank form produced (grouped aggregate over an empty input)
+      return base.select(lit(1L).as("r_score"), lit(1L).as("f_score"),
+        lit(1L).as("m_score"), lit(0L).as("n_customers"),
+        lit(0L).as("m_cents_total")).where(lit(false))
     val mets = mcols.zipWithIndex.map { case (c, i) =>
       (c, st.getLong(2 * i), st.getLong(2 * i + 1))
     }

@@ -80,8 +80,15 @@ object Eval {
       // coalesce gives a short vector's missing dims the inner join's
       // contribute-nothing semantics, and the size filter reproduces its
       // drop of zero-dim vectors (posexplode emits no row for them).
+      // try_element_at, not element_at: under Spark 4's default ANSI mode
+      // a plain element_at THROWS on an index past the array's end, so a
+      // corpus vector shorter than the positive-centroid dims would crash
+      // the query where the posexplode+inner-join form (and the oracle)
+      // score it over its own dims. try_element_at yields NULL there,
+      // which the coalesce maps to the join's contribute-nothing 0.
       val dot = cv.map { case (d, c) =>
-        coalesce(element_at($"q", d.toInt).cast("long"), lit(0L)) * lit(c)
+        coalesce(try_element_at($"q", lit(d.toInt)).cast("long"), lit(0L)) *
+          lit(c)
       }.reduce(_ + _)
       q.where(size($"q") > 0).select($"vec_id", $"label", dot.as("score"))
     } else
@@ -198,7 +205,16 @@ object Eval {
     import graft.analytics.Sketch.SelBuckets
     val base = sc.select($"vec_id", $"label", $"score").ckptDisk()
     val st = base.agg(min($"score"), max($"score"), count(lit(1))).head()
-    val (mn, mx, n) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    val n = st.getLong(2)
+    if (n == 0L)
+      // Empty scored frame — a case [[scored]] itself produces on a corpus
+      // with no positive class. The histogram passes need min/max, which
+      // are NULL here; return the declared-schema empty frame the previous
+      // PrefixSum formulation produced (its grouped aggregate over an
+      // empty input) instead of NPE-ing on getLong.
+      return base.select(lit(0L).as("decile"), lit(0L).as("n_vecs"),
+        lit(0L).as("n_pos"), lit(0L).as("pos_permille")).where(lit(false))
+    val (mn, mx) = (st.getLong(0), st.getLong(1))
     val bucket = expr(s"(score - (${mn}L)) * $SelBuckets div ${mx - mn + 1}L")
     val hist = base.select(bucket.as("b"))
       .groupBy($"b").agg(count(lit(1)).as("cnt"))

@@ -98,4 +98,12 @@ class ExperimentSpec extends SparkSpec {
         s"partitions: $p")
     }
   }
+
+  test("weightedMedianOver on an empty frame returns one (NULL, NULL) row " +
+    "like the pre-selection aggregate form, not an NPE") {
+    val out = Experiment.weightedMedianOver(
+      Seq.empty[(Long, Long)].toDF("c", "w")).collect()
+    assert(out.length == 1)
+    assert(out.head.isNullAt(0) && out.head.isNullAt(1))
+  }
 }

@@ -72,6 +72,15 @@ class RfmSpec extends SparkSpec {
     }
   }
 
+  test("rfmScoresOver on an empty frame returns the declared-schema empty " +
+    "result (the grouped-aggregate form's output), not an NPE") {
+    val out = Rfm.rfmScoresOver(
+      Seq.empty[(Long, Long, Long, Long)].toDF("o_custkey", "f", "m_cents", "r_days"))
+    assert(out.columns.toSeq ==
+      Seq("r_score", "f_score", "m_score", "n_customers", "m_cents_total"))
+    assert(out.collect().isEmpty)
+  }
+
   test("x_rfm: monetary totals per segment add up to the corpus total") {
     val seg = Rfm.rfm(spark, dir)
       .as[(Long, Long, Long, Long, Long)].collect()

@@ -94,4 +94,51 @@ class EvalSpec extends SparkSpec {
       assert(got == model(rows), s"shape: $label")
     }
   }
+
+  test("calibrationBinsOver on an empty frame returns the declared-schema " +
+    "empty result (scored() itself produces one on a no-positive corpus)") {
+    val out = Eval.calibrationBinsOver(
+      Seq.empty[(Long, Long, Long)].toDF("vec_id", "label", "score"))
+    assert(out.columns.toSeq ==
+      Seq("decile", "n_vecs", "n_pos", "pos_permille"))
+    assert(out.collect().isEmpty)
+  }
+
+  // The unrolled scorer indexes q[d] for every centroid dim d; under Spark
+  // 4's default ANSI mode a plain element_at would THROW for vectors
+  // shorter than the centroid — the posexplode+inner-join form (and the
+  // oracle) instead score such vectors over their own dims. Pin the
+  // try_element_at semantics on a deliberately ragged corpus.
+  test("unrolled scorer gives ragged vectors the join form's " +
+    "contribute-nothing semantics (ANSI out-of-bounds guard)") {
+    val rows = Seq(
+      (1L, Eval.PosLabel, Seq(1.0f, 0.5f, -1.0f, 0.25f)),
+      (2L, Eval.PosLabel, Seq(0.5f, 1.0f, 0.5f, -0.5f)),
+      (3L, 9, Seq(1.0f, 1.0f)),   // shorter than the centroid's 4 dims
+      (4L, 9, Seq.empty[Float]),  // zero-dim: posexplode emits no rows
+      (5L, 9, Seq(-1.0f, 0.25f, 0.5f, 1.0f)))
+    val tmp = java.nio.file.Files.createTempDirectory("ragged_emb").toString
+    rows.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    // driver-side model, join semantics: quantize, positive centroid over
+    // dims 1..4, each vector scored over ITS OWN dims; zero-dim drops
+    def q8(x: Float): Long =
+      math.max(-127L, math.min(127L, math.floor(x * 127.0 + 0.5).toLong))
+    val qs = rows.map { case (id, l, e) => (id, l.toLong, e.map(q8)) }
+    val dims = 4
+    val cv = (0 until dims).map(d =>
+      qs.filter(_._2 == Eval.PosLabel)
+        .map(v => if (d < v._3.length) v._3(d) else 0L).sum)
+    val sc = qs.filter(_._3.nonEmpty).map { case (id, l, q) =>
+      (id, l, q.zipWithIndex.map { case (v, d) => v * cv(d) }.sum)
+    }
+    val ranked = sc.sortBy { case (id, _, s) => (s, id) }.zipWithIndex
+    val nPos = sc.count(_._2 == Eval.PosLabel).toLong
+    val nNeg = sc.length - nPos
+    val rPos = ranked.filter(_._1._2 == Eval.PosLabel).map(_._2 + 1L).sum
+    val expected = (nPos, nNeg, rPos,
+      (rPos - nPos * (nPos + 1) / 2) * 1000000L / (nPos * nNeg))
+    val got = Eval.auc(spark, tmp).as[(Long, Long, Long, Long)].head()
+    assert(got == expected)
+  }
 }
