@@ -81,7 +81,7 @@ object Bench {
     *    read pass-level mem-clean while unflagged queries carried 1.4-2.6×
     *    run-level mem-hot readings; both channels ride every early-tier
     *    run since round 14, so the calibration data asked for then now
-    *    exists — see BENCH_NOTES #86 for the band evidence). A FAST run
+    *    exists — see BENCH_NOTES #88 for the band evidence). A FAST run
     *    next to a jittery probe evidently wasn't throttled, and excluding
     *    it would discard the best sample and bias the min-tier headline
     *    upward (round-13 ADVICE). "Slow" = ≥1.5× the prior-round baseline
